@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov7_tracker_tpu.ops import assignment
+
+
+def device_matches(cost, row_mask, col_mask, thresh):
+    r2c, c2r = assignment.masked_assignment(
+        jnp.asarray(cost, jnp.float32),
+        jnp.asarray(row_mask),
+        jnp.asarray(col_mask),
+        thresh,
+    )
+    r2c = np.asarray(r2c)
+    c2r = np.asarray(c2r)
+    matches = {(i, int(r2c[i])) for i in range(len(r2c)) if r2c[i] >= 0}
+    # consistency between the two return views
+    for i, j in matches:
+        assert c2r[j] == i
+    assert len({j for _, j in matches}) == len(matches)
+    return matches
+
+
+def host_matches(cost, thresh):
+    m, ur, uc = assignment.linear_assignment_host(cost, thresh)
+    return {(int(r), int(c)) for r, c in m}
+
+
+def total_cost(cost, matches, thresh, n_rows, n_cols):
+    matched_r = {i for i, _ in matches}
+    matched_c = {j for _, j in matches}
+    c = sum(cost[i, j] for i, j in matches)
+    c += (thresh / 2) * (n_rows - len(matched_r))
+    c += (thresh / 2) * (n_cols - len(matched_c))
+    return c
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("shape", [(8, 8), (12, 5), (5, 12), (1, 1), (20, 20)])
+def test_device_matches_host_optimum(seed, shape):
+    rng = np.random.default_rng(seed)
+    n, m = shape
+    cost = rng.uniform(0, 1, (n, m))
+    thresh = 0.7
+    got = device_matches(cost, np.ones(n, bool), np.ones(m, bool), thresh)
+    want = host_matches(cost, thresh)
+    # optimal matchings may differ on exact ties; compare objective values
+    tg = total_cost(cost, got, thresh, n, m)
+    tw = total_cost(cost, want, thresh, n, m)
+    assert tg <= tw + 1e-3, (tg, tw, got, want)
+    # and with random continuous costs the optimum is unique a.s.
+    assert got == want
+
+
+def test_cost_limit_gate():
+    cost = np.array([[0.2, 0.95], [0.95, 0.3]])
+    got = device_matches(cost, np.ones(2, bool), np.ones(2, bool), 0.7)
+    assert got == {(0, 0), (1, 1)}
+    # everything over the limit -> nothing matches
+    got = device_matches(cost + 10.0, np.ones(2, bool), np.ones(2, bool), 0.7)
+    assert got == set()
+
+
+def test_limit_changes_structure():
+    # classic lapjv-vs-greedy case: global optimum sacrifices one pair
+    cost = np.array([[0.1, 0.5], [0.5, 10.0]])
+    # with a loose limit, (0,1)+(1,0) total = 1.0 > (0,0)+(1 unmatched)
+    got = device_matches(cost, np.ones(2, bool), np.ones(2, bool), 0.6)
+    want = host_matches(cost, 0.6)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_masks_respected(seed):
+    rng = np.random.default_rng(100 + seed)
+    n, m = 16, 14
+    cost = rng.uniform(0, 1, (n, m))
+    row_mask = rng.uniform(size=n) > 0.3
+    col_mask = rng.uniform(size=m) > 0.3
+    got = device_matches(cost, row_mask, col_mask, 0.8)
+    for i, j in got:
+        assert row_mask[i] and col_mask[j]
+    # equivalent host problem: restrict to valid rows/cols
+    sub = cost[np.ix_(row_mask.nonzero()[0], col_mask.nonzero()[0])]
+    want_sub = host_matches(sub, 0.8)
+    rmap = row_mask.nonzero()[0]
+    cmap = col_mask.nonzero()[0]
+    want = {(int(rmap[i]), int(cmap[j])) for i, j in want_sub}
+    assert got == want
+
+
+def test_empty_masks():
+    cost = np.zeros((4, 4))
+    got = device_matches(cost, np.zeros(4, bool), np.ones(4, bool), 0.5)
+    assert got == set()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_large_slab(seed):
+    rng = np.random.default_rng(200 + seed)
+    n, m = 96, 80
+    cost = rng.uniform(0, 1.2, (n, m))
+    thresh = 0.9
+    got = device_matches(cost, np.ones(n, bool), np.ones(m, bool), thresh)
+    want = host_matches(cost, thresh)
+    tg = total_cost(cost, got, thresh, n, m)
+    tw = total_cost(cost, want, thresh, n, m)
+    assert abs(tg - tw) < 1e-3, (tg, tw)
+    assert got == want

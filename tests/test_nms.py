@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov7_tracker_tpu.ops import nms as nms_mod
+from tests import oracles
+
+
+def synth_pred(n, nc, rng, img=640):
+    xy = rng.uniform(50, img - 50, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    obj = rng.uniform(0, 1, (n, 1))
+    cls = rng.dirichlet(np.ones(nc), n)
+    return np.concatenate([xy, wh, obj, cls], axis=1).astype(np.float32)
+
+
+def run_device(pred, conf, iou, **kw):
+    dets, count = nms_mod.nms(jnp.asarray(pred), conf, iou, **kw)
+    return np.asarray(dets)[: int(count)]
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("nc", [1, 4])
+def test_nms_matches_oracle(seed, nc):
+    rng = np.random.default_rng(seed)
+    pred = synth_pred(400, nc, rng)
+    got = run_device(pred, 0.25, 0.45)
+    want = oracles.nms_np(pred, 0.25, 0.45)
+    assert got.shape[0] == want.shape[0]
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got[:, 4], want[:, 4], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_nms_multilabel(seed):
+    rng = np.random.default_rng(50 + seed)
+    pred = synth_pred(200, 5, rng)
+    got = run_device(pred, 0.1, 0.5, multi_label=True)
+    want = oracles.nms_np(pred, 0.1, 0.5, multi_label=True)
+    assert got.shape[0] == want.shape[0]
+    # same candidate set; order is score-desc in both
+    np.testing.assert_allclose(got[:, 4], want[:, 4], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+
+
+def test_nms_low_conf_dense():
+    # tracking-path config: conf 0.01, many candidates
+    rng = np.random.default_rng(99)
+    pred = synth_pred(2000, 1, rng)
+    got = run_device(pred, 0.01, 0.7)
+    want = oracles.nms_np(pred, 0.01, 0.7)
+    assert got.shape[0] == min(300, want.shape[0])
+    np.testing.assert_allclose(
+        got[:, 4], want[: got.shape[0], 4], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_nms_agnostic_differs():
+    rng = np.random.default_rng(7)
+    pred = synth_pred(300, 4, rng)
+    per_class = run_device(pred, 0.25, 0.45)
+    agnostic = run_device(pred, 0.25, 0.45, agnostic=True)
+    want = oracles.nms_np(pred, 0.25, 0.45, agnostic=True)
+    assert agnostic.shape[0] == want.shape[0]
+    assert agnostic.shape[0] <= per_class.shape[0]
+
+
+def test_nms_empty():
+    pred = np.zeros((100, 6), np.float32)
+    dets, count = nms_mod.nms(jnp.asarray(pred), 0.25, 0.45)
+    assert int(count) == 0
+
+
+def test_nms_batched():
+    rng = np.random.default_rng(3)
+    pred = np.stack([synth_pred(128, 2, rng) for _ in range(3)])
+    dets, counts = nms_mod.nms(jnp.asarray(pred), 0.25, 0.45)
+    assert dets.shape == (3, 300, 6)
+    for b in range(3):
+        want = oracles.nms_np(pred[b], 0.25, 0.45)
+        assert int(counts[b]) == want.shape[0]

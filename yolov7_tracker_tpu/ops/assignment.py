@@ -1,0 +1,192 @@
+"""Linear assignment with ``cost_limit`` gating, on device.
+
+The reference hot loop calls ``lap.lapjv(cost, extend_cost=True,
+cost_limit=thresh)`` (C++ Jonker-Volgenant) up to 4x per frame
+(tracker/matching.py:30-41). lapjv's cost-limit construction pads the
+(n, m) problem to an (n+m, n+m) square matrix filled with ``cost_limit/2``
+(0 in the dummy-dummy block): a pair (i, j) is matched in the optimum iff
+keeping it beats routing both endpoints to dummies, i.e. C[i, j] < thresh.
+
+We solve that *same* extended square problem on device with a fully
+vectorized Jacobi **auction algorithm** (Bertsekas) under
+``lax.while_loop``:
+
+- every unassigned row bids for its best column simultaneously — one
+  (S, S) masked max-reduction per iteration, pure VPU work;
+- column conflicts resolve with a scatter-max of bids (deterministic
+  lowest-row tie-break);
+- epsilon scaling with persistent prices: each phase restores eps-CS, and
+  the final phase's perfect matching is within S*eps_final of optimal —
+  far below the cost gaps that decide a match.
+
+All shapes are static (padded slabs + masks) so the solver composes with
+jit / lax.scan: sequences run frame-after-frame on device with no host
+sync, unlike the reference's per-frame lap.lapjv round trip.
+
+A scipy-backed host implementation of the same extended problem provides
+ground truth for tests and the CPU fallback path; the C++ JV solver in
+``native/`` covers host-side evaluation tooling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = jnp.float32(-1e9)
+
+
+# ---------------------------------------------------------------------------
+# host reference (scipy) — mirrors lap.lapjv(extend_cost=True, cost_limit=t)
+# ---------------------------------------------------------------------------
+
+def linear_assignment_host(cost: np.ndarray, thresh: float):
+    """Host solve of the lapjv-with-cost-limit problem.
+
+    Returns (matches (K,2) int array, unmatched_rows, unmatched_cols) with
+    the same semantics as tracker/matching.py:30-41.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.asarray(cost, dtype=np.float64)
+    n, m = cost.shape
+    if cost.size == 0:
+        return (
+            np.empty((0, 2), dtype=int),
+            np.arange(n, dtype=int),
+            np.arange(m, dtype=int),
+        )
+    ext = np.full((n + m, n + m), thresh / 2.0, dtype=np.float64)
+    ext[n:, m:] = 0.0
+    ext[:n, :m] = cost
+    rows, cols = linear_sum_assignment(ext)
+    matches = [(r, c) for r, c in zip(rows, cols) if r < n and c < m]
+    matched_r = {r for r, _ in matches}
+    matched_c = {c for _, c in matches}
+    unmatched_rows = np.array([i for i in range(n) if i not in matched_r], dtype=int)
+    unmatched_cols = np.array([j for j in range(m) if j not in matched_c], dtype=int)
+    return np.asarray(matches, dtype=int).reshape(-1, 2), unmatched_rows, unmatched_cols
+
+
+# ---------------------------------------------------------------------------
+# device auction solver (symmetric extended matrix)
+# ---------------------------------------------------------------------------
+
+def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
+    """Max-weight perfect matching on a square weight matrix via Jacobi
+    auction with eps-scaling. Returns (row_to_col (S,), col_to_row (S,)).
+
+    eps_final trades exactness for iterations: the result is within
+    S*eps_final of the optimal total weight (worst case; in practice it is
+    exact once eps drops below the matrix's cost gaps). Association costs
+    (IoU/cosine) have gaps orders of magnitude above 2e-4; pushing eps to
+    1e-6 only buys eviction-chain price wars (~4k iterations vs ~1k).
+    """
+    s = w.shape[0]
+    row_ids = jnp.arange(s, dtype=jnp.int32)
+    scale = jnp.maximum(jnp.max(w) - jnp.min(jnp.where(w > _NEG / 2, w, jnp.max(w))), 1e-3)
+    eps_final = jnp.float32(eps_final)
+
+    def phase(carry, eps):
+        prices = carry
+        r2c = jnp.full((s,), -1, jnp.int32)
+        c2r = jnp.full((s,), -1, jnp.int32)
+
+        def cond(st):
+            _, r2c, _, it = st
+            return jnp.logical_and(jnp.any(r2c < 0), it < max_iters)
+
+        def body(st):
+            prices, r2c, c2r, it = st
+            unassigned = r2c < 0
+            values = w - prices[None, :]  # (S, S)
+            best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
+            v1 = jnp.max(values, axis=1)
+            v2 = jnp.max(
+                values.at[row_ids, best_j].set(_NEG), axis=1
+            )
+            bid = prices[best_j] + (v1 - v2) + eps
+            bid_eff = jnp.where(unassigned, bid, _NEG)
+            # per-column best bid and (lowest-index) winning row
+            col_best = jnp.full((s,), _NEG).at[best_j].max(bid_eff, mode="drop")
+            cand = unassigned & (bid_eff >= col_best[best_j])
+            winner = jnp.full((s,), s, jnp.int32).at[best_j].min(
+                jnp.where(cand, row_ids, s), mode="drop"
+            )
+            won = cand & (winner[best_j] == row_ids)
+            contested = winner < s  # columns that received a winning bid
+            # evict previous owners of contested columns
+            prev_owner = jnp.where(contested, c2r, -1)
+            evicted = jnp.zeros((s,), bool).at[
+                jnp.where(prev_owner >= 0, prev_owner, s)
+            ].set(True, mode="drop")
+            r2c = jnp.where(evicted, -1, r2c)
+            # commit winners
+            r2c = jnp.where(won, best_j, r2c)
+            c2r = jnp.where(contested, winner, c2r)
+            prices = jnp.where(contested, col_best, prices)
+            return prices, r2c, c2r, it + 1
+
+        prices, r2c, c2r, _ = jax.lax.while_loop(
+            cond, body, (prices, r2c, c2r, jnp.int32(0))
+        )
+        return prices, (r2c, c2r)
+
+    n_phases = 8
+    eps_schedule = jnp.maximum(
+        scale / jnp.power(4.0, jnp.arange(1, n_phases + 1, dtype=jnp.float32)),
+        eps_final,
+    )
+    prices0 = jnp.zeros((s,), jnp.float32)
+    _, (r2cs, c2rs) = jax.lax.scan(phase, prices0, eps_schedule)
+    return r2cs[-1], c2rs[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def masked_assignment(
+    cost: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    thresh,
+    max_iters: int = 4096,
+):
+    """Masked assignment with cost-limit gating on device.
+
+    Args:
+      cost: (N, M) float cost matrix over padded slabs.
+      row_mask: (N,) bool — valid rows (invalid rows never match).
+      col_mask: (M,) bool — valid cols.
+      thresh: scalar cost limit; pairs with cost > thresh never match.
+      max_iters: safety bound on auction iterations per phase.
+
+    Returns:
+      row_to_col: (N,) int32, matched column per row, -1 if unmatched
+        (invalid rows are -1).
+      col_to_row: (M,) int32, matched row per column, -1 if unmatched.
+    """
+    n, m = cost.shape
+    s = n + m
+    thresh = jnp.asarray(thresh, jnp.float32)
+    valid = row_mask[:, None] & col_mask[None, :]
+    # clamp over-limit costs: anything > thresh behaves identically (never
+    # matched), and clamping bounds the auction's price dynamics.
+    c = jnp.minimum(cost.astype(jnp.float32), thresh + 1.0)
+    c = jnp.where(valid, c, thresh + 1.0)
+    # extended max-weight matrix (negated extended costs)
+    w = jnp.full((s, s), -thresh / 2.0, jnp.float32)
+    w = w.at[:n, :m].set(-c)
+    w = w.at[n:, m:].set(0.0)
+    r2c_ext, c2r_ext = _auction_square(w, max_iters)
+    row_to_col = jnp.where(
+        (r2c_ext[:n] < m) & row_mask & (jnp.take(c, jnp.clip(r2c_ext[:n], 0, m - 1) + jnp.arange(n) * m) <= thresh),
+        r2c_ext[:n],
+        -1,
+    )
+    # rebuild col_to_row from row_to_col for consistency
+    col_to_row = jnp.full((m,), -1, jnp.int32).at[
+        jnp.where(row_to_col >= 0, row_to_col, m)
+    ].set(jnp.where(row_to_col >= 0, jnp.arange(n, dtype=jnp.int32), -1), mode="drop")
+    return row_to_col, col_to_row

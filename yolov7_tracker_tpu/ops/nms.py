@@ -1,0 +1,125 @@
+"""Fixed-shape class-offset NMS as a compiled XLA op.
+
+Replaces torchvision.ops.nms inside the reference's non_max_suppression
+(utils/general.py:607-695). Same semantics, TPU-native shape discipline:
+
+- candidate gate ``obj > conf`` then ``conf = obj * cls`` and a second
+  ``conf > conf_thres`` gate (general.py:616,648-658);
+- best-class-only or multi-label candidate expansion (general.py:652-658);
+- class-offset trick (boxes + cls * 4096) so one suppression pass is
+  class-aware (general.py:677-678);
+- score-ordered iterative suppression == torchvision NMS picks, truncated
+  at ``max_det`` (general.py:679-681).
+
+Instead of dynamic boolean indexing (illegal under jit) we take the top-K
+candidates by masked score with ``lax.top_k`` — exactly equivalent to the
+reference whenever #candidates <= K, and equal to its score-sorted
+``max_nms`` truncation beyond — then run an argmax suppression loop over
+the dense (K, 6) slab. Output is a fixed (max_det, 6) detection slab
+[xyxy, conf, cls] plus a valid count, ready for the tracker slab.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as boxops
+
+MAX_WH = 4096.0  # class-offset stride, reference general.py:617
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_det", "top_k", "multi_label", "agnostic"),
+)
+def nms(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    *,
+    max_det: int = 300,
+    top_k: int = 4096,
+    multi_label: bool = False,
+    agnostic: bool = False,
+):
+    """NMS over raw detector output.
+
+    Args:
+      prediction: (N, 5 + nc) — xywh, obj, per-class scores (one image), or
+        (B, N, 5 + nc) which is vmapped.
+      conf_thres, iou_thres: reference thresholds.
+      max_det: output slab size (reference 300).
+      top_k: candidate slab size (reference max_nms caps at 30000).
+      multi_label: one candidate per (box, class) over threshold.
+      agnostic: class-agnostic suppression.
+
+    Returns:
+      dets: (max_det, 6) float32 [x1, y1, x2, y2, conf, cls], zero-padded.
+      count: () int32 number of valid rows.
+    """
+    if prediction.ndim == 3:
+        return jax.vmap(
+            lambda p: nms(
+                p,
+                conf_thres,
+                iou_thres,
+                max_det=max_det,
+                top_k=top_k,
+                multi_label=multi_label,
+                agnostic=agnostic,
+            )
+        )(prediction)
+
+    nc = prediction.shape[-1] - 5
+    obj = prediction[:, 4]
+    cand = obj > conf_thres  # first gate (general.py:616)
+    box_xyxy = boxops.xywh_to_xyxy(prediction[:, :4])
+    cls_conf = prediction[:, 5:] * obj[:, None]  # conf = obj * cls
+
+    if multi_label and nc > 1:
+        # candidates are (box, class) pairs; flatten N x nc
+        n = prediction.shape[0]
+        conf = cls_conf.reshape(-1)  # (N*nc,)
+        cls_id = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (n,))
+        box_rep = jnp.repeat(box_xyxy, nc, axis=0)
+        keep = jnp.repeat(cand, nc) & (conf > conf_thres)
+    else:
+        conf = jnp.max(cls_conf, axis=1)
+        cls_id = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+        box_rep = box_xyxy
+        keep = cand & (conf > conf_thres)
+
+    score = jnp.where(keep, conf, -1.0)
+    k = min(top_k, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    sel_box = box_rep[top_idx]
+    sel_cls = cls_id[top_idx]
+    offset = jnp.where(agnostic, 0.0, sel_cls * MAX_WH)
+    off_box = sel_box + offset[:, None]
+
+    # iterative suppression: pick argmax score, kill IoU > thres neighbors
+    def cond(state):
+        _, _, scores, i = state
+        return jnp.logical_and(i < max_det, jnp.max(scores) > 0.0)
+
+    def body(state):
+        out, out_n, scores, i = state
+        j = jnp.argmax(scores)
+        row = jnp.concatenate(
+            [sel_box[j], scores[j : j + 1], sel_cls[j : j + 1]]
+        )
+        out = out.at[i].set(row)
+        ious = boxops.iou_matrix_xyxy(off_box[j : j + 1], off_box)[0]
+        scores = jnp.where(ious > iou_thres, -1.0, scores)
+        scores = scores.at[j].set(-1.0)
+        return out, out_n + 1, scores, i + 1
+
+    out0 = jnp.zeros((max_det, 6), jnp.float32)
+    scores0 = jnp.where(top_scores > 0, top_scores, -1.0)
+    out, count, _, _ = jax.lax.while_loop(
+        cond, body, (out0, jnp.int32(0), scores0, jnp.int32(0))
+    )
+    return out, count
