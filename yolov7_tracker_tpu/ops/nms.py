@@ -109,10 +109,10 @@ def nms(
         out, out_n, scores, i = state
         j = jnp.argmax(scores)
         row = jnp.concatenate(
-            [sel_box[j], scores[j : j + 1], sel_cls[j : j + 1]]
+            [sel_box[j], scores[j][None], sel_cls[j][None]]
         )
         out = out.at[i].set(row)
-        ious = boxops.iou_matrix_xyxy(off_box[j : j + 1], off_box)[0]
+        ious = boxops.iou_matrix_xyxy(sel_box[j][None] + offset[j], off_box)[0]
         scores = jnp.where(ious > iou_thres, -1.0, scores)
         scores = scores.at[j].set(-1.0)
         return out, out_n + 1, scores, i + 1
