@@ -1,0 +1,119 @@
+"""Per-sequence frame loader — TrackerLoader equivalent
+(tracker/tracker_dataloader.py:7-134).
+
+'origin' mode lists a sequence image directory; 'yolo' mode parses a
+train/test txt list and filters by sequence name (:39-53). Frames decode
+on the host (cv2) and are handed to the device as raw uint8 batches —
+the letterbox/normalize happens on device (data.letterbox).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SequenceSpec:
+    name: str
+    frame_paths: List[str]
+
+    def __len__(self):
+        return len(self.frame_paths)
+
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def discover_sequences(
+    data_root: str,
+    data_format: str = "origin",
+    split: str = "test",
+    seqs: Optional[Sequence[str]] = None,
+    ignore_seqs: Sequence[str] = (),
+    split_txt: Optional[str] = None,
+) -> List[SequenceSpec]:
+    """Find sequences like track.py:95-111.
+
+    'origin': data_root/images/<split>/<seq>/(img1/)fNNN.jpg
+    'yolo'  : parse split txt of image paths, group by sequence dir name.
+    """
+    out: List[SequenceSpec] = []
+    if data_format == "origin":
+        base = os.path.join(data_root, "images", split)
+        if not os.path.isdir(base):
+            base = os.path.join(data_root, split)
+        names = seqs if seqs else sorted(os.listdir(base))
+        for name in names:
+            if name in ignore_seqs:
+                continue
+            seq_dir = os.path.join(base, name)
+            if os.path.isdir(os.path.join(seq_dir, "img1")):
+                seq_dir = os.path.join(seq_dir, "img1")
+            frames = sorted(
+                os.path.join(seq_dir, f)
+                for f in os.listdir(seq_dir)
+                if f.lower().endswith(IMG_EXTS)
+            )
+            if frames:
+                out.append(SequenceSpec(name, frames))
+    elif data_format == "yolo":
+        assert split_txt, "'yolo' format needs the split txt path"
+        by_seq = {}
+        with open(split_txt) as f:
+            for line in f:
+                p = line.strip()
+                if not p:
+                    continue
+                seq = os.path.basename(os.path.dirname(p))
+                if seq in ignore_seqs:
+                    continue
+                if seqs and seq not in seqs:
+                    continue
+                by_seq.setdefault(seq, []).append(
+                    p if os.path.isabs(p) else os.path.join(data_root, p)
+                )
+        for name in sorted(by_seq):
+            out.append(SequenceSpec(name, sorted(by_seq[name])))
+    else:
+        raise ValueError(data_format)
+    return out
+
+
+def iter_frames(spec: SequenceSpec, batch: int = 1) -> Iterator[Tuple[np.ndarray, List[int]]]:
+    """Yield (uint8 BHWC batch, frame indices). Decoding is the only host
+    work; everything downstream is on device."""
+    import cv2
+
+    buf, idxs = [], []
+    for i, path in enumerate(spec.frame_paths):
+        img = cv2.imread(path)
+        assert img is not None, f"failed to read {path}"
+        buf.append(img)
+        idxs.append(i + 1)
+        if len(buf) == batch:
+            yield np.stack(buf), idxs
+            buf, idxs = [], []
+    if buf:
+        yield np.stack(buf), idxs
+
+
+class VideoFrames:
+    """Video-file frame source (track_demo.py:95-106 equivalent)."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self.cap = cv2.VideoCapture(path)
+        assert self.cap.isOpened(), f"cannot open {path}"
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30
+
+    def __iter__(self):
+        while True:
+            ok, frame = self.cap.read()
+            if not ok:
+                return
+            yield frame

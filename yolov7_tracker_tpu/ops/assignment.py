@@ -75,7 +75,8 @@ def linear_assignment_host(cost: np.ndarray, thresh: float):
 # device auction solver (symmetric extended matrix)
 # ---------------------------------------------------------------------------
 
-def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
+def _auction_square(w: jnp.ndarray, n: int, m: int, max_iters: int,
+                    eps_final: float = 2e-4):
     """Max-weight perfect matching on a square weight matrix via Jacobi
     auction with eps-scaling. Returns (row_to_col (S,), col_to_row (S,)).
 
@@ -91,9 +92,19 @@ def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
     eps_final = jnp.float32(eps_final)
 
     def phase(carry, eps):
-        prices = carry
-        r2c = jnp.full((s,), -1, jnp.int32)
-        c2r = jnp.full((s,), -1, jnp.int32)
+        prices, r2c, c2r = carry
+        # Selective warm start: keep pairs that already satisfy eps-CS for
+        # the new (smaller) eps, unassign the rest. Any eps-CS-consistent
+        # partial assignment is a valid auction start, and this avoids
+        # re-settling the (typically large) uncontested majority each phase.
+        values0 = w - prices[None, :]
+        v1_0 = jnp.max(values0, axis=1)
+        cur = values0[row_ids, jnp.clip(r2c, 0, s - 1)]
+        keep = (r2c >= 0) & (cur >= v1_0 - eps)
+        r2c = jnp.where(keep, r2c, -1)
+        c2r = jnp.full((s,), -1, jnp.int32).at[
+            jnp.where(keep, r2c, s)
+        ].set(jnp.where(keep, row_ids, -1), mode="drop")
 
         def cond(st):
             _, r2c, _, it = st
@@ -108,7 +119,9 @@ def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
             v2 = jnp.max(
                 values.at[row_ids, best_j].set(_NEG), axis=1
             )
-            bid = prices[best_j] + (v1 - v2) + eps
+            # cap the increment: -inf second-best (single-option rows)
+            # must not produce unbounded prices
+            bid = prices[best_j] + jnp.minimum(v1 - v2, 2.0 * scale) + eps
             bid_eff = jnp.where(unassigned, bid, _NEG)
             # per-column best bid and (lowest-index) winning row
             col_best = jnp.full((s,), _NEG).at[best_j].max(bid_eff, mode="drop")
@@ -133,7 +146,7 @@ def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
         prices, r2c, c2r, _ = jax.lax.while_loop(
             cond, body, (prices, r2c, c2r, jnp.int32(0))
         )
-        return prices, (r2c, c2r)
+        return (prices, r2c, c2r), None
 
     n_phases = 8
     eps_schedule = jnp.maximum(
@@ -141,8 +154,18 @@ def _auction_square(w: jnp.ndarray, max_iters: int, eps_final: float = 2e-4):
         eps_final,
     )
     prices0 = jnp.zeros((s,), jnp.float32)
-    _, (r2cs, c2rs) = jax.lax.scan(phase, prices0, eps_schedule)
-    return r2cs[-1], c2rs[-1]
+    # Initial perfect matching through the dummy blocks: real row i holds
+    # its own dummy column (m+i), dummy row n+j holds real column j. The
+    # phase-start CS filter then only releases rows with a genuinely
+    # attractive real pairing — on sparse association matrices most rows
+    # never bid at all.
+    idx = jnp.arange(s, dtype=jnp.int32)
+    r2c0 = jnp.where(idx < n, m + idx, idx - n)
+    c2r0 = jnp.where(idx < m, n + idx, idx - m)
+    (prices, r2c, c2r), _ = jax.lax.scan(
+        phase, (prices0, r2c0, c2r0), eps_schedule
+    )
+    return r2c, c2r
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -175,11 +198,25 @@ def masked_assignment(
     # matched), and clamping bounds the auction's price dynamics.
     c = jnp.minimum(cost.astype(jnp.float32), thresh + 1.0)
     c = jnp.where(valid, c, thresh + 1.0)
-    # extended max-weight matrix (negated extended costs)
-    w = jnp.full((s, s), -thresh / 2.0, jnp.float32)
+    # Extended max-weight matrix (negated extended costs). Dummies are
+    # interchangeable in lapjv's construction, which creates massive
+    # degeneracy (epsilon price wars); we break it losslessly by reserving
+    # dummy column m+i for real row i and dummy row n+j for real column j
+    # (-inf elsewhere), and jittering the dummy-dummy block far below any
+    # meaningful cost gap. Any optimal matching of the original extended
+    # matrix permutes into this restricted form at equal value.
+    w = jnp.full((s, s), _NEG, jnp.float32)
     w = w.at[:n, :m].set(-c)
-    w = w.at[n:, m:].set(0.0)
-    r2c_ext, c2r_ext = _auction_square(w, max_iters)
+    diag_n = jnp.arange(n)
+    diag_m = jnp.arange(m)
+    w = w.at[diag_n, m + diag_n].set(-thresh / 2.0)
+    w = w.at[n + diag_m, diag_m].set(-thresh / 2.0)
+    jitter = (
+        (jnp.arange(m, dtype=jnp.float32)[:, None] * 37.0
+         + jnp.arange(n, dtype=jnp.float32)[None, :]) % 97.0
+    ) * (1e-6 / 97.0)
+    w = w.at[n:, m:].set(-jitter)
+    r2c_ext, c2r_ext = _auction_square(w, n, m, max_iters)
     row_to_col = jnp.where(
         (r2c_ext[:n] < m) & row_mask & (jnp.take(c, jnp.clip(r2c_ext[:n], 0, m - 1) + jnp.arange(n) * m) <= thresh),
         r2c_ext[:n],

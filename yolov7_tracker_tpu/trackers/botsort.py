@@ -1,0 +1,1 @@
+"""botsort tracker — schedule lands in a later milestone this round."""

@@ -1,0 +1,1 @@
+"""deepmot tracker — schedule lands in a later milestone this round."""

@@ -1,0 +1,1 @@
+"""deepsort tracker — schedule lands in a later milestone this round."""

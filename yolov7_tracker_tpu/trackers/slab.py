@@ -1,0 +1,424 @@
+"""The track slab: fixed-size functional tracker state.
+
+The reference keeps tracks as Python object lists with imperative list
+algebra (STrack + joint/sub/remove_duplicate_stracks,
+tracker/basetrack.py:74-576) and pays a host round-trip per frame. Here
+the whole tracker state is one padded pytree of (T,)-leading arrays plus
+an occupancy mask, and every lifecycle event (activate / update /
+re_activate / mark_lost / mark_removed, basetrack.py:222-339) is a masked
+vectorized update — so a tracker step is a pure jittable function
+``(slab, det_slab) -> (slab, frame_output)`` and whole sequences run
+under ``lax.scan`` entirely on device.
+
+State encoding mirrors TrackState (basetrack.py:14-18): slots hold
+New/Tracked/Lost; Removed tracks simply free their slot (the reference's
+removed list only feeds set subtraction, which occupancy already covers).
+Track ids are assigned in detection order via a cumulative sum over the
+new-track mask, reproducing the sequential BaseTrack.next_id counter
+(basetrack.py:43-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import boxes as boxops
+from ..ops import kalman
+
+# TrackState (basetrack.py:14-18)
+NEW, TRACKED, LOST, REMOVED = 0, 1, 2, 3
+
+
+class TrackSlab(NamedTuple):
+    """Padded track state; capacity T fixed at trace time."""
+
+    mean: jnp.ndarray           # (T, 8) KF mean (format-padded)
+    cov: jnp.ndarray            # (T, 8, 8) KF covariance
+    det_tlwh: jnp.ndarray       # (T, 4) raw detection tlwh at last update
+    score: jnp.ndarray          # (T,)
+    cls: jnp.ndarray            # (T,)
+    state: jnp.ndarray          # (T,) int32 TrackState
+    occupied: jnp.ndarray       # (T,) bool — slot in use
+    is_activated: jnp.ndarray   # (T,) bool
+    track_id: jnp.ndarray       # (T,) int32
+    frame_id: jnp.ndarray       # (T,) int32 last-updated frame
+    start_frame: jnp.ndarray    # (T,) int32
+    tracklet_len: jnp.ndarray   # (T,) int32
+    time_since_update: jnp.ndarray  # (T,) int32
+    feature: jnp.ndarray        # (T, F) smoothed ReID feature (F=0 if unused)
+    feat_hist: jnp.ndarray      # (T, H, F) feature ring buffer (H=0 if unused)
+    feat_count: jnp.ndarray     # (T,) int32 features stored in ring
+    extra: jnp.ndarray          # (T, E) tracker-specific state (E=0 default)
+    next_id: jnp.ndarray        # () int32 id counter
+    frame: jnp.ndarray          # () int32 current frame number
+
+    @property
+    def capacity(self) -> int:
+        return self.score.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static tracker options (hashable — safe as a jit static arg).
+
+    Mirrors the reference CLI opts consumed by the trackers
+    (tracker/track.py:342-386): conf_thresh, iou_thresh, kalman_format,
+    track_buffer, frame_rate coupling (basetrack.py:354-356).
+    """
+
+    tracker: str = "sort"
+    kalman_format: str = "default"
+    conf_thresh: float = 0.2
+    iou_thresh: float = 0.5
+    track_buffer: int = 30
+    frame_rate: int = 30
+    capacity: int = 256          # track slab size T
+    det_capacity: int = 128      # detection slab size D
+    feature_dim: int = 0         # ReID feature dim (512 when used)
+    feature_hist: int = 0        # feature ring-buffer depth (DeepSORT: 100)
+    use_avg_of_feature: bool = True  # EMA smoothing (basetrack.py:327-329)
+    extra_dim: int = 0           # per-tracker extra state columns
+    gamma: float = 0.1           # IoU/appearance blend (bytetrack.py:13)
+    min_area: float = 150.0      # output area filter (track.py opts.min_area)
+
+    @property
+    def max_time_lost(self) -> int:
+        return int(self.frame_rate / 30.0 * self.track_buffer)
+
+
+class DetSlab(NamedTuple):
+    """Padded per-frame detections: tlbr+score+cls (+optional features)."""
+
+    tlbr: jnp.ndarray    # (D, 4)
+    score: jnp.ndarray   # (D,)
+    cls: jnp.ndarray     # (D,)
+    valid: jnp.ndarray   # (D,) bool
+    feature: jnp.ndarray  # (D, F) L2-normalized ReID features (F=0 if unused)
+
+    @property
+    def tlwh(self):
+        return boxops.tlbr_to_tlwh(self.tlbr)
+
+
+def init_slab(cfg: TrackerConfig) -> TrackSlab:
+    t = cfg.capacity
+    f = cfg.feature_dim
+    h = cfg.feature_hist
+    return TrackSlab(
+        mean=jnp.zeros((t, 8), jnp.float32),
+        cov=jnp.tile(jnp.eye(8, dtype=jnp.float32), (t, 1, 1)),
+        det_tlwh=jnp.zeros((t, 4), jnp.float32),
+        score=jnp.zeros((t,), jnp.float32),
+        cls=jnp.zeros((t,), jnp.float32),
+        state=jnp.full((t,), REMOVED, jnp.int32),
+        occupied=jnp.zeros((t,), bool),
+        is_activated=jnp.zeros((t,), bool),
+        track_id=jnp.zeros((t,), jnp.int32),
+        frame_id=jnp.zeros((t,), jnp.int32),
+        start_frame=jnp.zeros((t,), jnp.int32),
+        tracklet_len=jnp.zeros((t,), jnp.int32),
+        time_since_update=jnp.zeros((t,), jnp.int32),
+        feature=jnp.zeros((t, f), jnp.float32),
+        feat_hist=jnp.zeros((t, h, f), jnp.float32),
+        feat_count=jnp.zeros((t,), jnp.int32),
+        extra=jnp.zeros((t, cfg.extra_dim), jnp.float32),
+        next_id=jnp.int32(0),
+        frame=jnp.int32(0),
+    )
+
+
+def make_det_slab(cfg: TrackerConfig, tlbr, score, cls, valid,
+                  feature=None) -> DetSlab:
+    d = cfg.det_capacity
+    f = cfg.feature_dim
+
+    def pad(x, n, fill=0.0):
+        x = jnp.asarray(x)
+        pad_n = n - x.shape[0]
+        widths = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)[:n]
+
+    if feature is None:
+        feature = jnp.zeros((d, f), jnp.float32)
+    return DetSlab(
+        tlbr=pad(jnp.asarray(tlbr, jnp.float32), d),
+        score=pad(jnp.asarray(score, jnp.float32), d),
+        cls=pad(jnp.asarray(cls, jnp.float32), d),
+        valid=pad(jnp.asarray(valid, bool), d, False),
+        feature=pad(jnp.asarray(feature, jnp.float32), d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# masked views
+# ---------------------------------------------------------------------------
+
+def track_tlwh(slab: TrackSlab, fmt: str) -> jnp.ndarray:
+    """Current box per slot: KF-derived once initiated, else raw det tlwh
+    (STrack.tlwh, basetrack.py:183-211; mean is None only pre-activate)."""
+    if fmt == "none":  # Kalman-free trackers (C-BIoU): raw last detection
+        return slab.det_tlwh
+    kf_tlwh = kalman.tlwh_from_mean(fmt, slab.mean)
+    # every occupied slot has gone through activate() -> KF initiated
+    return jnp.where(slab.occupied[:, None], kf_tlwh, slab.det_tlwh)
+
+
+def track_tlbr(slab: TrackSlab, fmt: str) -> jnp.ndarray:
+    return boxops.tlwh_to_tlbr(track_tlwh(slab, fmt))
+
+
+def pool_mask(slab: TrackSlab) -> jnp.ndarray:
+    """strack_pool = activated Tracked + Lost (basetrack.py:400-409)."""
+    return slab.occupied & (
+        ((slab.state == TRACKED) & slab.is_activated) | (slab.state == LOST)
+    )
+
+
+def unconfirmed_mask(slab: TrackSlab) -> jnp.ndarray:
+    """Tracked but not yet activated (basetrack.py:400-406)."""
+    return slab.occupied & (slab.state == TRACKED) & ~slab.is_activated
+
+
+# ---------------------------------------------------------------------------
+# lifecycle ops (all masked)
+# ---------------------------------------------------------------------------
+
+def predict_pool(slab: TrackSlab, fmt: str,
+                 mask: Optional[jnp.ndarray] = None) -> TrackSlab:
+    """KF multi_predict over the pool + time_since_update bump
+    (STrack.multi_predict, basetrack.py:253-271). Non-Tracked pool members
+    get their trailing velocity zeroed first (:263-265)."""
+    if mask is None:
+        mask = pool_mask(slab)
+    mean = kalman.zero_stale_velocity(
+        fmt, slab.mean, slab.state == TRACKED
+    )
+    new_mean, new_cov = kalman.predict(fmt, mean, slab.cov)
+    m = mask[:, None]
+    return slab._replace(
+        mean=jnp.where(m, new_mean, slab.mean),
+        cov=jnp.where(mask[:, None, None], new_cov, slab.cov),
+        time_since_update=jnp.where(
+            mask, slab.time_since_update + 1, slab.time_since_update
+        ),
+    )
+
+
+def apply_matches(
+    slab: TrackSlab,
+    dets: DetSlab,
+    row_to_col: jnp.ndarray,
+    fmt: str,
+    cfg: TrackerConfig,
+    allow_reactivate: bool = True,
+) -> TrackSlab:
+    """Commit matched (track, det) pairs.
+
+    Tracked rows follow STrack.update (basetrack.py:296-339): KF update
+    with the det measurement, score refresh, tracklet_len += 1. Lost rows
+    follow STrack.re_activate (:273-294): same KF update, tracklet_len = 0.
+    Both set state=Tracked, is_activated=True, time_since_update=0.
+    """
+    matched = row_to_col >= 0
+    det_idx = jnp.clip(row_to_col, 0, dets.tlbr.shape[0] - 1)
+    det_tlwh = dets.tlwh[det_idx]
+    meas = kalman.measurement_from_tlwh(fmt, det_tlwh)
+    conf = dets.score[det_idx] if kalman.SPECS[fmt].nsa else None
+    new_mean, new_cov = kalman.update(fmt, slab.mean, slab.cov, meas, conf)
+
+    was_tracked = slab.state == TRACKED
+    upd = matched
+    m1, m2 = upd[:, None], upd[:, None, None]
+    new_feat = slab.feature
+    new_hist = slab.feat_hist
+    new_fc = slab.feat_count
+    if cfg.feature_dim > 0:
+        det_feat = dets.feature[det_idx]
+        has_feat = jnp.sum(jnp.abs(det_feat), axis=-1) > 0
+        fmask = (upd & has_feat)[:, None]
+        if cfg.use_avg_of_feature:
+            # EMA 0.9 + renorm (basetrack.py:327-329)
+            smooth = 0.9 * slab.feature + 0.1 * det_feat
+            smooth = smooth / (
+                jnp.linalg.norm(smooth, axis=-1, keepdims=True) + 1e-12
+            )
+            new_feat = jnp.where(fmask, smooth, slab.feature)
+        else:
+            new_feat = jnp.where(fmask, det_feat, slab.feature)
+        if cfg.feature_hist > 0:
+            # ring buffer append (budget, basetrack.py:331-332)
+            pos = slab.feat_count % cfg.feature_hist
+            appended = jax.vmap(
+                lambda hist, p, f: hist.at[p].set(f)
+            )(slab.feat_hist, pos, det_feat)
+            new_hist = jnp.where(fmask[:, :, None], appended, slab.feat_hist)
+            new_fc = jnp.where(
+                upd & has_feat, slab.feat_count + 1, slab.feat_count
+            )
+
+    return slab._replace(
+        mean=jnp.where(m1, new_mean, slab.mean),
+        cov=jnp.where(m2, new_cov, slab.cov),
+        det_tlwh=jnp.where(m1, det_tlwh, slab.det_tlwh),
+        score=jnp.where(upd, dets.score[det_idx], slab.score),
+        state=jnp.where(upd, TRACKED, slab.state),
+        is_activated=jnp.where(upd, True, slab.is_activated),
+        frame_id=jnp.where(upd, slab.frame, slab.frame_id),
+        tracklet_len=jnp.where(
+            upd, jnp.where(was_tracked, slab.tracklet_len + 1, 0),
+            slab.tracklet_len,
+        ),
+        time_since_update=jnp.where(upd, 0, slab.time_since_update),
+        feature=new_feat,
+        feat_hist=new_hist,
+        feat_count=new_fc,
+    )
+
+
+def mark_lost(slab: TrackSlab, mask: jnp.ndarray) -> TrackSlab:
+    return slab._replace(state=jnp.where(mask, LOST, slab.state))
+
+
+def mark_removed(slab: TrackSlab, mask: jnp.ndarray) -> TrackSlab:
+    """Removed slots are freed for reuse."""
+    return slab._replace(
+        state=jnp.where(mask, REMOVED, slab.state),
+        occupied=jnp.where(mask, False, slab.occupied),
+        is_activated=jnp.where(mask, False, slab.is_activated),
+    )
+
+
+def init_new_tracks(
+    slab: TrackSlab,
+    dets: DetSlab,
+    new_mask: jnp.ndarray,
+    fmt: str,
+    cfg: TrackerConfig,
+) -> TrackSlab:
+    """Activate unmatched high-score detections as new tracks
+    (STrack.activate, basetrack.py:222-245).
+
+    Ids are ``next_id + rank`` in detection order (matching the
+    reference's sequential counter); the k-th new det lands in the k-th
+    free slot. Overflow beyond free capacity is dropped.
+    """
+    d = new_mask.shape[0]
+    t = slab.capacity
+    free = ~slab.occupied
+    # rank of each new det among new dets (0-based), in det order
+    det_rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    # k-th free slot index
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank per slot
+    n_free = jnp.sum(free.astype(jnp.int32))
+    # slot_for_rank[k] = index of k-th free slot
+    slot_for_rank = jnp.full((t,), t, jnp.int32).at[
+        jnp.where(free, free_rank, t)
+    ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
+    placeable = new_mask & (det_rank < n_free)
+    target_slot = jnp.where(
+        placeable, slot_for_rank[jnp.clip(det_rank, 0, t - 1)], t
+    )
+
+    det_tlwh = dets.tlwh
+    if fmt == "none":
+        mean0 = jnp.zeros((d, 8), jnp.float32)
+        cov0 = jnp.tile(jnp.eye(8, dtype=jnp.float32), (d, 1, 1))
+    else:
+        meas = kalman.measurement_from_tlwh(fmt, det_tlwh)
+        mean0, cov0 = kalman.initiate(fmt, meas)
+    ids = slab.next_id + 1 + det_rank  # next_id() pre-increments
+
+    def scat(dst, src):
+        return dst.at[target_slot].set(src, mode="drop")
+
+    frame1 = slab.frame == 1  # is_activated only on the first frame (:239-240)
+    new_slab = slab._replace(
+        mean=scat(slab.mean, mean0),
+        cov=scat(slab.cov, cov0),
+        det_tlwh=scat(slab.det_tlwh, det_tlwh),
+        extra=scat(slab.extra, jnp.zeros((d,) + slab.extra.shape[1:], jnp.float32)),
+        score=scat(slab.score, dets.score),
+        cls=scat(slab.cls, dets.cls),
+        state=scat(slab.state, jnp.full((d,), TRACKED, jnp.int32)),
+        occupied=scat(slab.occupied, jnp.ones((d,), bool)),
+        is_activated=scat(slab.is_activated, jnp.full((d,), frame1)),
+        track_id=scat(slab.track_id, ids),
+        frame_id=scat(slab.frame_id, jnp.full((d,), slab.frame, jnp.int32)),
+        start_frame=scat(slab.start_frame, jnp.full((d,), slab.frame, jnp.int32)),
+        tracklet_len=scat(slab.tracklet_len, jnp.zeros((d,), jnp.int32)),
+        time_since_update=scat(slab.time_since_update, jnp.zeros((d,), jnp.int32)),
+        next_id=slab.next_id + jnp.sum(placeable.astype(jnp.int32)),
+    )
+    if cfg.feature_dim > 0:
+        feat = dets.feature
+        new_slab = new_slab._replace(
+            feature=scat(slab.feature, feat),
+            feat_count=scat(
+                slab.feat_count,
+                (jnp.sum(jnp.abs(feat), axis=-1) > 0).astype(jnp.int32),
+            ),
+        )
+        if cfg.feature_hist > 0:
+            hist0 = jnp.zeros((d, cfg.feature_hist, cfg.feature_dim), jnp.float32)
+            hist0 = hist0.at[:, 0, :].set(feat)
+            new_slab = new_slab._replace(feat_hist=scat(slab.feat_hist, hist0))
+    return new_slab
+
+
+def prune_lost(slab: TrackSlab, max_time_lost: int) -> TrackSlab:
+    """Remove tracks lost for longer than the buffer
+    (basetrack.py:462-466: frame_id - end_frame > max_time_lost)."""
+    stale = (
+        slab.occupied
+        & (slab.state == LOST)
+        & (slab.frame - slab.frame_id > max_time_lost)
+    )
+    return mark_removed(slab, stale)
+
+
+def remove_duplicates(slab: TrackSlab, fmt: str) -> TrackSlab:
+    """remove_duplicate_stracks (basetrack.py:563-576): tracked-vs-lost
+    pairs with IoU distance < 0.15 drop the younger member."""
+    tlbr = track_tlbr(slab, fmt)
+    tracked = slab.occupied & (slab.state == TRACKED)
+    lost = slab.occupied & (slab.state == LOST)
+    dist = 1.0 - boxops.iou_matrix(tlbr, tlbr)
+    dup = (dist < 0.15) & tracked[:, None] & lost[None, :]
+    age_t = (slab.frame_id - slab.start_frame)[:, None]
+    age_l = (slab.frame_id - slab.start_frame)[None, :]
+    # timep > timeq -> drop q (lost); else drop p (tracked)
+    drop_lost_pair = dup & (age_t > age_l)
+    drop_tracked_pair = dup & ~(age_t > age_l)
+    drop_tracked = jnp.any(drop_tracked_pair, axis=1)
+    drop_lost = jnp.any(drop_lost_pair, axis=0)
+    return mark_removed(slab, drop_tracked | drop_lost)
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame emitted tracks (fixed width = slab capacity)."""
+
+    track_id: jnp.ndarray  # (T,) int32
+    tlwh: jnp.ndarray      # (T, 4)
+    score: jnp.ndarray     # (T,)
+    cls: jnp.ndarray       # (T,)
+    valid: jnp.ndarray     # (T,) bool
+
+
+def frame_output(slab: TrackSlab, fmt: str, cfg: TrackerConfig) -> FrameOutput:
+    """Emit activated tracked tracks with the reference's min-area filter
+    (track.py:160-173)."""
+    tlwh = track_tlwh(slab, fmt)
+    valid = (
+        slab.occupied
+        & (slab.state == TRACKED)
+        & slab.is_activated
+        & (tlwh[:, 2] * tlwh[:, 3] > cfg.min_area)
+    )
+    return FrameOutput(
+        track_id=slab.track_id, tlwh=tlwh, score=slab.score,
+        cls=slab.cls, valid=valid,
+    )

@@ -1,0 +1,1 @@
+"""uavmot tracker — schedule lands in a later milestone this round."""
