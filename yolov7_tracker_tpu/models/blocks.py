@@ -1,0 +1,164 @@
+"""Flax building blocks for the YOLOv7 family (NHWC, TPU-native).
+
+Functional re-implementations of the reference block zoo subset used by
+the shipped cfgs (models/common.py): Conv(+BN+SiLU/LeakyReLU) :99-113,
+MP :30-36, SP :39-45, ReOrg :48-53, DownC :181-192, SPPCSPC :262-280,
+RepConv :463-508, ImplicitA/M :433-461. Activations stay NHWC so convs
+map straight onto the MXU; BN keeps torch defaults (eps 1e-5,
+momentum 0.1) for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 1e-5
+BN_MOM = 0.9  # flax momentum = 1 - torch momentum (0.1)
+
+
+def activation(name: str) -> Callable:
+    if name == "silu":
+        return jax.nn.silu
+    if name.startswith("leaky:"):
+        slope = float(name.split(":")[1])
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+    if name == "id":
+        return lambda x: x
+    raise ValueError(name)
+
+
+class ConvBnAct(nn.Module):
+    """Conv (no bias, pad k//2) + BatchNorm + activation."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Conv(
+            self.c2, (self.k, self.k), strides=self.s,
+            padding=self.k // 2, feature_group_count=self.g,
+            use_bias=False, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not training, epsilon=BN_EPS,
+            momentum=BN_MOM, name="bn",
+        )(x)
+        return activation(self.act)(x)
+
+
+class RepConv(nn.Module):
+    """Training-form RepVGG conv: 3x3+BN, 1x1+BN, (+identity BN), summed.
+
+    Deploy form (fused rbr_reparam) is handled by the checkpoint
+    converter, which folds fused weights back into the dense branch.
+    """
+
+    c2: int
+    s: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        dense = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
+                        use_bias=False, name="rbr_dense_conv")(x)
+        dense = nn.BatchNorm(use_running_average=not training,
+                             epsilon=BN_EPS, momentum=BN_MOM,
+                             name="rbr_dense_bn")(dense)
+        one = nn.Conv(self.c2, (1, 1), strides=self.s, padding=0,
+                      use_bias=False, name="rbr_1x1_conv")(x)
+        one = nn.BatchNorm(use_running_average=not training,
+                           epsilon=BN_EPS, momentum=BN_MOM,
+                           name="rbr_1x1_bn")(one)
+        out = dense + one
+        if c1 == self.c2 and self.s == 1:
+            ident = nn.BatchNorm(use_running_average=not training,
+                                 epsilon=BN_EPS, momentum=BN_MOM,
+                                 name="rbr_identity")(x)
+            out = out + ident
+        return activation(self.act)(out)
+
+
+def max_pool(x, k: int, s: int, pad: int):
+    return nn.max_pool(
+        x, (k, k), strides=(s, s),
+        padding=((pad, pad), (pad, pad)),
+    )
+
+
+def mp(x, k: int = 2):
+    """MaxPool k=s=2 (models/common.py:30-36)."""
+    return max_pool(x, k, k, 0)
+
+
+def sp(x, k: int = 3, s: int = 1):
+    """Same-size max pool (models/common.py:39-45)."""
+    return max_pool(x, k, s, k // 2)
+
+
+def reorg(x):
+    """Space-to-depth x4 (models/common.py:48-53), NHWC: channel order
+    matches the reference's cat([::2,::2], [1::2,::2], [::2,1::2],
+    [1::2,1::2]) with (h, w) = torch's (w?, h?) — torch comment uses
+    (b,c,w,h) but the op is symmetric in the two spatial dims."""
+    return jnp.concatenate(
+        [
+            x[:, ::2, ::2, :],
+            x[:, 1::2, ::2, :],
+            x[:, ::2, 1::2, :],
+            x[:, 1::2, 1::2, :],
+        ],
+        axis=-1,
+    )
+
+
+class DownC(nn.Module):
+    """Two-path downsample (models/common.py:181-192)."""
+
+    c2: int
+    k: int = 2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        a = ConvBnAct(c1, 1, 1, name="cv1")(x, training)
+        a = ConvBnAct(self.c2 // 2, 3, self.k, name="cv2")(a, training)
+        b = max_pool(x, self.k, self.k, 0)
+        b = ConvBnAct(self.c2 // 2, 1, 1, name="cv3")(b, training)
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class SPPCSPC(nn.Module):
+    """CSP spatial pyramid pooling (models/common.py:262-280)."""
+
+    c2: int
+    e: float = 0.5
+    k: Sequence[int] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = ConvBnAct(c_, 1, 1, name="cv1")(x, training)
+        x1 = ConvBnAct(c_, 3, 1, name="cv3")(x1, training)
+        x1 = ConvBnAct(c_, 1, 1, name="cv4")(x1, training)
+        pooled = [x1] + [sp(x1, k) for k in self.k]
+        y1 = jnp.concatenate(pooled, axis=-1)
+        y1 = ConvBnAct(c_, 1, 1, name="cv5")(y1, training)
+        y1 = ConvBnAct(c_, 3, 1, name="cv6")(y1, training)
+        y2 = ConvBnAct(c_, 1, 1, name="cv2")(x, training)
+        return ConvBnAct(self.c2, 1, 1, name="cv7")(
+            jnp.concatenate([y1, y2], axis=-1), training
+        )
+
+
+def upsample_nearest(x, factor: int):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), "nearest")

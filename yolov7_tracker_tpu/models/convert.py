@@ -1,0 +1,173 @@
+"""PyTorch checkpoint -> Flax variables converter.
+
+Maps the reference's state_dict naming (model.{i}.<block-internal>) onto
+our spec-driven Flax tree (layer{i}/... + detection-head leaves), with
+the layout changes TPU wants: conv kernels OIHW -> HWIO, implicit
+embeddings (1,C,1,1) -> (C,). Handles:
+
+- Conv (conv/bn), SPPCSPC (cv1..cv7), DownC (cv1..cv3)  [models/common.py]
+- RepConv in training form (rbr_dense/rbr_1x1/rbr_identity) and in
+  deploy/fused form (rbr_reparam), which is folded back into the dense
+  branch with identity BN so one module form serves both
+  (models/common.py:463-541, fuse_repvgg_block)
+- Detect/IDetect/IAuxDetect heads: m/m2 1x1 convs + ia/im implicits
+  (models/yolo.py:23-158)
+
+Loading a full reference .pt (a pickled nn.Module, models/experimental.py
+attempt_load) requires the reference package importable; prefer passing a
+plain state_dict (torch.save(model.state_dict())) or use
+``state_dict_from_reference_ckpt`` with a reference repo path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+from .spec import ModelSpec
+
+BN_EPS = 1e-5
+
+
+def _k(t):  # OIHW -> HWIO
+    return np.transpose(np.asarray(t, np.float32), (2, 3, 1, 0))
+
+
+def _grouped_k(t, groups: int):
+    """torch grouped conv weight (O, I/g, H, W) -> flax HWIO with
+    feature_group_count semantics (same memory layout transposed)."""
+    return _k(t)
+
+
+def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
+    """Return flax variables {'params': ..., 'batch_stats': ...}."""
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    # strip common prefixes ('model.' / 'module.')
+    def norm(k):
+        for p in ("module.", "model."):
+            if k.startswith(p):
+                k = k[len(p):]
+        return k
+
+    sd = {norm(k): v for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    head_idx = spec.layers[-1].index
+    nl = spec.nl
+
+    def put(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(val, np.float32)
+
+    def conv_bn(dst_prefix, src_prefix, layer_name):
+        put(params, (layer_name,) + dst_prefix + ("conv", "kernel"),
+            _k(sd[src_prefix + ".conv.weight"]))
+        put(params, (layer_name,) + dst_prefix + ("bn", "scale"),
+            sd[src_prefix + ".bn.weight"])
+        put(params, (layer_name,) + dst_prefix + ("bn", "bias"),
+            sd[src_prefix + ".bn.bias"])
+        put(stats, (layer_name,) + dst_prefix + ("bn", "mean"),
+            sd[src_prefix + ".bn.running_mean"])
+        put(stats, (layer_name,) + dst_prefix + ("bn", "var"),
+            sd[src_prefix + ".bn.running_var"])
+
+    for l in spec.layers:
+        i = l.index
+        name = f"layer{i}"
+        pre = f"{i}"
+        if l.kind == "Conv":
+            conv_bn((), pre, name)
+        elif l.kind == "DownC":
+            for cv in ("cv1", "cv2", "cv3"):
+                conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "SPPCSPC":
+            for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+                conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "RepConv":
+            if f"{pre}.rbr_reparam.weight" in sd:
+                # deploy-fused: fold into dense branch w/ identity BN
+                put(params, (name, "rbr_dense_conv", "kernel"),
+                    _k(sd[f"{pre}.rbr_reparam.weight"]))
+                c2 = sd[f"{pre}.rbr_reparam.bias"].shape[0]
+                put(params, (name, "rbr_dense_bn", "scale"), np.ones(c2))
+                put(params, (name, "rbr_dense_bn", "bias"),
+                    sd[f"{pre}.rbr_reparam.bias"])
+                put(stats, (name, "rbr_dense_bn", "mean"), np.zeros(c2))
+                put(stats, (name, "rbr_dense_bn", "var"),
+                    np.full(c2, 1.0 - BN_EPS))
+                c1 = sd[f"{pre}.rbr_reparam.weight"].shape[1]
+                put(params, (name, "rbr_1x1_conv", "kernel"),
+                    np.zeros((1, 1, c1, c2)))
+                put(params, (name, "rbr_1x1_bn", "scale"), np.ones(c2))
+                put(params, (name, "rbr_1x1_bn", "bias"), np.zeros(c2))
+                put(stats, (name, "rbr_1x1_bn", "mean"), np.zeros(c2))
+                put(stats, (name, "rbr_1x1_bn", "var"),
+                    np.full(c2, 1.0 - BN_EPS))
+            else:
+                put(params, (name, "rbr_dense_conv", "kernel"),
+                    _k(sd[f"{pre}.rbr_dense.0.weight"]))
+                for tgt, src in (("scale", "weight"), ("bias", "bias")):
+                    put(params, (name, "rbr_dense_bn", tgt),
+                        sd[f"{pre}.rbr_dense.1.{src}"])
+                put(stats, (name, "rbr_dense_bn", "mean"),
+                    sd[f"{pre}.rbr_dense.1.running_mean"])
+                put(stats, (name, "rbr_dense_bn", "var"),
+                    sd[f"{pre}.rbr_dense.1.running_var"])
+                put(params, (name, "rbr_1x1_conv", "kernel"),
+                    _k(sd[f"{pre}.rbr_1x1.0.weight"]))
+                for tgt, src in (("scale", "weight"), ("bias", "bias")):
+                    put(params, (name, "rbr_1x1_bn", tgt),
+                        sd[f"{pre}.rbr_1x1.1.{src}"])
+                put(stats, (name, "rbr_1x1_bn", "mean"),
+                    sd[f"{pre}.rbr_1x1.1.running_mean"])
+                put(stats, (name, "rbr_1x1_bn", "var"),
+                    sd[f"{pre}.rbr_1x1.1.running_var"])
+                if f"{pre}.rbr_identity.weight" in sd:
+                    put(params, (name, "rbr_identity", "scale"),
+                        sd[f"{pre}.rbr_identity.weight"])
+                    put(params, (name, "rbr_identity", "bias"),
+                        sd[f"{pre}.rbr_identity.bias"])
+                    put(stats, (name, "rbr_identity", "mean"),
+                        sd[f"{pre}.rbr_identity.running_mean"])
+                    put(stats, (name, "rbr_identity", "var"),
+                        sd[f"{pre}.rbr_identity.running_var"])
+        elif l.kind in ("Detect", "IDetect", "IAuxDetect"):
+            n_heads = len(spec.head_from)
+            for hi in range(n_heads):
+                aux = hi >= nl
+                src = f"{head_idx}.{'m2' if aux else 'm'}.{hi % nl}"
+                dst = f"head_m{('2' if aux else '')}_{hi % nl}"
+                put(params, (dst, "kernel"), _k(sd[f"{src}.weight"]))
+                put(params, (dst, "bias"), sd[f"{src}.bias"])
+            if l.kind in ("IDetect", "IAuxDetect"):
+                for hi in range(nl):
+                    put(params, (f"head_ia_{hi}", "implicit"),
+                        sd[f"{head_idx}.ia.{hi}.implicit"].reshape(-1))
+                    put(params, (f"head_im_{hi}", "implicit"),
+                        sd[f"{head_idx}.im.{hi}.implicit"].reshape(-1))
+    import jax.numpy as jnp
+    import jax
+
+    params = jax.tree.map(jnp.asarray, params)
+    stats = jax.tree.map(jnp.asarray, stats)
+    return {"params": params, "batch_stats": stats}
+
+
+def state_dict_from_reference_ckpt(path: str, reference_repo: str):
+    """Unpickle a reference .pt (attempt_load-style dict) by making the
+    reference package importable, and return its fp32 state_dict."""
+    import sys
+
+    import torch
+
+    if reference_repo not in sys.path:
+        sys.path.insert(0, reference_repo)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    model = model.float()
+    return model.state_dict()

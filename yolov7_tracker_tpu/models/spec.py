@@ -1,0 +1,220 @@
+"""Model topology spec + reference-yaml-DSL parser.
+
+The reference encodes every model as a yaml list of
+``[from, number, module, args]`` rows interpreted by parse_model
+(models/yolo.py:443-520). We keep *compatibility* with that format (a
+user's cfg yaml loads unchanged) but normalize it into a typed
+``ModelSpec`` that records, per layer: resolved input indices, module
+kind, static arguments, output channels and spatial stride — so the Flax
+builder and the checkpoint converter are driven by plain data and the
+head strides are known analytically (no dummy forward needed, unlike
+models/yolo.py:260-294).
+
+Supported module kinds cover every cfg shipped by the reference's
+training/deploy zoo (Conv, MP, SP, SPPCSPC, RepConv, ReOrg, DownC,
+Concat, nn.Upsample, Detect, IDetect, IAuxDetect).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+SUPPORTED = {
+    "Conv", "MP", "SP", "SPPCSPC", "RepConv", "ReOrg", "DownC", "Concat",
+    "Upsample", "Detect", "IDetect", "IAuxDetect",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    index: int
+    kind: str
+    frm: Tuple[int, ...]      # absolute input layer indices (-1 = image)
+    args: Tuple[Any, ...]     # normalized static args (kind-specific)
+    c_out: int
+    scale: int                # spatial downscale factor vs input image
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    nc: int
+    layers: Tuple[LayerSpec, ...]
+    anchors: Tuple[Tuple[float, ...], ...]   # per level, flat (w,h) pairs
+    head_kind: str                           # Detect / IDetect / IAuxDetect
+    head_from: Tuple[int, ...]               # head input layer indices
+    strides: Tuple[int, ...]                 # per detection level
+    save: Tuple[int, ...]                    # layer outputs needed later
+
+    @property
+    def na(self) -> int:
+        return len(self.anchors[0]) // 2
+
+    @property
+    def nl(self) -> int:
+        return len(self.strides)
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5
+
+    def anchors_per_level(self):
+        """(nl, na, 2) anchor sizes in pixels."""
+        import numpy as np
+
+        return np.asarray(self.anchors, np.float32).reshape(self.nl, self.na, 2)
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+_ACT_RE = re.compile(r"nn\.LeakyReLU\(\s*([0-9.]+)\s*\)")
+
+
+def _parse_act(a: Any) -> str:
+    """Map the yaml's activation token to a name ('silu'/'leaky:<s>'/'id')."""
+    if a is True or a is None:
+        return "silu"
+    if isinstance(a, str):
+        m = _ACT_RE.fullmatch(a.strip())
+        if m:
+            return f"leaky:{m.group(1)}"
+        if a.strip() in ("nn.SiLU()", "True"):
+            return "silu"
+        if a.strip() in ("nn.Identity()", "False"):
+            return "id"
+        raise ValueError(f"unsupported activation {a!r}")
+    if a is False:
+        return "id"
+    raise ValueError(f"unsupported activation {a!r}")
+
+
+def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
+                   nc: Optional[int] = None,
+                   anchors: Optional[Sequence] = None) -> ModelSpec:
+    """Normalize a reference-format cfg dict into a ModelSpec.
+
+    Channel/depth propagation mirrors parse_model (models/yolo.py:443-520):
+    width_multiple rounds channels to /8; Concat sums inputs; ReOrg
+    quadruples; detection heads collect their input channel list.
+    """
+    nc = nc if nc is not None else cfg["nc"]
+    gd = cfg.get("depth_multiple", 1.0)
+    gw = cfg.get("width_multiple", 1.0)
+    anchors = anchors if anchors is not None else cfg["anchors"]
+    na = len(anchors[0]) // 2
+    no = na * (nc + 5)
+
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    layers: List[LayerSpec] = []
+    ch: List[int] = []       # output channels per layer
+    scales: List[int] = []   # spatial scale per layer
+    save: set = set()
+    head = None
+
+    for i, (f, n, m, args) in enumerate(rows):
+        m = m.strip() if isinstance(m, str) else m
+        kind = {"nn.Upsample": "Upsample"}.get(m, m)
+        if kind not in SUPPORTED:
+            raise NotImplementedError(
+                f"layer {i}: module {m!r} not supported yet"
+            )
+        frm = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        absfrm = tuple(x if x >= 0 else i + x for x in frm)
+        in_ch = ch[absfrm[0]] if i > 0 else 3
+        in_scale = scales[absfrm[0]] if i > 0 else 1
+        n = max(round(n * gd), 1) if n > 1 else n
+        norm_args: Tuple[Any, ...]
+
+        if kind == "Conv":
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            k = args[1] if len(args) > 1 else 1
+            s = args[2] if len(args) > 2 else 1
+            g = args[4] if len(args) > 4 else 1
+            act = _parse_act(args[5]) if len(args) > 5 else "silu"
+            norm_args = (k, s, g, act)
+            out_ch, out_scale = c2, in_scale * s
+        elif kind == "RepConv":
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            k = args[1] if len(args) > 1 else 3
+            s = args[2] if len(args) > 2 else 1
+            norm_args = (k, s)
+            out_ch, out_scale = c2, in_scale * s
+        elif kind == "DownC":
+            c2 = make_divisible(args[0] * gw, 8)
+            kk = args[1] if len(args) > 1 else 2
+            norm_args = (kk,)
+            out_ch, out_scale = c2, in_scale * kk
+        elif kind == "SPPCSPC":
+            c2 = make_divisible(args[0] * gw, 8)
+            norm_args = ()
+            out_ch, out_scale = c2, in_scale
+        elif kind == "MP":
+            k = args[0] if args else 2
+            norm_args = (k,)
+            out_ch, out_scale = in_ch, in_scale * k
+        elif kind == "SP":
+            k = args[0] if args else 3
+            s = args[1] if len(args) > 1 else 1
+            norm_args = (k, s)
+            out_ch, out_scale = in_ch, in_scale * s
+        elif kind == "ReOrg":
+            norm_args = ()
+            out_ch, out_scale = in_ch * 4, in_scale * 2
+        elif kind == "Concat":
+            norm_args = ()
+            out_ch = sum(ch[x] for x in absfrm)
+            out_scale = in_scale
+        elif kind == "Upsample":
+            # yaml form: [None, 2, 'nearest']
+            factor = args[1]
+            norm_args = (factor,)
+            out_ch, out_scale = in_ch, in_scale // factor
+        elif kind in ("Detect", "IDetect", "IAuxDetect"):
+            head = (kind, absfrm, i)
+            norm_args = ()
+            out_ch, out_scale = 0, in_scale
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+        layers.append(
+            LayerSpec(i, kind, absfrm, norm_args, out_ch, out_scale)
+        )
+        for x in absfrm:
+            if x != i - 1 and x >= 0:
+                save.add(x)
+        ch.append(out_ch)
+        scales.append(out_scale)
+
+    assert head is not None, "cfg has no detection head"
+    head_kind, head_from, head_idx = head
+    nl = len(anchors)
+    lead_from = head_from[:nl]
+    strides = tuple(scales[x] for x in lead_from)
+    return ModelSpec(
+        name=name,
+        nc=nc,
+        layers=tuple(layers),
+        anchors=tuple(tuple(a) for a in anchors),
+        head_kind=head_kind,
+        head_from=head_from,
+        strides=strides,
+        save=tuple(sorted(save)),
+    )
+
+
+def load_yaml_file(path: str, name: Optional[str] = None,
+                   nc: Optional[int] = None) -> ModelSpec:
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    return parse_yaml_cfg(cfg, name or path, nc=nc)

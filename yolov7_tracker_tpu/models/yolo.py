@@ -1,0 +1,209 @@
+"""YOLOv7 in Flax: spec-driven DAG + detection heads.
+
+Replaces the reference Model (models/yolo.py:236-520): the topology DAG
+replays saved intermediates exactly like forward_once (:321-351), the
+heads implement the Detect / IDetect / IAuxDetect decode (:23-158):
+
+    xy = (2*sigmoid - 0.5 + grid) * stride
+    wh = (2*sigmoid)^2 * anchor
+
+All activations are NHWC; raw head outputs use (B, ny, nx, na, no) so
+the flattened prediction order differs from torch's (na, ny, nx) — NMS
+and loss are order-independent.
+
+Everything is static: strides come from the spec (no dummy forward) and
+one jit of apply() compiles the whole detector into a single XLA graph.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from . import blocks
+from .spec import LayerSpec, ModelSpec
+
+
+class YoloV7(nn.Module):
+    spec: ModelSpec
+
+    def setup(self):
+        mods = {}
+        for l in self.spec.layers:
+            if l.kind == "Conv":
+                k, s, g, act = l.args
+                mods[str(l.index)] = blocks.ConvBnAct(
+                    l.c_out, k, s, g, act, name=f"layer{l.index}"
+                )
+            elif l.kind == "RepConv":
+                _, s = l.args
+                mods[str(l.index)] = blocks.RepConv(
+                    l.c_out, s, name=f"layer{l.index}"
+                )
+            elif l.kind == "DownC":
+                mods[str(l.index)] = blocks.DownC(
+                    l.c_out, l.args[0], name=f"layer{l.index}"
+                )
+            elif l.kind == "SPPCSPC":
+                mods[str(l.index)] = blocks.SPPCSPC(
+                    l.c_out, name=f"layer{l.index}"
+                )
+        self._mods = mods
+        spec = self.spec
+        head_idx = spec.layers[-1].index
+        nl, na, no = spec.nl, spec.na, spec.no
+        n_heads = len(spec.head_from)
+        self._head_convs = [
+            nn.Conv(na * no, (1, 1), use_bias=True,
+                    name=f"head_m{('2' if i >= nl else '')}_{i % nl}")
+            for i in range(n_heads)
+        ]
+        if spec.head_kind in ("IDetect", "IAuxDetect"):
+            self._ia = [
+                ImplicitA(name=f"head_ia_{i}") for i in range(nl)
+            ]
+            self._im = [
+                ImplicitM(name=f"head_im_{i}") for i in range(nl)
+            ]
+
+    def __call__(self, x, training: bool = False):
+        """x: (B, H, W, 3) float in [0, 1].
+
+        Returns:
+          training: list of nl (or 2*nl for IAuxDetect) raw head tensors
+            (B, ny, nx, na, no);
+          inference: (decoded (B, N, no), list of nl raw head tensors).
+        """
+        spec = self.spec
+        saved: Dict[int, Any] = {}
+        y = x
+        head_inputs: List[Any] = []
+        for l in spec.layers:
+            if l.kind in ("Detect", "IDetect", "IAuxDetect"):
+                head_inputs = [
+                    saved[i] if i in saved else y for i in l.frm
+                ]
+                break
+            inp = saved[l.frm[0]] if l.frm[0] != l.index - 1 else y
+            if l.index == 0:
+                inp = x
+            if l.kind in ("Conv", "RepConv", "DownC", "SPPCSPC"):
+                y = self._mods[str(l.index)](inp, training)
+            elif l.kind == "MP":
+                y = blocks.mp(inp, l.args[0])
+            elif l.kind == "SP":
+                y = blocks.sp(inp, *l.args)
+            elif l.kind == "ReOrg":
+                y = blocks.reorg(inp)
+            elif l.kind == "Upsample":
+                y = blocks.upsample_nearest(inp, l.args[0])
+            elif l.kind == "Concat":
+                parts = [
+                    saved[i] if i in saved else y for i in l.frm
+                ]
+                y = jnp.concatenate(parts, axis=-1)
+            else:  # pragma: no cover
+                raise AssertionError(l.kind)
+            if l.index in spec.save:
+                saved[l.index] = y
+        return self._detect(head_inputs, training)
+
+    def _detect(self, head_inputs, training: bool):
+        spec = self.spec
+        nl, na, no = spec.nl, spec.na, spec.no
+        anchors = jnp.asarray(spec.anchors_per_level())  # (nl, na, 2) px
+        raw: List[Any] = []
+        decoded: List[Any] = []
+        for i, feat in enumerate(head_inputs):
+            lead = i < nl
+            if lead and spec.head_kind in ("IDetect", "IAuxDetect"):
+                feat = self._ia[i](feat)
+            p = self._head_convs[i](feat)
+            if lead and spec.head_kind in ("IDetect", "IAuxDetect"):
+                p = self._im[i](p)
+            b, ny, nx, _ = p.shape
+            p = p.reshape(b, ny, nx, na, no)
+            raw.append(p)
+            if not training and lead:
+                stride = float(spec.strides[i])
+                gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+                gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+                grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
+                y = jax.nn.sigmoid(p)
+                xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+                wh = (y[..., 2:4] * 2.0) ** 2 * anchors[i]
+                out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+                decoded.append(out.reshape(b, ny * nx * na, no))
+        if training:
+            return raw
+        return jnp.concatenate(decoded, axis=1), raw[:nl]
+
+
+class ImplicitA(nn.Module):
+    """Learned additive embedding (models/common.py:433-443)."""
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda key, c: 0.02 * jax.random.normal(key, (c,)),
+            x.shape[-1],
+        )
+        return x + imp
+
+
+class ImplicitM(nn.Module):
+    """Learned multiplicative embedding (models/common.py:446-457)."""
+
+    @nn.compact
+    def __call__(self, x):
+        imp = self.param(
+            "implicit",
+            lambda key, c: 1.0 + 0.02 * jax.random.normal(key, (c,)),
+            x.shape[-1],
+        )
+        return x * imp
+
+
+def init_head_biases(params, spec: ModelSpec, cf=None):
+    """Detection-head bias init (models/yolo.py:353-368): obj bias
+    log(8 / (640/stride)^2), cls bias log(0.6 / (nc - 0.99))."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    nl, na, nc = spec.nl, spec.na, spec.nc
+    n_heads = len(spec.head_from)
+    for i in range(n_heads):
+        stride = float(spec.strides[i % nl])
+        name = f"head_m{('2' if i >= nl else '')}_{i % nl}"
+        b = np.asarray(params["params"][name]["bias"], np.float64)
+        b = b.reshape(na, spec.no).copy()
+        b[:, 4] += math.log(8.0 / (640.0 / stride) ** 2)
+        if cf is None:
+            b[:, 5:] += math.log(0.6 / (nc - 0.99))
+        else:
+            b[:, 5:] += np.log(cf / cf.sum())
+        params["params"][name]["bias"] = jnp.asarray(
+            b.reshape(-1), jnp.float32
+        )
+    return params
+
+
+def build_model(spec: ModelSpec, rng: Optional[jax.Array] = None,
+                img_size: int = 256):
+    """Init a YoloV7 + variables; returns (module, variables)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    model = YoloV7(spec)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, training=False)
+    variables = {
+        "params": init_head_biases(
+            {"params": variables["params"]}, spec
+        )["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    return model, variables

@@ -1,0 +1,261 @@
+"""Programmatic YOLOv7-family topologies.
+
+The reference ships architectures as yaml row lists (cfg/training/*).
+Here the same architectures are expressed as small Python builders over
+the row grammar that ``spec.parse_yaml_cfg`` consumes — E-ELAN blocks,
+MP-conv downsample pairs and FPN/PAN stages become loops instead of
+hundreds of copied rows. Users can still load their own reference-format
+yaml via spec.load_yaml_file; this module is the built-in zoo
+(yolov7-tiny, yolov7, yolov7x, yolov7-w6 — cited against
+cfg/training/yolov7-tiny.yaml, yolov7.yaml, yolov7x.yaml,
+yolov7-w6.yaml).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .spec import ModelSpec, parse_yaml_cfg
+
+LEAKY = "nn.LeakyReLU(0.1)"
+
+# anchor sets (cfg/training/*.yaml headers)
+ANCHORS_P5_TINY = [
+    [10, 13, 16, 30, 33, 23],
+    [30, 61, 62, 45, 59, 119],
+    [116, 90, 156, 198, 373, 326],
+]
+ANCHORS_P5 = [
+    [12, 16, 19, 36, 40, 28],
+    [36, 75, 76, 55, 72, 146],
+    [142, 110, 192, 243, 459, 401],
+]
+ANCHORS_P6 = [
+    [19, 27, 44, 40, 38, 94],
+    [96, 68, 86, 152, 180, 137],
+    [140, 301, 303, 264, 238, 542],
+    [436, 615, 739, 380, 925, 792],
+]
+
+
+class Rows:
+    """Row-list builder with current-index bookkeeping."""
+
+    def __init__(self):
+        self.rows: List[list] = []
+
+    @property
+    def i(self) -> int:
+        return len(self.rows) - 1
+
+    def add(self, frm, kind, args):
+        self.rows.append([frm, 1, kind, list(args)])
+        return self.i
+
+    def conv(self, c, k=1, s=1, frm=-1, act=None):
+        a = [c, k, s] if act is None else [c, k, s, None, 1, act]
+        return self.add(frm, "Conv", a)
+
+    def concat(self, frm):
+        return self.add(list(frm), "Concat", [1])
+
+    def up(self):
+        return self.add(-1, "nn.Upsample", [None, 2, "nearest"])
+
+
+def _tiny_elan(r: Rows, c: int, c_out: int):
+    """tiny E-ELAN: two 1x1 branches + two chained 3x3, concat, fuse
+    (cfg/training/yolov7-tiny.yaml rows 2-7 pattern)."""
+    r.conv(c, 1, act=LEAKY)
+    r.conv(c, 1, frm=-2, act=LEAKY)
+    r.conv(c, 3, act=LEAKY)
+    r.conv(c, 3, act=LEAKY)
+    r.concat([-1, -2, -3, -4])
+    return r.conv(c_out, 1, act=LEAKY)
+
+
+def yolov7_tiny_rows():
+    r = Rows()
+    r.conv(32, 3, 2, act=LEAKY)          # 0 P1/2
+    r.conv(64, 3, 2, act=LEAKY)          # 1 P2/4
+    _tiny_elan(r, 32, 64)                # ..7
+    p3_elans = []
+    for c in (64, 128, 256):             # P3/8, P4/16, P5/32
+        r.add(-1, "MP", [])
+        p3_elans.append(_tiny_elan(r, c, c * 2))
+    p3, p4, p5 = p3_elans
+    # SPP-CSP-lite head neck (rows 29-37)
+    r.conv(256, 1, act=LEAKY)
+    r.conv(256, 1, frm=-2, act=LEAKY)
+    r.add(-1, "SP", [5])
+    r.add(-2, "SP", [9])
+    r.add(-3, "SP", [13])
+    r.concat([-1, -2, -3, -4])
+    r.conv(256, 1, act=LEAKY)
+    r.concat([-1, -7])
+    spp = r.conv(256, 1, act=LEAKY)      # 37
+    # FPN up to P4
+    r.conv(128, 1, act=LEAKY)
+    r.up()
+    r.conv(128, 1, frm=p4, act=LEAKY)
+    r.concat([-1, -2])
+    f_p4 = _tiny_elan(r, 64, 128)        # 47
+    # FPN up to P3
+    r.conv(64, 1, act=LEAKY)
+    r.up()
+    r.conv(64, 1, frm=p3, act=LEAKY)
+    r.concat([-1, -2])
+    out_p3 = _tiny_elan(r, 32, 64)       # 57
+    # PAN down
+    r.conv(128, 3, 2, act=LEAKY)
+    r.concat([-1, f_p4])
+    out_p4 = _tiny_elan(r, 64, 128)      # 65
+    r.conv(256, 3, 2, act=LEAKY)
+    r.concat([-1, spp])
+    out_p5 = _tiny_elan(r, 128, 256)     # 73
+    h3 = r.conv(128, 3, 1, frm=out_p3, act=LEAKY)
+    h4 = r.conv(256, 3, 1, frm=out_p4, act=LEAKY)
+    h5 = r.conv(512, 3, 1, frm=out_p5, act=LEAKY)
+    r.add([h3, h4, h5], "IDetect", ["nc", "anchors"])
+    return r.rows
+
+
+def _elan(r: Rows, mid: int, inner: int, out: int, taps, n_inner=4):
+    """standard E-ELAN: 2 branch 1x1s + chain of 3x3s, tap concat, fuse."""
+    r.conv(mid, 1)
+    r.conv(mid, 1, frm=-2)
+    for _ in range(n_inner):
+        r.conv(inner, 3)
+    r.concat(list(taps))
+    return r.conv(out, 1)
+
+
+def _mp_down(r: Rows, c: int, extra_tap: Optional[int] = None):
+    """MP + strided-conv two-path downsample (yolov7.yaml rows 12-16)."""
+    r.add(-1, "MP", [])
+    r.conv(c, 1)
+    r.conv(c, 1, frm=-3)
+    r.conv(c, 3, 2)
+    taps = [-1, -3] if extra_tap is None else [-1, -3, extra_tap]
+    return r.concat(taps)
+
+
+def yolov7_rows():
+    r = Rows()
+    r.conv(32, 3, 1)                     # 0
+    r.conv(64, 3, 2)                     # 1 P1/2
+    r.conv(64, 3, 1)
+    r.conv(128, 3, 2)                    # 3 P2/4
+    _elan(r, 64, 64, 256, [-1, -3, -5, -6])          # 11
+    _mp_down(r, 128)
+    p3 = _elan(r, 128, 128, 512, [-1, -3, -5, -6])   # 24
+    _mp_down(r, 256)
+    p4 = _elan(r, 256, 256, 1024, [-1, -3, -5, -6])  # 37
+    _mp_down(r, 512)
+    _elan(r, 256, 256, 1024, [-1, -3, -5, -6])       # 50
+    spp = r.add(-1, "SPPCSPC", [512])                # 51
+    r.conv(256, 1)
+    r.up()
+    r.conv(256, 1, frm=p4)
+    r.concat([-1, -2])
+    f_p4 = _elan(r, 256, 128, 256, [-1, -2, -3, -4, -5, -6])  # 63
+    r.conv(128, 1)
+    r.up()
+    r.conv(128, 1, frm=p3)
+    r.concat([-1, -2])
+    out_p3 = _elan(r, 128, 64, 128, [-1, -2, -3, -4, -5, -6])  # 75
+    _mp_down(r, 128, extra_tap=f_p4)
+    out_p4 = _elan(r, 256, 128, 256, [-1, -2, -3, -4, -5, -6])  # 88
+    _mp_down(r, 256, extra_tap=spp)
+    out_p5 = _elan(r, 512, 256, 512, [-1, -2, -3, -4, -5, -6])  # 101
+    h3 = r.add(out_p3, "RepConv", [256, 3, 1])
+    h4 = r.add(out_p4, "RepConv", [512, 3, 1])
+    h5 = r.add(out_p5, "RepConv", [1024, 3, 1])
+    r.add([h3, h4, h5], "IDetect", ["nc", "anchors"])
+    return r.rows
+
+
+def _w6_elan(r: Rows, mid: int, out: int, taps):
+    r.conv(mid, 1)
+    r.conv(mid, 1, frm=-2)
+    for _ in range(4):
+        r.conv(mid, 3)
+    r.concat(list(taps))
+    return r.conv(out, 1)
+
+
+def _w6_head_elan(r: Rows, mid: int, out: int):
+    r.conv(mid, 1)
+    r.conv(mid, 1, frm=-2)
+    for _ in range(4):
+        r.conv(mid // 2, 3)
+    r.concat([-1, -2, -3, -4, -5, -6])
+    return r.conv(out, 1)
+
+
+def yolov7_w6_rows():
+    r = Rows()
+    r.add(-1, "ReOrg", [])               # 0
+    r.conv(64, 3, 1)                     # 1 P1/2
+    widths = [(128, 64, 128), (256, 128, 256), (512, 256, 512),
+              (768, 384, 768), (1024, 512, 1024)]
+    stage_out = []
+    for down_c, mid, out in widths:
+        r.conv(down_c, 3, 2)
+        stage_out.append(_w6_elan(r, mid, out, [-1, -3, -5, -6]))
+    _, p3, p4, p5, _ = stage_out        # 10, 19, 28, 37, 46
+    spp = r.add(-1, "SPPCSPC", [512])    # 47
+    # FPN: P6->P5->P4->P3
+    fpn_out = [spp]
+    for route, mid in ((p5, 384), (p4, 256), (p3, 128)):
+        r.conv(mid, 1)
+        r.up()
+        r.conv(mid, 1, frm=route)
+        r.concat([-1, -2])
+        fpn_out.append(_w6_head_elan(r, mid, mid))
+    spp, f5, f4, out_p3 = fpn_out        # 47, 59, 71, 83
+    # PAN back down
+    pan = [out_p3]
+    for route, c in ((f4, 256), (f5, 384), (spp, 512)):
+        r.conv(c, 3, 2)
+        r.concat([-1, route])
+        pan.append(_w6_head_elan(r, c, c))
+    out_p3, out_p4, out_p5, out_p6 = pan  # 83, 93, 103, 113
+    h = [
+        r.conv(256, 3, 1, frm=out_p3),
+        r.conv(512, 3, 1, frm=out_p4),
+        r.conv(768, 3, 1, frm=out_p5),
+        r.conv(1024, 3, 1, frm=out_p6),
+        # aux heads (training only)
+        r.conv(320, 3, 1, frm=out_p3),
+        r.conv(640, 3, 1, frm=f4),
+        r.conv(960, 3, 1, frm=f5),
+        r.conv(1280, 3, 1, frm=spp),
+    ]
+    r.add(h, "IAuxDetect", ["nc", "anchors"])
+    return r.rows
+
+
+_ZOO = {
+    "yolov7-tiny": (yolov7_tiny_rows, ANCHORS_P5_TINY, 1.0, 1.0),
+    "yolov7": (yolov7_rows, ANCHORS_P5, 1.0, 1.0),
+    "yolov7-w6": (yolov7_w6_rows, ANCHORS_P6, 1.0, 1.0),
+}
+
+
+def get_spec(name: str, nc: int = 80) -> ModelSpec:
+    if name not in _ZOO:
+        raise KeyError(f"unknown model {name!r}; have {sorted(_ZOO)}")
+    rows_fn, anchors, gd, gw = _ZOO[name]
+    rows = rows_fn()
+    # split rows into backbone/head shape for the parser (the split point
+    # is cosmetic; parse concatenates them anyway)
+    cfg = {
+        "nc": nc,
+        "depth_multiple": gd,
+        "width_multiple": gw,
+        "anchors": anchors,
+        "backbone": rows,
+        "head": [],
+    }
+    return parse_yaml_cfg(cfg, name=name, nc=nc)
