@@ -1,0 +1,158 @@
+"""Data-parallel training step (pjit over the mesh).
+
+Replaces the reference train loop's device story (DDP wrap train.py:
+277-280, AMP autocast/GradScaler :300,361-375, EMA :200, loss scaled by
+world size :364-365): here the batch is sharded over the mesh's data
+axis, parameters/EMA replicate, and the gradient all-reduce is the psum
+XLA derives from the shardings. bf16 activations replace AMP (TPUs need
+no loss scaling); the optimizer runs in f32.
+
+Optimizer parity (train.py:115-196): SGD + Nesterov momentum, weight
+decay applied ONLY to conv/dense kernels (pg1) — biases, BN params and
+implicit embeddings are decay-free (pg0/pg2) — with the nominal-batch-64
+decay scaling and one-cycle cosine LR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import yolo
+from ..models.spec import ModelSpec
+from ..train.loss import Hyp, compute_loss_ota
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    lr0: float = 0.01
+    lrf: float = 0.1            # final OneCycle fraction (hyp['lrf'])
+    momentum: float = 0.937
+    weight_decay: float = 0.0005
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    epochs: int = 300
+    steps_per_epoch: int = 100
+    nominal_batch: int = 64
+    batch_size: int = 16
+    ema_decay: float = 0.9999
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+def one_cycle_lr(cfg: OptConfig):
+    """lf(x) = (1+cos(x*pi/epochs))/2 * (1-lrf) + lrf (train.py:190-196),
+    stepped per-epoch in the reference; we interpolate per step."""
+
+    def schedule(step):
+        x = step / cfg.steps_per_epoch
+        lf = (1 + jnp.cos(x * math.pi / cfg.epochs)) / 2 * (1 - cfg.lrf) + cfg.lrf
+        warm = jnp.clip(
+            step / jnp.maximum(cfg.warmup_epochs * cfg.steps_per_epoch, 1), 0, 1
+        )
+        return cfg.lr0 * lf * jnp.where(warm < 1.0, warm, 1.0)
+
+    return schedule
+
+
+def _decay_mask(params):
+    """True for conv/dense kernels (pg1, train.py:115-160); biases, BN
+    scales and implicit embeddings stay decay-free."""
+
+    def mask_fn(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return names[-1] == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(cfg: OptConfig):
+    # decay scaled like the reference: wd *= batch*accumulate/nbs
+    wd = cfg.weight_decay * cfg.batch_size * max(
+        round(cfg.nominal_batch / cfg.batch_size), 1
+    ) / cfg.nominal_batch
+    schedule = one_cycle_lr(cfg)
+    return optax.chain(
+        optax.add_decayed_weights(wd, mask=_decay_mask),
+        optax.sgd(
+            learning_rate=schedule, momentum=cfg.momentum, nesterov=True
+        ),
+    )
+
+
+def make_train_state(spec: ModelSpec, img_size: int = 640,
+                     rng: Optional[jax.Array] = None,
+                     opt_cfg: OptConfig = OptConfig()) -> TrainState:
+    model, variables = yolo.build_model(spec, rng=rng, img_size=img_size)
+    tx = make_optimizer(opt_cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        ema_params=variables["params"],
+        step=jnp.int32(0),
+    )
+
+
+def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
+                    hyp: Hyp = Hyp(), opt_cfg: OptConfig = OptConfig(),
+                    compute_dtype: str = "float32"):
+    """Return a jitted (state, imgs, targets, tmask) -> (state, metrics)
+    with batch sharded over the mesh data axis and state replicated."""
+    model = yolo.YoloV7(spec)
+    tx = make_optimizer(opt_cfg)
+
+    def loss_fn(params, batch_stats, imgs, targets, tmask):
+        x = imgs.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else imgs
+        preds, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, training=True, mutable=["batch_stats"],
+        )
+        preds = [p.astype(jnp.float32) for p in preds[: spec.nl]]
+        loss, metrics = compute_loss_ota(
+            preds, targets, tmask, spec, img_size, hyp
+        )
+        return loss, (metrics, updates["batch_stats"])
+
+    def step_fn(state: TrainState, imgs, targets, tmask):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, imgs, targets, tmask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA with the reference's ramp: d = decay*(1 - exp(-updates/2000))
+        # (utils/torch_utils.py:269-303)
+        d = opt_cfg.ema_decay * (
+            1.0 - jnp.exp(-(state.step + 1).astype(jnp.float32) / 2000.0)
+        )
+        ema = jax.tree.map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            state.ema_params, params,
+        )
+        new_state = TrainState(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            ema_params=ema, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

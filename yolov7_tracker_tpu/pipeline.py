@@ -1,0 +1,189 @@
+"""End-to-end tracking pipeline: frames -> detections -> tracks.
+
+The reference loop (tracker/track.py:138-179) round-trips host<->GPU every
+frame: model forward, NMS on device, then ``det_results.cpu().numpy()``
+into a pure-Python tracker. Here the whole per-frame path is compiled:
+
+  uint8 frames (host) --> device_preprocess --> YOLOv7 --> fixed-shape NMS
+      --> scale_coords --> DetSlab --> tracker slab step --> FrameOutput
+
+Two execution modes:
+  * ``step_frame``    — streaming, one jitted call per frame;
+  * ``run_sequence``  — detector batched over B frames on the MXU, then
+    ``lax.scan`` of the tracker over the detection slabs; only the final
+    outputs cross back to the host. This is the throughput path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import letterbox
+from .models import yolo, zoo
+from .ops import nms as nms_mod
+from .trackers import slab as S
+from .trackers.registry import build_tracker
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    model: str = "yolov7-tiny"
+    nc: int = 80
+    img_size: int = 640            # letterbox target (square budget)
+    conf_thres: float = 0.01       # NMS conf (post_process_v7, track.py:238)
+    iou_thres: float = 0.45
+    max_det: int = 300
+    detector_batch: int = 8
+    dtype: str = "bfloat16"        # detector compute dtype
+
+
+class TrackingPipeline:
+    def __init__(self, pcfg: PipelineConfig, tcfg: S.TrackerConfig,
+                 variables=None, spec=None):
+        self.pcfg = pcfg
+        self.spec = spec or zoo.get_spec(pcfg.model, nc=pcfg.nc)
+        self.model = yolo.YoloV7(self.spec)
+        if variables is None:
+            _, variables = yolo.build_model(self.spec, img_size=256)
+        if pcfg.dtype == "bfloat16":
+            variables = {
+                "params": jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    variables["params"],
+                ),
+                "batch_stats": variables["batch_stats"],
+            }
+        self.variables = variables
+        self.step, self.tcfg = build_tracker(tcfg)
+        self._detect_cache = {}
+
+    # ------------------------------------------------------------------
+    # detector
+    # ------------------------------------------------------------------
+
+    def _detect_fn(self, src_hw: Tuple[int, int]):
+        """Compiled detector closure for one source resolution."""
+        if src_hw in self._detect_cache:
+            return self._detect_cache[src_hw]
+        pcfg = self.pcfg
+        # letterbox output size for this resolution (minimum rectangle)
+        r, (uw, uh), (dw, dh) = letterbox.letterbox_params(
+            src_hw, (pcfg.img_size, pcfg.img_size), stride=max(self.spec.strides)
+        )
+        out_h = uh + 2 * int(round(dh - 0.1)) + (1 if (2 * dh) % 2 else 0)
+        out_w = uw + 2 * int(round(dw - 0.1)) + (1 if (2 * dw) % 2 else 0)
+        # exact reference pad arithmetic:
+        top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+        left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+        out_h, out_w = uh + top + bottom, uw + left + right
+
+        @jax.jit
+        def detect(variables, frames_u8):
+            imgs, _ = letterbox.device_preprocess(
+                frames_u8, src_hw, (out_h, out_w)
+            )
+            if self.pcfg.dtype == "bfloat16":
+                imgs = imgs.astype(jnp.bfloat16)
+            imgs = jnp.transpose(imgs, (0, 2, 3, 1))  # NCHW->NHWC
+            pred, _ = self.model.apply(variables, imgs, training=False)
+            pred = pred.astype(jnp.float32)
+            dets, counts = nms_mod.nms(
+                pred, pcfg.conf_thres, pcfg.iou_thres, max_det=pcfg.max_det
+            )
+            boxes = letterbox.scale_coords_device(
+                dets[..., :4], (out_h, out_w), src_hw
+            )
+            return boxes, dets[..., 4], dets[..., 5], counts
+
+        self._detect_cache[src_hw] = detect
+        return detect
+
+    def detect_batch(self, frames_u8: np.ndarray):
+        """(B, H, W, 3) uint8 -> (boxes (B,D,4) tlbr, score, cls, counts)."""
+        src_hw = frames_u8.shape[1:3]
+        return self._detect_fn(tuple(src_hw))(self.variables, frames_u8)
+
+    # ------------------------------------------------------------------
+    # tracking
+    # ------------------------------------------------------------------
+
+    def init_tracker(self) -> S.TrackSlab:
+        return S.init_slab(self.tcfg)
+
+    def dets_to_slab(self, boxes, score, cls, count):
+        d = self.tcfg.det_capacity
+        idx = jnp.arange(d)
+        valid = idx < count
+        return S.DetSlab(
+            tlbr=boxes[:d].astype(jnp.float32),
+            score=score[:d].astype(jnp.float32),
+            cls=cls[:d].astype(jnp.float32),
+            valid=valid,
+            feature=jnp.zeros((d, self.tcfg.feature_dim), jnp.float32),
+        )
+
+    @functools.cached_property
+    def _scan_fn(self):
+        def body(slab, det):
+            slab, out = self.step(slab, det)
+            return slab, out
+
+        @jax.jit
+        def scan(slab, det_slabs):
+            return jax.lax.scan(body, slab, det_slabs)
+
+        return scan
+
+    def track_scan(self, slab: S.TrackSlab, det_slabs: S.DetSlab):
+        """Run the tracker over a stacked (T-frames) DetSlab pytree."""
+        return self._scan_fn(slab, det_slabs)
+
+    # ------------------------------------------------------------------
+    # full sequence
+    # ------------------------------------------------------------------
+
+    def run_sequence(self, frames: Iterable[np.ndarray]):
+        """Track a sequence of uint8 HWC frames; returns per-frame results
+        [(frame_id, ids, tlwhs, clses)] in reference format."""
+        slab = self.init_tracker()
+        results = []
+        frame_id = 0
+        batch = []
+        d = self.tcfg.det_capacity
+
+        def flush(batch, slab, frame_id):
+            arr = np.stack(batch)
+            boxes, score, cls, counts = self.detect_batch(arr)
+            det_slabs = jax.vmap(self.dets_to_slab)(
+                boxes[:, :d], score[:, :d], cls[:, :d], counts
+            )
+            slab, outs = self.track_scan(slab, det_slabs)
+            outs = jax.tree.map(np.asarray, outs)
+            for b in range(arr.shape[0]):
+                frame_id += 1
+                valid = outs.valid[b]
+                results.append(
+                    (
+                        frame_id,
+                        outs.track_id[b][valid].tolist(),
+                        list(outs.tlwh[b][valid]),
+                        outs.cls[b][valid].astype(int).tolist(),
+                    )
+                )
+            return slab, frame_id
+
+        for f in frames:
+            batch.append(f)
+            if len(batch) == self.pcfg.detector_batch:
+                slab, frame_id = flush(batch, slab, frame_id)
+                batch = []
+        if batch:
+            slab, frame_id = flush(batch, slab, frame_id)
+        return results

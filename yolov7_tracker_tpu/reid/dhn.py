@@ -1,0 +1,101 @@
+"""Deep Hungarian Net (Munkrs) — differentiable assignment scorer used by
+DeepMOT (reference tracker/deepmot.py:10-140).
+
+Architecture parity: 2-layer bidirectional GRU (hidden 256, input 1) over
+the row-major flattened cost matrix, a second 2-layer biGRU (input 512)
+over the column-major permutation of the first's outputs, then
+512 -> 256 -> 64 -> 1 dense layers + sigmoid.
+
+TPU notes: the reference runs the GRU over a dynamically-sized h*w
+sequence; fixed shapes require padding, so we compact valid rows/cols to
+the top-left and pad with cost 1.0 (documented deviation — the
+reference's DHN.pth is absent from its own release, so no weight-exact
+baseline exists either). The recurrence uses lax.scan over the sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+HIDDEN = 256
+
+
+class BiGRU(nn.Module):
+    """2-layer bidirectional GRU, torch nn.GRU(bidirectional=True,
+    num_layers=2) semantics: layer 2 consumes the concatenated fwd/bwd
+    outputs of layer 1."""
+
+    hidden: int = HIDDEN
+
+    @nn.compact
+    def __call__(self, xs):  # xs: (L, F)
+        def scan_gru(name, seq, reverse):
+            cell = nn.GRUCell(features=self.hidden, name=name)
+            if reverse:
+                seq = seq[::-1]
+            carry = cell.initialize_carry(
+                jax.random.PRNGKey(0), seq.shape[1:]
+            )
+            scanner = nn.scan(
+                lambda c, carry, x: c(carry, x),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+            )
+            _, ys = scanner(cell, carry, seq)
+            if reverse:
+                ys = ys[::-1]
+            return ys
+
+        l1 = jnp.concatenate(
+            [scan_gru("l0_fwd", xs, False), scan_gru("l0_bwd", xs, True)],
+            axis=-1,
+        )
+        l2 = jnp.concatenate(
+            [scan_gru("l1_fwd", l1, False), scan_gru("l1_bwd", l1, True)],
+            axis=-1,
+        )
+        return l2  # (L, 2*hidden)
+
+
+class DHN(nn.Module):
+    """Cost matrix (H, W) -> soft assignment scores (H, W) in [0, 1]."""
+
+    @nn.compact
+    def __call__(self, d):  # d: (H, W)
+        h, w = d.shape
+        row_seq = d.reshape(h * w, 1)
+        row_out = BiGRU(name="lstm_row")(row_seq)          # (H*W, 512)
+        grid = row_out.reshape(h, w, -1)
+        col_seq = jnp.transpose(grid, (1, 0, 2)).reshape(w * h, -1)
+        col_out = BiGRU(name="lstm_col")(col_seq)          # (W*H, 512)
+        feats = jnp.transpose(
+            col_out.reshape(w, h, -1), (1, 0, 2)
+        ).reshape(h * w, -1)
+        x = nn.Dense(256, name="hidden2tag_1")(feats)
+        x = nn.Dense(64, name="hidden2tag_2")(x)
+        x = nn.Dense(1, name="hidden2tag_3")(x)
+        return jax.nn.sigmoid(x).reshape(h, w)
+
+
+def compact_cost(cost: jnp.ndarray, row_mask, col_mask,
+                 pad_value: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Permute valid rows/cols to the top-left (stable), pad the rest.
+    Returns (compacted cost, row perm, col perm)."""
+    rperm = jnp.argsort(~row_mask, stable=True)
+    cperm = jnp.argsort(~col_mask, stable=True)
+    c = cost[rperm][:, cperm]
+    rv = row_mask[rperm]
+    cv = col_mask[cperm]
+    c = jnp.where(rv[:, None] & cv[None, :], c, pad_value)
+    return c, rperm, cperm
+
+
+def uncompact(mat: jnp.ndarray, rperm, cperm) -> jnp.ndarray:
+    """Inverse permutation of compact_cost."""
+    rinv = jnp.argsort(rperm)
+    cinv = jnp.argsort(cperm)
+    return mat[rinv][:, cinv]

@@ -239,22 +239,27 @@ def apply_matches(
     if cfg.feature_dim > 0:
         det_feat = dets.feature[det_idx]
         has_feat = jnp.sum(jnp.abs(det_feat), axis=-1) > 0
+        # reference normalizes the det feature before smoothing/appending
+        # (basetrack.py:325); raw features enter the slab only at birth.
+        det_feat_n = det_feat / (
+            jnp.linalg.norm(det_feat, axis=-1, keepdims=True) + 1e-12
+        )
         fmask = (upd & has_feat)[:, None]
         if cfg.use_avg_of_feature:
             # EMA 0.9 + renorm (basetrack.py:327-329)
-            smooth = 0.9 * slab.feature + 0.1 * det_feat
+            smooth = 0.9 * slab.feature + 0.1 * det_feat_n
             smooth = smooth / (
                 jnp.linalg.norm(smooth, axis=-1, keepdims=True) + 1e-12
             )
             new_feat = jnp.where(fmask, smooth, slab.feature)
         else:
-            new_feat = jnp.where(fmask, det_feat, slab.feature)
+            new_feat = jnp.where(fmask, det_feat_n, slab.feature)
         if cfg.feature_hist > 0:
             # ring buffer append (budget, basetrack.py:331-332)
             pos = slab.feat_count % cfg.feature_hist
             appended = jax.vmap(
                 lambda hist, p, f: hist.at[p].set(f)
-            )(slab.feat_hist, pos, det_feat)
+            )(slab.feat_hist, pos, det_feat_n)
             new_hist = jnp.where(fmask[:, :, None], appended, slab.feat_hist)
             new_fc = jnp.where(
                 upd & has_feat, slab.feat_count + 1, slab.feat_count
