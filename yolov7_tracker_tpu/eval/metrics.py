@@ -1,0 +1,281 @@
+"""HOTA / CLEAR / Identity metrics over preprocessed sequence data.
+
+Host numpy/scipy — evaluation is offline and not perf-critical (the
+reference keeps it on host too). Algorithms match the vendored TrackEval
+(tracker/trackeval/metrics/{hota,clear,identity}.py) field-for-field; a
+sequence is the dict produced by eval.data.preprocess_sequence:
+
+  gt_ids / tracker_ids : per-frame int arrays (contiguous relabeled)
+  similarity_scores    : per-frame (n_gt, n_trk) IoU matrices
+  num_gt_ids / num_tracker_ids / num_gt_dets / num_tracker_dets
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+ALPHAS = np.arange(0.05, 0.99, 0.05)
+EPS = np.finfo("float").eps
+
+
+def hota(data: Dict) -> Dict[str, np.ndarray]:
+    """HOTA family over 19 alpha thresholds
+    (trackeval/metrics/hota.py:24-128)."""
+    na = len(ALPHAS)
+    res = {
+        k: np.zeros(na)
+        for k in ("HOTA_TP", "HOTA_FN", "HOTA_FP", "LocA", "AssA", "AssRe",
+                  "AssPr")
+    }
+    if data["num_tracker_dets"] == 0:
+        res["HOTA_FN"] += data["num_gt_dets"]
+        res["LocA"] += 1.0
+        return _hota_finalize(res)
+    if data["num_gt_dets"] == 0:
+        res["HOTA_FP"] += data["num_tracker_dets"]
+        res["LocA"] += 1.0
+        return _hota_finalize(res)
+
+    n_gt, n_trk = data["num_gt_ids"], data["num_tracker_ids"]
+    potential = np.zeros((n_gt, n_trk))
+    gt_count = np.zeros((n_gt, 1))
+    trk_count = np.zeros((1, n_trk))
+    for gt_ids, trk_ids, sim in zip(
+        data["gt_ids"], data["tracker_ids"], data["similarity_scores"]
+    ):
+        denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+        sim_iou = np.where(denom > EPS, sim / np.maximum(denom, EPS), 0.0)
+        potential[gt_ids[:, None], trk_ids[None, :]] += sim_iou
+        gt_count[gt_ids] += 1
+        trk_count[0, trk_ids] += 1
+
+    global_align = potential / (gt_count + trk_count - potential)
+    match_counts = [np.zeros((n_gt, n_trk)) for _ in ALPHAS]
+
+    for gt_ids, trk_ids, sim in zip(
+        data["gt_ids"], data["tracker_ids"], data["similarity_scores"]
+    ):
+        if len(gt_ids) == 0:
+            res["HOTA_FP"] += len(trk_ids)
+            continue
+        if len(trk_ids) == 0:
+            res["HOTA_FN"] += len(gt_ids)
+            continue
+        score = global_align[gt_ids[:, None], trk_ids[None, :]] * sim
+        rows, cols = linear_sum_assignment(-score)
+        for a, alpha in enumerate(ALPHAS):
+            ok = sim[rows, cols] >= alpha - EPS
+            r, c = rows[ok], cols[ok]
+            res["HOTA_TP"][a] += len(r)
+            res["HOTA_FN"][a] += len(gt_ids) - len(r)
+            res["HOTA_FP"][a] += len(trk_ids) - len(r)
+            if len(r):
+                res["LocA"][a] += sim[r, c].sum()
+                match_counts[a][gt_ids[r], trk_ids[c]] += 1
+
+    for a in range(na):
+        mc = match_counts[a]
+        union = np.maximum(1, gt_count + trk_count - mc)
+        res["AssA"][a] = np.sum(mc * (mc / union)) / max(1, res["HOTA_TP"][a])
+        res["AssRe"][a] = np.sum(mc * (mc / np.maximum(1, gt_count))) / max(
+            1, res["HOTA_TP"][a]
+        )
+        res["AssPr"][a] = np.sum(mc * (mc / np.maximum(1, trk_count))) / max(
+            1, res["HOTA_TP"][a]
+        )
+    res["LocA"] = np.maximum(1e-10, res["LocA"]) / np.maximum(
+        1e-10, res["HOTA_TP"]
+    )
+    return _hota_finalize(res)
+
+
+def _hota_finalize(res):
+    tp, fn, fp = res["HOTA_TP"], res["HOTA_FN"], res["HOTA_FP"]
+    res["DetRe"] = tp / np.maximum(1, tp + fn)
+    res["DetPr"] = tp / np.maximum(1, tp + fp)
+    res["DetA"] = tp / np.maximum(1, tp + fn + fp)
+    res["HOTA"] = np.sqrt(res["DetA"] * res["AssA"])
+    res["OWTA"] = np.sqrt(res["DetRe"] * res["AssA"])
+    res["HOTA(0)"] = res["HOTA"][0]
+    res["LocA(0)"] = res["LocA"][0]
+    res["HOTALocA(0)"] = res["HOTA"][0] * res["LocA"][0]
+    return res
+
+
+def clear(data: Dict, threshold: float = 0.5) -> Dict:
+    """CLEAR/MOT metrics (trackeval/metrics/clear.py:36-137)."""
+    res = {k: 0.0 for k in (
+        "CLR_TP", "CLR_FN", "CLR_FP", "IDSW", "MT", "PT", "ML", "Frag",
+        "MOTP_sum", "CLR_Frames",
+    )}
+    res["CLR_Frames"] = data["num_timesteps"]
+    if data["num_tracker_dets"] == 0:
+        res["CLR_FN"] = data["num_gt_dets"]
+        res["ML"] = data["num_gt_ids"]
+        return _clear_finalize(res)
+    if data["num_gt_dets"] == 0:
+        res["CLR_FP"] = data["num_tracker_dets"]
+        return _clear_finalize(res)
+
+    n_gt = data["num_gt_ids"]
+    gt_count = np.zeros(n_gt)
+    gt_matched = np.zeros(n_gt)
+    gt_frag = np.zeros(n_gt)
+    prev_tracker = np.full(n_gt, np.nan)
+    prev_step_tracker = np.full(n_gt, np.nan)
+
+    for gt_ids, trk_ids, sim in zip(
+        data["gt_ids"], data["tracker_ids"], data["similarity_scores"]
+    ):
+        if len(gt_ids) == 0:
+            res["CLR_FP"] += len(trk_ids)
+            continue
+        if len(trk_ids) == 0:
+            res["CLR_FN"] += len(gt_ids)
+            gt_count[gt_ids] += 1
+            continue
+        score = 1000.0 * (
+            trk_ids[None, :] == prev_step_tracker[gt_ids[:, None]]
+        ) + sim
+        score[sim < threshold - EPS] = 0
+        rows, cols = linear_sum_assignment(-score)
+        ok = score[rows, cols] > EPS
+        rows, cols = rows[ok], cols[ok]
+        m_gt, m_trk = gt_ids[rows], trk_ids[cols]
+
+        prev_m = prev_tracker[m_gt]
+        res["IDSW"] += np.sum(~np.isnan(prev_m) & (m_trk != prev_m))
+
+        gt_count[gt_ids] += 1
+        gt_matched[m_gt] += 1
+        not_prev = np.isnan(prev_step_tracker)
+        prev_tracker[m_gt] = m_trk
+        prev_step_tracker[:] = np.nan
+        prev_step_tracker[m_gt] = m_trk
+        gt_frag += not_prev & ~np.isnan(prev_step_tracker)
+
+        res["CLR_TP"] += len(m_gt)
+        res["CLR_FN"] += len(gt_ids) - len(m_gt)
+        res["CLR_FP"] += len(trk_ids) - len(m_gt)
+        if len(rows):
+            res["MOTP_sum"] += sim[rows, cols].sum()
+
+    ratio = gt_matched[gt_count > 0] / gt_count[gt_count > 0]
+    res["MT"] = np.sum(ratio > 0.8)
+    res["PT"] = np.sum(ratio >= 0.2) - res["MT"]
+    res["ML"] = n_gt - res["MT"] - res["PT"]
+    res["Frag"] = np.sum(gt_frag[gt_frag > 0] - 1)
+    return _clear_finalize(res)
+
+
+def _clear_finalize(res):
+    tp, fn, fp = res["CLR_TP"], res["CLR_FN"], res["CLR_FP"]
+    num_gt = max(1.0, tp + fn)
+    res["CLR_Re"] = tp / num_gt
+    res["CLR_Pr"] = tp / max(1.0, tp + fp)
+    res["MODA"] = (tp - fp) / num_gt
+    res["MOTA"] = (tp - fp - res["IDSW"]) / num_gt
+    res["MOTP"] = res["MOTP_sum"] / max(1.0, tp)
+    res["sMOTA"] = (res["MOTP_sum"] - fp - res["IDSW"]) / num_gt
+    res["CLR_F1"] = tp / max(1.0, tp + 0.5 * fn + 0.5 * fp)
+    res["FP_per_frame"] = fp / max(1.0, res["CLR_Frames"])
+    safe_log = np.log10(res["IDSW"]) if res["IDSW"] > 0 else res["IDSW"]
+    res["MOTAL"] = (tp - fp - safe_log) / num_gt
+    num_ids = res["MT"] + res["PT"] + res["ML"]
+    res["MTR"] = res["MT"] / max(1.0, num_ids)
+    res["PTR"] = res["PT"] / max(1.0, num_ids)
+    res["MLR"] = res["ML"] / max(1.0, num_ids)
+    return res
+
+
+def identity(data: Dict, threshold: float = 0.5) -> Dict:
+    """IDF1/IDP/IDR via global bipartite trajectory matching
+    (trackeval/metrics/identity.py:31-90)."""
+    res = {"IDTP": 0, "IDFN": 0, "IDFP": 0}
+    if data["num_tracker_dets"] == 0:
+        res["IDFN"] = data["num_gt_dets"]
+        return _id_finalize(res)
+    if data["num_gt_dets"] == 0:
+        res["IDFP"] = data["num_tracker_dets"]
+        return _id_finalize(res)
+
+    n_gt, n_trk = data["num_gt_ids"], data["num_tracker_ids"]
+    potential = np.zeros((n_gt, n_trk))
+    gt_count = np.zeros(n_gt)
+    trk_count = np.zeros(n_trk)
+    for gt_ids, trk_ids, sim in zip(
+        data["gt_ids"], data["tracker_ids"], data["similarity_scores"]
+    ):
+        gi, ti = np.nonzero(sim >= threshold)
+        potential[gt_ids[gi], trk_ids[ti]] += 1
+        gt_count[gt_ids] += 1
+        trk_count[trk_ids] += 1
+
+    size = n_gt + n_trk
+    fp_mat = np.zeros((size, size))
+    fn_mat = np.zeros((size, size))
+    fp_mat[n_gt:, :n_trk] = 1e10
+    fn_mat[:n_gt, n_trk:] = 1e10
+    fn_mat[:n_gt, :n_trk] += gt_count[:, None]
+    fn_mat[np.arange(n_gt), n_trk + np.arange(n_gt)] = gt_count
+    fp_mat[:n_gt, :n_trk] += trk_count[None, :]
+    fp_mat[n_gt + np.arange(n_trk), np.arange(n_trk)] = trk_count
+    fn_mat[:n_gt, :n_trk] -= potential
+    fp_mat[:n_gt, :n_trk] -= potential
+    rows, cols = linear_sum_assignment(fn_mat + fp_mat)
+    res["IDFN"] = int(fn_mat[rows, cols].sum())
+    res["IDFP"] = int(fp_mat[rows, cols].sum())
+    res["IDTP"] = int(gt_count.sum()) - res["IDFN"]
+    return _id_finalize(res)
+
+
+def _id_finalize(res):
+    tp, fn, fp = res["IDTP"], res["IDFN"], res["IDFP"]
+    res["IDR"] = tp / max(1.0, tp + fn)
+    res["IDP"] = tp / max(1.0, tp + fp)
+    res["IDF1"] = tp / max(1.0, tp + 0.5 * fn + 0.5 * fp)
+    return res
+
+
+def count(data: Dict) -> Dict:
+    return {
+        "Dets": data["num_tracker_dets"],
+        "GT_Dets": data["num_gt_dets"],
+        "IDs": data["num_tracker_ids"],
+        "GT_IDs": data["num_gt_ids"],
+        "Frames": data["num_timesteps"],
+    }
+
+
+def combine_sequences(per_seq: List[Dict]) -> Dict:
+    """Combine per-sequence results: integer fields sum, derived fields
+    recompute, HOTA association fields TP-weighted
+    (trackeval hota.py:130-144, clear.py:139-145, identity.py:92-98)."""
+    out = {}
+    keys = per_seq[0].keys()
+    sum_keys = {
+        "HOTA_TP", "HOTA_FN", "HOTA_FP", "CLR_TP", "CLR_FN", "CLR_FP",
+        "IDSW", "MT", "PT", "ML", "Frag", "MOTP_sum", "CLR_Frames",
+        "IDTP", "IDFN", "IDFP", "Dets", "GT_Dets", "IDs", "GT_IDs",
+        "Frames",
+    }
+    for k in keys & sum_keys:
+        out[k] = sum(r[k] for r in per_seq)
+    if "HOTA_TP" in keys:
+        tp_total = np.maximum(1, out["HOTA_TP"])
+        for k in ("AssA", "AssRe", "AssPr", "LocA"):
+            out[k] = (
+                sum(np.maximum(1e-10, r["HOTA_TP"]) * r[k] for r in per_seq)
+                / np.maximum(
+                    1e-10, sum(np.maximum(1e-10, r["HOTA_TP"]) for r in per_seq)
+                )
+            )
+        out = _hota_finalize(out)
+    if "CLR_TP" in keys:
+        out = _clear_finalize(out)
+    if "IDTP" in keys:
+        out = _id_finalize(out)
+    return out

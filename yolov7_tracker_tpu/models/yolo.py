@@ -193,13 +193,37 @@ def init_head_biases(params, spec: ModelSpec, cf=None):
 
 
 def build_model(spec: ModelSpec, rng: Optional[jax.Array] = None,
-                img_size: int = 256):
-    """Init a YoloV7 + variables; returns (module, variables)."""
+                img_size: int = 256, init: str = "zeros"):
+    """Build a YoloV7 + variables; returns (module, variables).
+
+    init='zeros': shapes come from eval_shape and the tree materializes as
+    one jitted zeros graph — no per-parameter RNG ops. Right for inference
+    paths that load converted checkpoints (and for benchmarks); remote-
+    attached devices pay seconds per eager init op otherwise.
+
+    init='random': real random init, executed on the host CPU backend in
+    one go and transferred once — the training entry point.
+    """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     model = YoloV7(spec)
-    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, training=False)
+    if init == "zeros":
+        dummy_s = jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda r, d: model.init(r, d, training=False), rng, dummy_s
+        )
+        variables = jax.jit(
+            lambda: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+        )()
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+            variables = model.init(rng, dummy, training=False)
+        if jax.default_backend() != "cpu":
+            variables = jax.device_put(variables, jax.devices()[0])
     variables = {
         "params": init_head_biases(
             {"params": variables["params"]}, spec

@@ -96,7 +96,9 @@ def make_optimizer(cfg: OptConfig):
 def make_train_state(spec: ModelSpec, img_size: int = 640,
                      rng: Optional[jax.Array] = None,
                      opt_cfg: OptConfig = OptConfig()) -> TrainState:
-    model, variables = yolo.build_model(spec, rng=rng, img_size=img_size)
+    model, variables = yolo.build_model(
+        spec, rng=rng, img_size=img_size, init="random"
+    )
     tx = make_optimizer(opt_cfg)
     return TrainState(
         params=variables["params"],

@@ -52,12 +52,17 @@ class TrackingPipeline:
         if variables is None:
             _, variables = yolo.build_model(self.spec, img_size=256)
         if pcfg.dtype == "bfloat16":
-            variables = {
-                "params": jax.tree.map(
+            # one jitted cast — eager per-leaf casts pay dispatch latency
+            # per parameter on remote-attached devices
+            cast = jax.jit(
+                lambda p: jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x,
-                    variables["params"],
-                ),
+                    p,
+                )
+            )
+            variables = {
+                "params": cast(variables["params"]),
                 "batch_stats": variables["batch_stats"],
             }
         self.variables = variables
