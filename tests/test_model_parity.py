@@ -38,11 +38,19 @@ def _stub_missing_modules():
             setattr(ops, fn, lambda *a, **k: None)
         utils = types.ModuleType("torchvision.utils")
         utils.save_image = lambda *a, **k: None
+        transforms = types.ModuleType("torchvision.transforms")
+        transforms.Compose = lambda *a, **k: None
+        transforms.ToTensor = lambda *a, **k: None
+        transforms.Normalize = lambda *a, **k: None
+        transforms.ToPILImage = lambda *a, **k: None
+        transforms.Resize = lambda *a, **k: None
         tv.ops = ops
         tv.utils = utils
+        tv.transforms = transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
         sys.modules["torchvision.utils"] = utils
+        sys.modules["torchvision.transforms"] = transforms
     for name in ("requests", "seaborn", "thop"):
         if name not in sys.modules:
             try:
