@@ -1,0 +1,162 @@
+"""Dataset tracking CLI — the reference's tracker/track.py surface.
+
+Usage:
+    python -m yolov7_tracker_tpu.cli.track --dataset mot17 \
+        --tracker bytetrack --model_path ckpt.msgpack [...]
+
+Pipeline per sequence: frames -> device letterbox -> compiled YOLOv7 ->
+fixed-shape NMS -> tracker slab scan -> MOT txt (+ optional TrackEval
+scoring). Also accepts the reference's dataset config yamls
+(tracker/config_files/*.yaml) directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("tpu tracker")
+    p.add_argument("--dataset", type=str, default="visdrone")
+    p.add_argument("--data_format", type=str, default="origin",
+                   choices=["origin", "yolo"])
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--tracker", type=str, default="sort")
+    p.add_argument("--model", type=str, default="yolov7-w6",
+                   help="zoo model name or reference cfg yaml path")
+    p.add_argument("--model_path", type=str, default="",
+                   help="converted checkpoint (.msgpack/.npz) or torch "
+                        "state_dict (.pt)")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--img_size", type=int, default=1280)
+    p.add_argument("--reid_model_path", type=str, default="")
+    p.add_argument("--dhn_path", type=str, default="")
+    p.add_argument("--conf_thresh", type=float, default=0.2)
+    p.add_argument("--nms_thresh", type=float, default=0.7)
+    p.add_argument("--iou_thresh", type=float, default=0.5)
+    p.add_argument("--track_buffer", type=int, default=30)
+    p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--kalman_format", type=str, default="default")
+    p.add_argument("--min_area", type=float, default=150)
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--save_videos", action="store_true")
+    p.add_argument("--track_eval", type=lambda s: s.lower() != "false",
+                   default=True)
+    p.add_argument("--detector_batch", type=int, default=8)
+    p.add_argument("--capacity", type=int, default=256)
+    p.add_argument("--det_capacity", type=int, default=128)
+    p.add_argument("--config_dir", type=str,
+                   default=os.path.join(os.path.dirname(__file__), "..",
+                                        "configs"))
+    p.add_argument("--output_dir", type=str, default="./results")
+    return p.parse_args(argv)
+
+
+def load_dataset_config(opts):
+    """Load our configs/ yaml, or a reference-format config file."""
+    for base in (opts.config_dir, "./tracker/config_files"):
+        path = os.path.join(base, f"{opts.dataset}.yaml")
+        if os.path.isfile(path):
+            with open(path) as f:
+                return yaml.safe_load(f)
+    raise FileNotFoundError(f"no dataset config for {opts.dataset!r}")
+
+
+def main(argv=None):
+    opts = parse_args(argv)
+    cfgs = load_dataset_config(opts)
+
+    import jax
+
+    from ..data import sequence as seqmod
+    from ..data import writer
+    from ..pipeline import PipelineConfig, TrackingPipeline
+    from ..trackers.slab import TrackerConfig
+    from ..utils.timer import Timer
+
+    pcfg = PipelineConfig(
+        model=opts.model, nc=opts.nc, img_size=opts.img_size,
+        conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,
+    )
+    tcfg = TrackerConfig(
+        tracker=opts.tracker, kalman_format=opts.kalman_format,
+        conf_thresh=opts.conf_thresh, iou_thresh=opts.iou_thresh,
+        track_buffer=opts.track_buffer, capacity=opts.capacity,
+        det_capacity=opts.det_capacity, gamma=opts.gamma,
+        min_area=opts.min_area,
+    )
+    variables = None
+    if opts.model_path:
+        from ..models import convert, zoo
+
+        spec = zoo.get_spec(opts.model, nc=opts.nc)
+        if opts.model_path.endswith(".pt"):
+            sd = convert.state_dict_from_reference_ckpt(
+                opts.model_path, "/root/reference"
+            )
+            variables = convert.convert_state_dict(sd, spec)
+        else:
+            from ..utils import checkpoint
+
+            variables = checkpoint.load_variables(opts.model_path)
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+
+    data_root = cfgs.get("DATASET_ROOT", ".")
+    ignore = [s for s in (cfgs.get("IGNORE_SEQS") or []) if s]
+    certain = [s for s in (cfgs.get("CERTAIN_SEQS") or []) if s]
+    seqs = seqmod.discover_sequences(
+        data_root, opts.data_format, split=opts.split,
+        seqs=certain or None, ignore_seqs=ignore,
+    )
+    folder = os.path.join(
+        opts.output_dir, f"{opts.tracker}_{time.strftime('%Y%m%d_%H%M%S')}"
+    )
+    seq_fps = []
+    for spec_seq in seqs:
+        timer = Timer()
+        timer.tic()
+        results = pipe.run_sequence(
+            frame
+            for batch, _ in seqmod.iter_frames(spec_seq, 1)
+            for frame in batch
+        )
+        dt = timer.toc(average=False)
+        fps = len(spec_seq) / max(dt, 1e-9)
+        seq_fps.append(fps)
+        print(f"{spec_seq.name}: {len(spec_seq)} frames, {fps:.1f} fps")
+        writer.save_results(folder, spec_seq.name, results)
+    if seq_fps:
+        print(f"mean fps: {np.mean(seq_fps):.2f}")
+
+    if opts.track_eval and "TRACK_EVAL" in cfgs and cfgs["TRACK_EVAL"]:
+        te = cfgs["TRACK_EVAL"]
+        seq_info = te.get("SEQ_INFO") or {}
+        from ..eval import evaluator
+        from ..eval.data import seq_length_from_seqinfo
+
+        seq_lengths = {}
+        for s, n in seq_info.items():
+            if n is None:
+                n = seq_length_from_seqinfo(
+                    os.path.join(te["GT_FOLDER"], s)
+                ) or 0
+            seq_lengths[s] = int(n)
+        benchmark = "VisDrone" if "visdrone" in opts.dataset.lower() else "MOT17"
+        table = evaluator.evaluate_benchmark(
+            te["GT_FOLDER"], folder, seq_lengths, benchmark=benchmark,
+            gt_loc_format=te.get("GT_LOC_FORMAT",
+                                 "{gt_folder}/{seq}/gt/gt.txt"),
+            output_folder=folder,
+        )
+        classes = list(table.keys() - {"cls_comb_cls_av"})
+        print(evaluator.render_table(table, classes))
+    return folder
+
+
+if __name__ == "__main__":
+    main()
