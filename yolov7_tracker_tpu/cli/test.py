@@ -1,0 +1,110 @@
+"""Detector mAP evaluation (reference test.py surface).
+
+Batched bf16 forward + fixed-shape multi-label NMS on device, host-side
+101-point-interpolated AP (train/metrics.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+import numpy as np
+
+
+def evaluate_map(spec, variables, val_path: str, img: int = 640,
+                 batch: int = 8, conf_thres: float = 0.001,
+                 iou_thres: float = 0.65, max_labels: int = 128) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import yolo
+    from ..ops import nms as nms_mod
+    from ..train.datasets import YoloDataset
+    from ..train.metrics import IOUV, ap_per_class, correctness_matrix
+
+    model = yolo.YoloV7(spec)
+    dataset = YoloDataset(val_path, img_size=img, augment=False,
+                          max_labels=max_labels)
+
+    @jax.jit
+    def forward(variables, imgs):
+        pred, _ = model.apply(variables, imgs, training=False)
+        return nms_mod.nms(
+            pred.astype(jnp.float32), conf_thres, iou_thres,
+            multi_label=True, top_k=8192,
+        )
+
+    stats = []
+    for imgs, tgts, masks in dataset.batches(batch, shuffle=False):
+        x = jnp.asarray(imgs[..., ::-1].astype(np.float32) / 255.0)
+        dets, counts = forward(variables, x)
+        dets = np.asarray(dets)
+        counts = np.asarray(counts)
+        for b in range(len(imgs)):
+            d = dets[b][: counts[b]]
+            lab = tgts[b][masks[b]]
+            # labels to xyxy pixels
+            if len(lab):
+                l_xyxy = np.zeros((len(lab), 5))
+                l_xyxy[:, 0] = lab[:, 0]
+                cx, cy, w, h = (lab[:, 1] * img, lab[:, 2] * img,
+                                lab[:, 3] * img, lab[:, 4] * img)
+                l_xyxy[:, 1] = cx - w / 2
+                l_xyxy[:, 2] = cy - h / 2
+                l_xyxy[:, 3] = cx + w / 2
+                l_xyxy[:, 4] = cy + h / 2
+            else:
+                l_xyxy = np.zeros((0, 5))
+            correct = correctness_matrix(d, l_xyxy)
+            stats.append(
+                (correct, d[:, 4], d[:, 5], l_xyxy[:, 0])
+            )
+    if not stats:
+        return {"map50": 0.0, "map": 0.0, "mp": 0.0, "mr": 0.0}
+    tp = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pcls = np.concatenate([s[2] for s in stats])
+    tcls = np.concatenate([s[3] for s in stats])
+    if tp.size == 0 or len(tcls) == 0:
+        return {"map50": 0.0, "map": 0.0, "mp": 0.0, "mr": 0.0}
+    p, r, ap, f1, classes = ap_per_class(tp, conf, pcls, tcls)
+    return {
+        "map50": float(ap[:, 0].mean()),
+        "map": float(ap.mean()),
+        "mp": float(p.mean()),
+        "mr": float(r.mean()),
+        "per_class_ap": {int(c): float(a) for c, a in
+                         zip(classes, ap.mean(1))},
+    }
+
+
+def main(argv=None):
+    import yaml
+
+    p = argparse.ArgumentParser("tpu yolov7 test")
+    p.add_argument("--model", type=str, default="yolov7-tiny")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--img", type=int, default=640)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--conf", type=float, default=0.001)
+    p.add_argument("--iou", type=float, default=0.65)
+    opts = p.parse_args(argv)
+
+    with open(opts.data) as f:
+        data_cfg = yaml.safe_load(f)
+    from ..models import zoo
+    from ..utils import checkpoint
+
+    spec = zoo.get_spec(opts.model, nc=int(data_cfg.get("nc", 80)))
+    variables = checkpoint.load_variables(opts.weights)
+    res = evaluate_map(spec, variables, data_cfg["val"], img=opts.img,
+                       batch=opts.batch, conf_thres=opts.conf,
+                       iou_thres=opts.iou)
+    print(res)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Detector training CLI (reference train.py / train_aux.py surface).
+
+Data-parallel over the local device mesh via pjit; SGD+Nesterov with
+one-cycle LR and grouped weight decay; EMA; orbax checkpoints
+(last/best); per-epoch mAP eval hook.
+
+    python -m yolov7_tracker_tpu.cli.train --model yolov7-tiny \
+        --data ./data/visdrone_all.yaml --img 640 --batch 16 --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("tpu yolov7 train")
+    p.add_argument("--model", type=str, default="yolov7-tiny")
+    p.add_argument("--data", type=str, required=True,
+                   help="dataset yaml: {train: <imgdir|txt>, val: ..., nc}")
+    p.add_argument("--hyp", type=str, default="")
+    p.add_argument("--img", type=int, default=640)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--max_labels", type=int, default=128)
+    p.add_argument("--ckpt_dir", type=str, default="./runs/train")
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="0 = all local devices")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opts = parse_args(argv)
+    with open(opts.data) as f:
+        data_cfg = yaml.safe_load(f)
+
+    import jax
+
+    from ..models import zoo
+    from ..parallel.mesh import data_mesh, shard_batch
+    from ..parallel.train_step import (
+        OptConfig, make_train_state, make_train_step,
+    )
+    from ..train.datasets import AugHyp, YoloDataset
+    from ..train.loss import Hyp
+    from ..utils import checkpoint
+
+    hyp_kw, aug_kw = {}, {}
+    if opts.hyp:
+        with open(opts.hyp) as f:
+            h = yaml.safe_load(f)
+        hyp_kw = {k: h[k] for k in
+                  ("box", "cls", "obj", "cls_pw", "obj_pw", "anchor_t",
+                   "label_smoothing") if k in h}
+        aug_kw = {k: h[k] for k in
+                  ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
+                   "scale", "shear", "perspective", "fliplr", "flipud",
+                   "mosaic", "mixup") if k in h}
+
+    dataset = YoloDataset(
+        data_cfg["train"], img_size=opts.img, hyp=AugHyp(**aug_kw),
+        augment=True, max_labels=opts.max_labels,
+    )
+    steps_per_epoch = max(len(dataset) // opts.batch, 1)
+    spec = zoo.get_spec(opts.model, nc=int(data_cfg.get("nc", 80)))
+    mesh = data_mesh(opts.n_devices or None)
+    opt_cfg = OptConfig(
+        epochs=opts.epochs, steps_per_epoch=steps_per_epoch,
+        batch_size=opts.batch,
+    )
+    state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg)
+    if opts.resume:
+        state = checkpoint.load_train_state(opts.resume, state)
+    step_fn = make_train_step(spec, mesh, img_size=opts.img,
+                              hyp=Hyp(**hyp_kw), opt_cfg=opt_cfg,
+                              compute_dtype="bfloat16")
+
+    best_fitness = 0.0
+    run_dir = os.path.join(opts.ckpt_dir, time.strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    print(f"training {opts.model} on {len(dataset)} images, "
+          f"{steps_per_epoch} steps/epoch, mesh={mesh.shape}")
+
+    for epoch in range(opts.epochs):
+        t0 = time.time()
+        losses = []
+        for imgs, tgts, masks in dataset.batches(opts.batch):
+            batch = shard_batch(
+                mesh,
+                (imgs.astype(np.float32)[..., ::-1] / 255.0, tgts, masks),
+            )
+            state, metrics = step_fn(state, *batch)
+            losses.append(metrics)
+        m = {k: float(np.mean([float(x[k]) for x in losses]))
+             for k in losses[0]}
+        print(
+            f"epoch {epoch}: loss {m['loss']:.4f} "
+            f"(box {m['box']:.4f} obj {m['obj']:.4f} cls {m['cls']:.4f}) "
+            f"{time.time()-t0:.1f}s"
+        )
+        checkpoint.save_train_state(
+            run_dir, state, int(state.step),
+            {"epoch": epoch, "loss": m["loss"]},
+        )
+        if data_cfg.get("val") and (epoch + 1) % opts.eval_every == 0:
+            from .test import evaluate_map
+
+            res = evaluate_map(
+                spec,
+                {"params": state.ema_params,
+                 "batch_stats": state.batch_stats},
+                data_cfg["val"], img=opts.img, max_labels=opts.max_labels,
+            )
+            from ..train.metrics import fitness
+
+            fit = fitness(res)
+            print(f"  val: mAP50 {res['map50']:.4f} mAP {res['map']:.4f}")
+            if fit > best_fitness:
+                best_fitness = fit
+                checkpoint.save_variables(
+                    os.path.join(run_dir, "best.msgpack"),
+                    {"params": state.ema_params,
+                     "batch_stats": state.batch_stats},
+                )
+    checkpoint.save_variables(
+        os.path.join(run_dir, "last.msgpack"),
+        {"params": state.ema_params, "batch_stats": state.batch_stats},
+    )
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

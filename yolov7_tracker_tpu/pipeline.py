@@ -150,6 +150,29 @@ class TrackingPipeline:
         """Run the tracker over a stacked (T-frames) DetSlab pytree."""
         return self._scan_fn(slab, det_slabs)
 
+    @functools.cached_property
+    def _scan_multi_fn(self):
+        """Sequence-parallel tracking: vmap the step over independent
+        sequences, scan over frames. Tracker state never crosses
+        sequences (the reference's per-seq loop, track.py:123, is
+        embarrassingly parallel), so S sequences amortize the
+        association solver's lockstep iteration cost."""
+        vstep = jax.vmap(self.step)
+
+        def body(slabs, dets):
+            slabs, outs = vstep(slabs, dets)
+            return slabs, outs
+
+        @jax.jit
+        def scan(slabs, det_streams):
+            return jax.lax.scan(body, slabs, det_streams)
+
+        return scan
+
+    def track_scan_multi(self, slabs: S.TrackSlab, det_streams: S.DetSlab):
+        """slabs: (S, ...) stacked slab; det_streams: (T, S, D, ...)."""
+        return self._scan_multi_fn(slabs, det_streams)
+
     # ------------------------------------------------------------------
     # full sequence
     # ------------------------------------------------------------------

@@ -1,0 +1,328 @@
+"""Training data pipeline: YOLO-format datasets with mosaic / affine /
+HSV augmentation producing fixed-shape padded batches.
+
+Host-side equivalent of utils/datasets.py (LoadImagesAndLabels +
+LoadImagesAndLabelsCustom): YOLO txt labels (cls cx cy w h normalized),
+label caching, mosaic-4 composition (:548-569), random_perspective
+affine with candidate filtering (:1148-1230), HSV jitter (:814-830),
+horizontal flip, and letterboxed rect loading for validation.
+
+TPU-shape discipline: every batch is (imgs uint8 (B, S, S, 3),
+targets (B, T, 5) [cls, cx, cy, w, h] normalized, mask (B, T)) — no
+ragged label lists, so the SimOTA loss jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import math
+import os
+import random
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+@dataclasses.dataclass
+class AugHyp:
+    """Augmentation hyperparameters (data/hyp.scratch.custom.yaml)."""
+
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    degrees: float = 0.0
+    translate: float = 0.2
+    scale: float = 0.5
+    shear: float = 0.0
+    perspective: float = 0.0
+    fliplr: float = 0.5
+    flipud: float = 0.0
+    mosaic: float = 1.0
+    mixup: float = 0.0
+
+
+def img2label_path(img_path: str) -> str:
+    sa, sb = os.sep + "images" + os.sep, os.sep + "labels" + os.sep
+    return os.path.splitext(img_path.replace(sa, sb, 1))[0] + ".txt"
+
+
+def load_labels(path: str) -> np.ndarray:
+    """(N, 5) [cls, cx, cy, w, h] normalized, empty if missing."""
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) >= 5:
+                rows.append([float(x) for x in p[:5]])
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
+class YoloDataset:
+    """Image list + cached labels, mosaic/affine/HSV augmentation."""
+
+    def __init__(self, path_or_list, img_size: int = 640,
+                 hyp: AugHyp = AugHyp(), augment: bool = True,
+                 max_labels: int = 128, rng: Optional[random.Random] = None):
+        if isinstance(path_or_list, str):
+            if os.path.isdir(path_or_list):
+                files = sorted(
+                    p for p in glob.glob(
+                        os.path.join(path_or_list, "**", "*.*"), recursive=True
+                    )
+                    if p.lower().endswith(IMG_EXTS)
+                )
+            else:  # txt list file
+                with open(path_or_list) as f:
+                    files = [l.strip() for l in f if l.strip()]
+        else:
+            files = list(path_or_list)
+        assert files, f"no images found in {path_or_list}"
+        self.files = files
+        self.labels = [load_labels(img2label_path(p)) for p in files]
+        self.img_size = img_size
+        self.hyp = hyp
+        self.augment = augment
+        self.max_labels = max_labels
+        self.rng = rng or random.Random(0)
+
+    def __len__(self):
+        return len(self.files)
+
+    # -- image io -----------------------------------------------------
+
+    def _load_image(self, idx: int):
+        import cv2
+
+        img = cv2.imread(self.files[idx])
+        assert img is not None, self.files[idx]
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(
+                img, (int(w0 * r), int(h0 * r)),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return img, (h0, w0)
+
+    # -- augmentation -------------------------------------------------
+
+    def _mosaic(self, idx: int):
+        """4-image mosaic (utils/datasets.py load_mosaic semantics)."""
+        import cv2
+
+        s = self.img_size
+        yc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
+        xc = int(self.rng.uniform(s // 2, 2 * s - s // 2))
+        idxs = [idx] + [self.rng.randrange(len(self)) for _ in range(3)]
+        canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+        labels4 = []
+        for i, index in enumerate(idxs):
+            img, _ = self._load_image(index)
+            h, w = img.shape[:2]
+            if i == 0:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+                x2b, y2b = w, h
+            elif i == 1:
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+                x1b, y1b = 0, h - (y2a - y1a)
+                x2b, y2b = min(w, x2a - x1a), h
+            elif i == 2:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+                x1b, y1b = w - (x2a - x1a), 0
+                x2b, y2b = w, min(y2a - y1a, h)
+            else:
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+                x1b, y1b = 0, 0
+                x2b, y2b = min(w, x2a - x1a), min(y2a - y1a, h)
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lab = self.labels[index].copy()
+            if len(lab):
+                xy = lab[:, 1:5].copy()
+                lab[:, 1] = w * (xy[:, 0] - xy[:, 2] / 2) + padw
+                lab[:, 2] = h * (xy[:, 1] - xy[:, 3] / 2) + padh
+                lab[:, 3] = w * (xy[:, 0] + xy[:, 2] / 2) + padw
+                lab[:, 4] = h * (xy[:, 1] + xy[:, 3] / 2) + padh
+                labels4.append(lab)
+        labels4 = (
+            np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5))
+        )
+        np.clip(labels4[:, 1:], 0, 2 * s, out=labels4[:, 1:])
+        canvas, labels4 = random_perspective(
+            canvas, labels4, self.hyp, border=(-s // 2, -s // 2),
+            rng=self.rng,
+        )
+        return canvas, labels4
+
+    def _plain(self, idx: int):
+        """Letterboxed single image (val / no-mosaic path); labels xyxy."""
+        import cv2
+
+        s = self.img_size
+        img, _ = self._load_image(idx)
+        h, w = img.shape[:2]
+        canvas = np.full((s, s, 3), 114, np.uint8)
+        dw, dh = (s - w) // 2, (s - h) // 2
+        canvas[dh:dh + h, dw:dw + w] = img
+        lab = self.labels[idx].copy()
+        if len(lab):
+            xy = lab[:, 1:5].copy()
+            lab[:, 1] = w * (xy[:, 0] - xy[:, 2] / 2) + dw
+            lab[:, 2] = h * (xy[:, 1] - xy[:, 3] / 2) + dh
+            lab[:, 3] = w * (xy[:, 0] + xy[:, 2] / 2) + dw
+            lab[:, 4] = h * (xy[:, 1] + xy[:, 3] / 2) + dh
+        return canvas, lab
+
+    def __getitem__(self, idx: int):
+        """Returns (img uint8 (S, S, 3), targets (T, 5) normalized xywh,
+        mask (T,))."""
+        use_mosaic = self.augment and self.rng.random() < self.hyp.mosaic
+        if use_mosaic:
+            img, labels = self._mosaic(idx)
+            if self.rng.random() < self.hyp.mixup:
+                img2, labels2 = self._mosaic(self.rng.randrange(len(self)))
+                r = np.random.beta(8.0, 8.0)
+                img = (img * r + img2 * (1 - r)).astype(np.uint8)
+                labels = np.concatenate([labels, labels2], 0)
+        else:
+            img, labels = self._plain(idx)
+            if self.augment:
+                img, labels = random_perspective(
+                    img, labels, self.hyp, border=(0, 0), rng=self.rng
+                )
+        if self.augment:
+            img = augment_hsv(img, self.hyp, self.rng)
+            if self.rng.random() < self.hyp.fliplr:
+                img = np.ascontiguousarray(img[:, ::-1])
+                if len(labels):
+                    x1 = labels[:, 1].copy()
+                    labels[:, 1] = img.shape[1] - labels[:, 3]
+                    labels[:, 3] = img.shape[1] - x1
+            if self.rng.random() < self.hyp.flipud:
+                img = np.ascontiguousarray(img[::-1])
+                if len(labels):
+                    y1 = labels[:, 2].copy()
+                    labels[:, 2] = img.shape[0] - labels[:, 4]
+                    labels[:, 4] = img.shape[0] - y1
+        # xyxy pixels -> normalized xywh, pad to max_labels
+        t = np.zeros((self.max_labels, 5), np.float32)
+        m = np.zeros((self.max_labels,), bool)
+        n = min(len(labels), self.max_labels)
+        if n:
+            lab = labels[:n]
+            s_img = img.shape[0]
+            cx = (lab[:, 1] + lab[:, 3]) / 2 / img.shape[1]
+            cy = (lab[:, 2] + lab[:, 4]) / 2 / img.shape[0]
+            ww = (lab[:, 3] - lab[:, 1]) / img.shape[1]
+            hh = (lab[:, 4] - lab[:, 2]) / img.shape[0]
+            t[:n, 0] = lab[:, 0]
+            t[:n, 1], t[:n, 2], t[:n, 3], t[:n, 4] = cx, cy, ww, hh
+            m[:n] = True
+        return img, t, m
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                epochs: int = 1) -> Iterator[Tuple[np.ndarray, ...]]:
+        order = list(range(len(self)))
+        for _ in range(epochs):
+            if shuffle:
+                self.rng.shuffle(order)
+            for k in range(0, len(order) - batch_size + 1, batch_size):
+                items = [self[i] for i in order[k:k + batch_size]]
+                imgs = np.stack([x[0] for x in items])
+                tgts = np.stack([x[1] for x in items])
+                masks = np.stack([x[2] for x in items])
+                yield imgs, tgts, masks
+
+
+def augment_hsv(img: np.ndarray, hyp: AugHyp, rng) -> np.ndarray:
+    """HSV jitter (utils/datasets.py:814-830)."""
+    import cv2
+
+    r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * np.array(
+        [hyp.hsv_h, hyp.hsv_s, hyp.hsv_v]
+    ) + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(0, 256, dtype=np.int16)
+    lut_hue = ((x * r[0]) % 180).astype(np.uint8)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    img_hsv = cv2.merge(
+        (cv2.LUT(hue.astype(np.uint8), lut_hue), cv2.LUT(sat, lut_sat),
+         cv2.LUT(val, lut_val))
+    )
+    return cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR)
+
+
+def random_perspective(img, targets, hyp: AugHyp, border=(0, 0), rng=None):
+    """Affine/perspective warp + label transform + candidate filter
+    (utils/datasets.py:1148-1230)."""
+    import cv2
+
+    rng = rng or random
+    height = img.shape[0] + border[0] * 2
+    width = img.shape[1] + border[1] * 2
+
+    c = np.eye(3)
+    c[0, 2] = -img.shape[1] / 2
+    c[1, 2] = -img.shape[0] / 2
+    p = np.eye(3)
+    p[2, 0] = rng.uniform(-hyp.perspective, hyp.perspective)
+    p[2, 1] = rng.uniform(-hyp.perspective, hyp.perspective)
+    r = np.eye(3)
+    a = rng.uniform(-hyp.degrees, hyp.degrees)
+    s = rng.uniform(1 - hyp.scale, 1.1 + hyp.scale)
+    r[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    sh = np.eye(3)
+    sh[0, 1] = math.tan(rng.uniform(-hyp.shear, hyp.shear) * math.pi / 180)
+    sh[1, 0] = math.tan(rng.uniform(-hyp.shear, hyp.shear) * math.pi / 180)
+    t = np.eye(3)
+    t[0, 2] = rng.uniform(0.5 - hyp.translate, 0.5 + hyp.translate) * width
+    t[1, 2] = rng.uniform(0.5 - hyp.translate, 0.5 + hyp.translate) * height
+    m = t @ sh @ r @ p @ c
+    if (border[0] != 0) or (border[1] != 0) or (m != np.eye(3)).any():
+        if hyp.perspective:
+            img = cv2.warpPerspective(
+                img, m, dsize=(width, height), borderValue=(114, 114, 114)
+            )
+        else:
+            img = cv2.warpAffine(
+                img, m[:2], dsize=(width, height),
+                borderValue=(114, 114, 114),
+            )
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        xy = xy @ m.T
+        xy = (
+            (xy[:, :2] / xy[:, 2:3]) if hyp.perspective else xy[:, :2]
+        ).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack(
+            [x.min(1), y.min(1), x.max(1), y.max(1)], axis=1
+        )
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_candidates(targets[:, 1:5].T * s, new.T)
+        targets = targets[keep]
+        targets[:, 1:5] = new[keep]
+    return img, targets
+
+
+def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1):
+    """(utils/datasets.py:1233-1240)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    return (
+        (w2 > wh_thr) & (h2 > wh_thr)
+        & (w2 * h2 / (w1 * h1 + 1e-16) > area_thr)
+        & (ar < ar_thr)
+    )
