@@ -21,3 +21,31 @@ BoT-SORT, UAVMOT, DeepMOT, StrongSORT, C-BIoU), MOT-challenge evaluation
 """
 
 __version__ = "0.1.0"
+
+
+def load_pipeline(model: str = "yolov7-tiny", tracker: str = "bytetrack",
+                  img_size: int = 640, nc: int = 80, weights: str = "",
+                  **tracker_kw):
+    """hubconf-style one-call loader (reference hubconf.py analogue):
+    returns a ready TrackingPipeline."""
+    from .pipeline import PipelineConfig, TrackingPipeline
+    from .trackers.slab import TrackerConfig
+
+    variables = None
+    if weights:
+        if weights.endswith(".pt"):
+            from .models import convert, zoo
+
+            sd = convert.state_dict_from_reference_ckpt(weights, ".")
+            variables = convert.convert_state_dict(
+                sd, zoo.get_spec(model, nc=nc)
+            )
+        else:
+            from .utils import checkpoint
+
+            variables = checkpoint.load_variables(weights)
+    return TrackingPipeline(
+        PipelineConfig(model=model, nc=nc, img_size=img_size),
+        TrackerConfig(tracker=tracker, **tracker_kw),
+        variables=variables,
+    )

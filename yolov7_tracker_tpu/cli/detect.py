@@ -1,0 +1,68 @@
+"""Image-folder detection CLI (reference detect.py surface):
+batched compiled inference + NMS + box overlays."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tpu yolov7 detect")
+    p.add_argument("--source", type=str, required=True)
+    p.add_argument("--model", type=str, default="yolov7-tiny")
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--img_size", type=int, default=640)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--save_dir", type=str, default="./detect_result")
+    opts = p.parse_args(argv)
+
+    import cv2
+    import jax
+
+    from ..data.writer import get_color
+    from ..pipeline import PipelineConfig, TrackingPipeline
+    from ..trackers.slab import TrackerConfig
+
+    variables = None
+    if opts.weights:
+        from ..utils import checkpoint
+
+        variables = checkpoint.load_variables(opts.weights)
+    pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
+                          img_size=opts.img_size, conf_thres=opts.conf,
+                          iou_thres=opts.iou, detector_batch=1)
+    pipe = TrackingPipeline(pcfg, TrackerConfig(), variables=variables)
+
+    os.makedirs(opts.save_dir, exist_ok=True)
+    files = (
+        sorted(
+            os.path.join(opts.source, f) for f in os.listdir(opts.source)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )
+        if os.path.isdir(opts.source) else [opts.source]
+    )
+    for path in files:
+        img = cv2.imread(path)
+        boxes, scores, cls, counts = pipe.detect_batch(img[None])
+        n = int(counts[0])
+        b = np.asarray(boxes[0][:n])
+        s = np.asarray(scores[0][:n])
+        c = np.asarray(cls[0][:n]).astype(int)
+        out = img.copy()
+        for i in range(n):
+            x1, y1, x2, y2 = map(int, b[i])
+            cv2.rectangle(out, (x1, y1), (x2, y2), get_color(int(c[i]) + 1), 2)
+            cv2.putText(out, f"{c[i]}:{s[i]:.2f}", (x1, y1 - 4),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 164, 0), 1)
+        dst = os.path.join(opts.save_dir, os.path.basename(path))
+        cv2.imwrite(dst, out)
+        print(f"{path}: {n} detections -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

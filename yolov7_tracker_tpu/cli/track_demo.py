@@ -1,0 +1,86 @@
+"""Single video / image-folder tracking demo
+(reference tracker/track_demo.py surface): no GT, no eval — just run the
+pipeline and write txt/overlays/video."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("tpu tracker demo")
+    p.add_argument("--obj", type=str, required=True,
+                   help="video file or image directory")
+    p.add_argument("--tracker", type=str, default="bytetrack")
+    p.add_argument("--model", type=str, default="yolov7-tiny")
+    p.add_argument("--model_path", type=str, default="")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--img_size", type=int, default=640)
+    p.add_argument("--conf_thresh", type=float, default=0.2)
+    p.add_argument("--kalman_format", type=str, default="default")
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--save_videos", action="store_true")
+    p.add_argument("--save_dir", type=str, default="./demo_result")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opts = parse_args(argv)
+    from ..data import sequence as seqmod
+    from ..data import writer
+    from ..pipeline import PipelineConfig, TrackingPipeline
+    from ..trackers.slab import TrackerConfig
+
+    pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
+                          img_size=opts.img_size, conf_thres=0.001)
+    tcfg = TrackerConfig(tracker=opts.tracker,
+                         kalman_format=opts.kalman_format,
+                         conf_thresh=opts.conf_thresh)
+    variables = None
+    if opts.model_path:
+        from ..utils import checkpoint
+
+        variables = checkpoint.load_variables(opts.model_path)
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+
+    if os.path.isdir(opts.obj):
+        spec = seqmod.SequenceSpec(
+            os.path.basename(opts.obj.rstrip("/")),
+            sorted(
+                os.path.join(opts.obj, f)
+                for f in os.listdir(opts.obj)
+                if f.lower().endswith(seqmod.IMG_EXTS)
+            ),
+        )
+        frames = (
+            f for batch, _ in seqmod.iter_frames(spec, 1) for f in batch
+        )
+        name = spec.name
+    else:
+        src = seqmod.VideoFrames(opts.obj)
+        frames = iter(src)
+        name = os.path.splitext(os.path.basename(opts.obj))[0]
+
+    frames = list(frames)
+    t0 = time.time()
+    results = pipe.run_sequence(iter(frames))
+    dt = time.time() - t0
+    print(f"{name}: {len(frames)} frames in {dt:.1f}s "
+          f"({len(frames)/max(dt,1e-9):.1f} fps)")
+    os.makedirs(opts.save_dir, exist_ok=True)
+    writer.save_results(opts.save_dir, name, results)
+    if opts.save_images or opts.save_videos:
+        img_dir = os.path.join(opts.save_dir, name + "_imgs")
+        for (fid, ids, tlwhs, _), frame in zip(results, frames):
+            writer.plot_frame(frame, fid, ids, tlwhs, save_dir=img_dir)
+        if opts.save_videos:
+            writer.save_video(
+                img_dir, os.path.join(opts.save_dir, name + ".mp4")
+            )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,8 @@ def linear_assignment_host(cost: np.ndarray, thresh: float):
 # ---------------------------------------------------------------------------
 
 def _auction_square(w: jnp.ndarray, n: int, m: int, max_iters: int,
-                    eps_final: float = 2e-4):
+                    eps_final: float = 2e-4, n_phases: int = 8,
+                    phase_factor: float = 4.0):
     """Max-weight perfect matching on a square weight matrix via Jacobi
     auction with eps-scaling. Returns (row_to_col (S,), col_to_row (S,)).
 
@@ -148,9 +149,10 @@ def _auction_square(w: jnp.ndarray, n: int, m: int, max_iters: int,
         )
         return (prices, r2c, c2r), None
 
-    n_phases = 8
     eps_schedule = jnp.maximum(
-        scale / jnp.power(4.0, jnp.arange(1, n_phases + 1, dtype=jnp.float32)),
+        scale / jnp.power(
+            phase_factor, jnp.arange(1, n_phases + 1, dtype=jnp.float32)
+        ),
         eps_final,
     )
     prices0 = jnp.zeros((s,), jnp.float32)
@@ -168,13 +170,22 @@ def _auction_square(w: jnp.ndarray, n: int, m: int, max_iters: int,
     return r2c, c2r
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters", "eps_final", "n_phases", "phase_factor", "tie_jitter",
+    ),
+)
 def masked_assignment(
     cost: jnp.ndarray,
     row_mask: jnp.ndarray,
     col_mask: jnp.ndarray,
     thresh,
     max_iters: int = 4096,
+    eps_final: float = 2e-4,
+    n_phases: int = 8,
+    phase_factor: float = 4.0,
+    tie_jitter: float = 0.0,
 ):
     """Masked assignment with cost-limit gating on device.
 
@@ -198,6 +209,7 @@ def masked_assignment(
     # matched), and clamping bounds the auction's price dynamics.
     c = jnp.minimum(cost.astype(jnp.float32), thresh + 1.0)
     c = jnp.where(valid, c, thresh + 1.0)
+    c_gate = c  # un-jittered costs decide the <= thresh match gate
     # Extended max-weight matrix (negated extended costs). Dummies are
     # interchangeable in lapjv's construction, which creates massive
     # degeneracy (epsilon price wars); we break it losslessly by reserving
@@ -206,6 +218,15 @@ def masked_assignment(
     # meaningful cost gap. Any optimal matching of the original extended
     # matrix permutes into this restricted form at equal value.
     w = jnp.full((s, s), _NEG, jnp.float32)
+    if tie_jitter > 0.0:
+        # deterministic sub-resolution jitter: breaks exact/near ties that
+        # otherwise cause epsilon price wars; shifts the objective by at
+        # most S * tie_jitter, far below association cost gaps
+        jit_real = (
+            (jnp.arange(n, dtype=jnp.float32)[:, None] * 131.0
+             + jnp.arange(m, dtype=jnp.float32)[None, :] * 7.0) % 17.0
+        ) * (tie_jitter / 17.0)
+        c = c + jit_real
     w = w.at[:n, :m].set(-c)
     diag_n = jnp.arange(n)
     diag_m = jnp.arange(m)
@@ -216,9 +237,12 @@ def masked_assignment(
          + jnp.arange(n, dtype=jnp.float32)[None, :]) % 97.0
     ) * (1e-6 / 97.0)
     w = w.at[n:, m:].set(-jitter)
-    r2c_ext, c2r_ext = _auction_square(w, n, m, max_iters)
+    r2c_ext, c2r_ext = _auction_square(
+        w, n, m, max_iters, eps_final=eps_final, n_phases=n_phases,
+        phase_factor=phase_factor,
+    )
     row_to_col = jnp.where(
-        (r2c_ext[:n] < m) & row_mask & (jnp.take(c, jnp.clip(r2c_ext[:n], 0, m - 1) + jnp.arange(n) * m) <= thresh),
+        (r2c_ext[:n] < m) & row_mask & (jnp.take(c_gate, jnp.clip(r2c_ext[:n], 0, m - 1) + jnp.arange(n) * m) <= thresh),
         r2c_ext[:n],
         -1,
     )

@@ -104,7 +104,9 @@ def make_train_state(spec: ModelSpec, img_size: int = 640,
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
-        ema_params=variables["params"],
+        # materialize a distinct copy: ema aliasing params trips buffer
+        # donation ("donate the same buffer twice") in the jitted step
+        ema_params=jax.tree.map(lambda x: x + 0, variables["params"]),
         step=jnp.int32(0),
     )
 
@@ -152,9 +154,19 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    compiler_options = None
+    if mesh.devices.flat[0].platform == "cpu":
+        # the host-platform backend serializes partitions on few cores and
+        # its collective rendezvous hard-terminates after 40s; raise the
+        # budget so virtual-device dry runs survive 1-core machines
+        compiler_options = {
+            "xla_cpu_collective_call_warn_stuck_seconds": 600,
+            "xla_cpu_collective_call_terminate_timeout_seconds": 1200,
+        }
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, data, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+        compiler_options=compiler_options,
     )

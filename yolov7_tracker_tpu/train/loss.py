@@ -82,6 +82,7 @@ def simota_assign(
     nc: int,
     hyp: Hyp,
     topk: int = 10,
+    g: float = 0.5,
 ):
     """Per-image SimOTA. Returns per-candidate-slot assignment arrays of
     shape (T, nl, na, 5): matched mask, flat pred index, plus per-slot
@@ -107,12 +108,13 @@ def simota_assign(
         r = gwh[:, None, :] / anchors_grid[None, :, :]
         anchor_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < hyp.anchor_t
         gxi = jnp.array([nx, ny], jnp.float32) - gxy  # inverse coords
-        j = (gxy[:, 0] % 1.0 < 0.5) & (gxy[:, 0] > 1.0)
-        k = (gxy[:, 1] % 1.0 < 0.5) & (gxy[:, 1] > 1.0)
-        l = (gxi[:, 0] % 1.0 < 0.5) & (gxi[:, 0] > 1.0)
-        m = (gxi[:, 1] % 1.0 < 0.5) & (gxi[:, 1] > 1.0)
+        j = (gxy[:, 0] % 1.0 < g) & (gxy[:, 0] > 1.0)
+        k = (gxy[:, 1] % 1.0 < g) & (gxy[:, 1] > 1.0)
+        l = (gxi[:, 0] % 1.0 < g) & (gxi[:, 0] > 1.0)
+        m = (gxi[:, 1] % 1.0 < g) & (gxi[:, 1] > 1.0)
         off_ok = jnp.stack([jnp.ones_like(j), j, k, l, m], axis=-1)  # (T,5)
-        gij = jnp.floor(gxy[:, None, :] - OFFSETS[None, :, :]).astype(jnp.int32)
+        offsets = OFFSETS * (g / 0.5)
+        gij = jnp.floor(gxy[:, None, :] - offsets[None, :, :]).astype(jnp.int32)
         gi_l = jnp.clip(gij[:, :, 0], 0, nx - 1)      # (T, n_off)
         gj_l = jnp.clip(gij[:, :, 1], 0, ny - 1)
         v = tmask[:, None, None] & anchor_ok[:, :, None] & off_ok[:, None, :]
@@ -228,6 +230,28 @@ def compute_loss_ota(
     lcls = 0.0
     balance = _balance(nl)
     for li, p in enumerate(preds):
+        lbox_i, obj_i, lcls_i = _layer_loss_terms(
+            p, li, assign, targets, spec, img_size, hyp, cp, cn
+        )
+        lbox = lbox + lbox_i
+        lobj = lobj + obj_i * balance[li]
+        lcls = lcls + lcls_i
+
+    lbox = lbox * hyp.box
+    lobj = lobj * hyp.obj
+    lcls = lcls * hyp.cls
+    total = lbox + lobj + lcls
+    return total * bsz, {
+        "box": lbox, "obj": lobj, "cls": lcls, "loss": total,
+    }
+
+
+def _layer_loss_terms(p, li, assign, targets, spec, img_size, hyp, cp, cn):
+    """Per-layer (box, obj-BCE-mean, cls) terms for one head tensor."""
+    nl, na, nc, no = spec.nl, spec.na, spec.nc, spec.no
+    anchors_px = jnp.asarray(spec.anchors_per_level())
+    strides = spec.strides
+    if True:
         b, ny, nx, _, _ = p.shape
         m = assign["matched"][:, :, li]              # (B, T, na, n_off)
         mgt = assign["matched_gt"][:, :, li]
@@ -261,7 +285,7 @@ def compute_loss_ota(
         pbox = jnp.concatenate([pxy, pwh], axis=-1)
         iou = bbox_iou(pbox, t_box, xywh=True, ciou=True)
         n_m = jnp.maximum(jnp.sum(m), 1)
-        lbox = lbox + jnp.sum(jnp.where(m, 1.0 - iou, 0.0)) / n_m
+        lbox_i = jnp.sum(jnp.where(m, 1.0 - iou, 0.0)) / n_m
 
         # obj targets: max-scatter matched IoU into the layer grid
         tobj = jnp.zeros((b, ny * nx * na), jnp.float32)
@@ -272,8 +296,9 @@ def compute_loss_ota(
         obj_bce = _bce(
             p[..., 4].reshape(b, -1), tobj, pos_weight=hyp.obj_pw
         )
-        lobj = lobj + obj_bce.mean() * balance[li]
+        obj_i = obj_bce.mean()
 
+        lcls_i = 0.0
         if nc > 1:
             tcls_sel = jnp.take_along_axis(
                 targets[:, :, 0].astype(jnp.int32),
@@ -283,9 +308,60 @@ def compute_loss_ota(
                 jax.nn.one_hot(tcls_sel, nc, dtype=bool), cp, cn
             )
             cls_bce = _bce(ps[..., 5:], t_one, pos_weight=hyp.cls_pw)
-            lcls = lcls + jnp.sum(
+            lcls_i = jnp.sum(
                 jnp.where(m[..., None], cls_bce, 0.0)
             ) / (n_m * nc)
+    return lbox_i, obj_i, lcls_i
+
+
+def compute_loss_aux_ota(
+    preds: List[jnp.ndarray],    # 2*nl head tensors: nl lead + nl aux
+    targets: jnp.ndarray,
+    tmask: jnp.ndarray,
+    spec: ModelSpec,
+    img_size: int,
+    hyp: Hyp = Hyp(),
+):
+    """ComputeLossAuxOTA (utils/loss.py:1176-1290): lead heads assigned
+    with find_3_positive + topk-20 SimOTA, aux heads with find_5_positive
+    (g=1.0) + topk-20; aux box/cls/obj terms weighted 0.25. Candidate
+    boxes for BOTH assignments come from the lead predictions
+    (:1205-1206 pass p[:nl])."""
+    nl, nc = spec.nl, spec.nc
+    anchors_px = jnp.asarray(spec.anchors_per_level())
+    strides = spec.strides
+    lead = preds[:nl]
+    aux = preds[nl:]
+    bsz = lead[0].shape[0]
+    preds_flat, metas = _flatten_preds(lead)
+
+    assign_lead = jax.vmap(
+        lambda pf, t, m: simota_assign(
+            pf, metas, strides, anchors_px, t, m, img_size, nc, hyp,
+            topk=20, g=0.5,
+        )
+    )(preds_flat, targets, tmask)
+    assign_aux = jax.vmap(
+        lambda pf, t, m: simota_assign(
+            pf, metas, strides, anchors_px, t, m, img_size, nc, hyp,
+            topk=20, g=1.0,
+        )
+    )(preds_flat, targets, tmask)
+
+    cp, cn = smooth_bce(hyp.label_smoothing)
+    balance = _balance(nl)
+    lbox = lobj = lcls = 0.0
+    w_aux = hyp.aux_weight
+    for li in range(nl):
+        lb, ob, lc = _layer_loss_terms(
+            lead[li], li, assign_lead, targets, spec, img_size, hyp, cp, cn
+        )
+        lb_a, ob_a, lc_a = _layer_loss_terms(
+            aux[li], li, assign_aux, targets, spec, img_size, hyp, cp, cn
+        )
+        lbox = lbox + lb + w_aux * lb_a
+        lobj = lobj + (ob + w_aux * ob_a) * balance[li]
+        lcls = lcls + lc + w_aux * lc_a
 
     lbox = lbox * hyp.box
     lobj = lobj * hyp.obj
