@@ -86,6 +86,10 @@ def build_reference(cfg_name):
         ("yolov7-tiny.yaml", "yolov7-tiny"),
         ("yolov7.yaml", "yolov7"),
         ("yolov7-w6.yaml", "yolov7-w6"),
+        ("yolov7x.yaml", "yolov7x"),
+        ("yolov7-e6.yaml", "yolov7-e6"),
+        ("yolov7-d6.yaml", "yolov7-d6"),
+        ("yolov7-e6e.yaml", "yolov7-e6e"),
     ],
 )
 def test_forward_parity(cfg, name):

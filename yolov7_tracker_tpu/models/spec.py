@@ -24,7 +24,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 SUPPORTED = {
     "Conv", "MP", "SP", "SPPCSPC", "RepConv", "ReOrg", "DownC", "Concat",
-    "Upsample", "Detect", "IDetect", "IAuxDetect",
+    "Shortcut", "Upsample", "Detect", "IDetect", "IAuxDetect",
 }
 
 
@@ -172,6 +172,10 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
         elif kind == "Concat":
             norm_args = ()
             out_ch = sum(ch[x] for x in absfrm)
+            out_scale = in_scale
+        elif kind == "Shortcut":
+            norm_args = ()
+            out_ch = ch[absfrm[0]]
             out_scale = in_scale
         elif kind == "Upsample":
             # yaml form: [None, 2, 'nearest']

@@ -107,6 +107,13 @@ class YoloV7(nn.Module):
                     saved[i] if i in saved else y for i in l.frm
                 ]
                 y = jnp.concatenate(parts, axis=-1)
+            elif l.kind == "Shortcut":
+                parts = [
+                    saved[i] if i in saved else y for i in l.frm
+                ]
+                y = parts[0]
+                for extra in parts[1:]:
+                    y = y + extra
             else:  # pragma: no cover
                 raise AssertionError(l.kind)
             if l.index in spec.save:

@@ -236,10 +236,176 @@ def yolov7_w6_rows():
     return r.rows
 
 
+def _elan_x(r: Rows, mid: int, out: int):
+    """yolov7x E-ELAN: 6 inner 3x3s, taps [-1, -3, -5, -7, -8]
+    (cfg/training/yolov7x.yaml rows 4-13)."""
+    r.conv(mid, 1)
+    r.conv(mid, 1, frm=-2)
+    for _ in range(6):
+        r.conv(mid, 3)
+    r.concat([-1, -3, -5, -7, -8])
+    return r.conv(out, 1)
+
+
+def yolov7x_rows():
+    r = Rows()
+    r.conv(40, 3, 1)
+    r.conv(80, 3, 2)
+    r.conv(80, 3, 1)
+    r.conv(160, 3, 2)
+    _elan_x(r, 64, 320)                              # 13
+    _mp_down(r, 160)
+    p3 = _elan_x(r, 128, 640)                        # 28
+    _mp_down(r, 320)
+    p4 = _elan_x(r, 256, 1280)                       # 43
+    _mp_down(r, 640)
+    _elan_x(r, 256, 1280)                            # 58
+    spp = r.add(-1, "SPPCSPC", [640])                # 59
+    r.conv(320, 1)
+    r.up()
+    r.conv(320, 1, frm=p4)
+    r.concat([-1, -2])
+    f_p4 = _elan_x(r, 256, 320)                      # 73
+    r.conv(160, 1)
+    r.up()
+    r.conv(160, 1, frm=p3)
+    r.concat([-1, -2])
+    out_p3 = _elan_x(r, 128, 160)                    # 87
+    _mp_down(r, 160, extra_tap=f_p4)
+    out_p4 = _elan_x(r, 256, 320)                    # 102
+    _mp_down(r, 320, extra_tap=spp)
+    out_p5 = _elan_x(r, 512, 640)                    # 117
+    h3 = r.conv(320, 3, 1, frm=out_p3)
+    h4 = r.conv(640, 3, 1, frm=out_p4)
+    h5 = r.conv(1280, 3, 1, frm=out_p5)
+    r.add([h3, h4, h5], "IDetect", ["nc", "anchors"])
+    return r.rows
+
+
+def _elan_e6(r: Rows, mid: int, out: int, inner: Optional[int] = None,
+             n_inner: int = 6, taps=(-1, -3, -5, -7, -8)):
+    r.conv(mid, 1)
+    r.conv(mid, 1, frm=-2)
+    for _ in range(n_inner):
+        r.conv(inner or mid, 3)
+    r.concat(list(taps))
+    return r.conv(out, 1)
+
+
+def _e6_family_rows(widths, elan_inner, head_detect="IAuxDetect",
+                    double_elan=False, stem=80):
+    """Shared builder for e6 / d6 / e6e (cfg/training/yolov7-{e6,d6,e6e}
+    .yaml): ReOrg stem, DownC downsamples, 6-or-8-conv ELANs, FPN+PAN
+    with DownC, 4 lead (+4 aux) heads. double_elan adds the e6e twin
+    block merged by Shortcut."""
+    # widths: per stage (downc_out, elan_mid, elan_fuse)
+    n_inner, taps = elan_inner
+
+    r = Rows()
+    r.add(-1, "ReOrg", [])
+    r.conv(stem, 3, 1)
+
+    def elan(mid, out):
+        first = _elan_e6(r, mid, out, n_inner=n_inner, taps=taps)
+        if not double_elan:
+            return first
+        # e6e: twin ELAN branched from the SAME input (offsets -11/-12
+        # in the yaml), merged with Shortcut (yolov7-e6e.yaml rows 13-23)
+        span = n_inner + 4  # rows consumed by one ELAN block
+        r.conv(mid, 1, frm=-(span + 1))  # branch from the ELAN's input
+        r.conv(mid, 1, frm=-(span + 2))
+        for _ in range(n_inner):
+            r.conv(mid, 3)
+        r.concat(list(taps))
+        second = r.conv(out, 1)
+        return r.add([second, first], "Shortcut", [1])
+
+    stage_out = []
+    for downc, mid, fuse in widths:
+        r.add(-1, "DownC", [downc])
+        stage_out.append(elan(mid, fuse))
+    _, p3, p4, p5, _ = stage_out
+    spp = r.add(-1, "SPPCSPC", [widths[-1][2] // 2])
+
+    def head_elan(mid, out):
+        """head E-ELAN: branch width = the matching backbone stage's elan
+        mid, inner convs at mid//2, dense taps (e6 rows 62-71)."""
+        dense = tuple(range(-1, -(n_inner + 3), -1))
+        first = _elan_e6(r, mid, out, inner=mid // 2, n_inner=n_inner,
+                         taps=dense)
+        if not double_elan:
+            return first
+        span = n_inner + 4
+        r.conv(mid, 1, frm=-(span + 1))  # branch from the ELAN's input
+        r.conv(mid, 1, frm=-(span + 2))
+        for _ in range(n_inner):
+            r.conv(mid // 2, 3)
+        r.concat(dense)
+        second = r.conv(out, 1)
+        return r.add([second, first], "Shortcut", [1])
+
+    fpn = [spp]
+    up_mids = [widths[3][2] // 2, widths[2][2] // 2, widths[1][2] // 2]
+    elan_mids = [widths[3][1], widths[2][1], widths[1][1]]
+    for route, mid, emid in zip((p5, p4, p3), up_mids, elan_mids):
+        r.conv(mid, 1)
+        r.up()
+        r.conv(mid, 1, frm=route)
+        r.concat([-1, -2])
+        fpn.append(head_elan(emid, mid))
+    spp_o, f5, f4, out_p3 = fpn
+    pan = [out_p3]
+    pan_cs = (up_mids[2] * 2, up_mids[0], widths[-1][2] // 2)
+    pan_emids = (widths[2][1], widths[3][1], widths[4][1])
+    for route, c, emid in zip((f4, f5, spp_o), pan_cs, pan_emids):
+        r.add(-1, "DownC", [c])
+        r.concat([-1, route])
+        pan.append(head_elan(emid, c))
+    out_p3, out_p4, out_p5, out_p6 = pan
+    h = [
+        r.conv(up_mids[2] * 2, 3, 1, frm=out_p3),
+        r.conv(up_mids[1] * 2, 3, 1, frm=out_p4),
+        r.conv(up_mids[0] * 2, 3, 1, frm=out_p5),
+        r.conv(widths[-1][2], 3, 1, frm=out_p6),
+    ]
+    if head_detect == "IAuxDetect":
+        h += [
+            r.conv(up_mids[2] * 2, 3, 1, frm=pan[0]),
+            r.conv(up_mids[1] * 2, 3, 1, frm=f4),
+            r.conv(up_mids[0] * 2, 3, 1, frm=f5),
+            r.conv(widths[-1][2], 3, 1, frm=spp_o),
+        ]
+    r.add(h, head_detect, ["nc", "anchors"])
+    return r.rows
+
+
+def yolov7_e6_rows():
+    widths = [(160, 64, 160), (320, 128, 320), (640, 256, 640),
+              (960, 384, 960), (1280, 512, 1280)]
+    return _e6_family_rows(widths, (6, (-1, -3, -5, -7, -8)), stem=80)
+
+
+def yolov7_d6_rows():
+    widths = [(192, 64, 192), (384, 128, 384), (768, 256, 768),
+              (1152, 384, 1152), (1536, 512, 1536)]
+    return _e6_family_rows(widths, (8, (-1, -3, -5, -7, -9, -10)), stem=96)
+
+
+def yolov7_e6e_rows():
+    widths = [(160, 64, 160), (320, 128, 320), (640, 256, 640),
+              (960, 384, 960), (1280, 512, 1280)]
+    return _e6_family_rows(widths, (6, (-1, -3, -5, -7, -8)), stem=80,
+                           double_elan=True)
+
+
 _ZOO = {
     "yolov7-tiny": (yolov7_tiny_rows, ANCHORS_P5_TINY, 1.0, 1.0),
     "yolov7": (yolov7_rows, ANCHORS_P5, 1.0, 1.0),
+    "yolov7x": (yolov7x_rows, ANCHORS_P5, 1.0, 1.0),
     "yolov7-w6": (yolov7_w6_rows, ANCHORS_P6, 1.0, 1.0),
+    "yolov7-e6": (yolov7_e6_rows, ANCHORS_P6, 1.0, 1.0),
+    "yolov7-d6": (yolov7_d6_rows, ANCHORS_P6, 1.0, 1.0),
+    "yolov7-e6e": (yolov7_e6e_rows, ANCHORS_P6, 1.0, 1.0),
 }
 
 

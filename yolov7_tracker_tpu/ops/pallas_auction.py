@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for the auction assignment solver.
+
+The XLA while_loop implementation (ops/assignment.py) pays HBM traffic +
+op overhead per auction iteration (~7us for a 192x192 problem). This
+kernel keeps the whole solve — extended weight matrix, prices, partial
+assignment, all epsilon phases — resident in VMEM, so an iteration is a
+handful of VPU passes over on-chip data.
+
+Same semantics as ops.assignment.masked_assignment (lapjv cost-limit
+construction, eps-scaled Jacobi auction with warm-started phases,
+diagonal dummy reservation); the caller chooses the backend with
+``use_pallas``.
+
+Shapes: the (n + m) extended dimension pads to a multiple of 128 lanes;
+vectors live as (1, S) rows. Scalars (phase schedule, counters) ride in
+SMEM. No grid — one program solves one matrix; vmap adds a batch grid
+dimension for sequence-parallel tracking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_F = -1e9
+_NEG = jnp.float32(NEG_F)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _auction_kernel(w_ref, sched_ref, nm_ref, cap_ref, r2c_ref, c2r_ref,
+                    prices_ref, max_iters: int):
+    s = w_ref.shape[1]
+    n = nm_ref[0]
+    m = nm_ref[1]
+    bid_cap = cap_ref[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    row_ids_m = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ids_row = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)  # (1, S)
+
+    # initial matching through the reserved dummy diagonal:
+    # real row i -> col m+i; dummy row n+j -> col j; padding rows (>= n+m)
+    # self-match to keep the "all assigned" invariant trivially true.
+    real_row = ids_row < n
+    dummy_row = (ids_row >= n) & (ids_row < n + m)
+    r2c0 = jnp.where(real_row, ids_row + m, jnp.where(dummy_row, ids_row - n, ids_row))
+    real_col = ids_row < m
+    dummy_col = (ids_row >= m) & (ids_row < n + m)
+    c2r0 = jnp.where(real_col, ids_row + n, jnp.where(dummy_col, ids_row - m, ids_row))
+    r2c_ref[:, :] = r2c0
+    c2r_ref[:, :] = c2r0
+    prices_ref[:, :] = jnp.zeros((1, s), jnp.float32)
+
+    n_phases = sched_ref.shape[0]
+
+    def one_phase(p_idx, _):
+        eps = sched_ref[p_idx]
+
+        # --- warm-start release: drop pairs violating eps-CS
+        prices = prices_ref[0, :][None, :]           # (1, S)
+        values = w_ref[0] - prices                   # (S, S) - (1, S)
+        v1 = jnp.max(values, axis=1)[None, :]        # (1, S) per-row max
+        r2c = r2c_ref[0, :][None, :]
+        own = col_ids == jnp.transpose(r2c)          # (S, S) one-hot of r2c
+        cur = jnp.max(jnp.where(own, values, NEG_F), axis=1)[None, :]
+        keep = (r2c >= 0) & (cur >= v1 - eps)
+        r2c = jnp.where(keep, r2c, -1)
+        kept_own = own & jnp.transpose(keep)
+        c2r = jnp.max(
+            jnp.where(kept_own, row_ids_m, -1), axis=0
+        )[None, :]
+        r2c_ref[:, :] = r2c
+        c2r_ref[:, :] = c2r
+
+        def body(carry):
+            it, n_un = carry
+            prices = prices_ref[0, :][None, :]
+            r2c = r2c_ref[0, :][None, :]
+            c2r = c2r_ref[0, :][None, :]
+            unassigned = r2c < 0                     # (1, S)
+
+            values = w_ref[0] - prices               # (S, S)
+            v1 = jnp.max(values, axis=1)             # (S,)
+            best_j = jnp.argmax(values, axis=1).astype(jnp.int32)  # (S,)
+            best_oh = col_ids == best_j[:, None]     # (S, S)
+            v2 = jnp.max(jnp.where(best_oh, NEG_F, values), axis=1)
+            bid = (
+                jnp.sum(jnp.where(best_oh, prices, 0.0), axis=1)
+                + jnp.minimum(v1 - v2, bid_cap) + eps
+            )                                        # (S,)
+            bid_eff = jnp.where(unassigned[0], bid, NEG_F)
+            bid_m = jnp.where(best_oh, bid_eff[:, None], NEG_F)
+            col_best = jnp.max(bid_m, axis=0)[None, :]      # (1, S)
+            cand = best_oh & (
+                bid_eff[:, None] >= col_best[0][None, :]
+            ) & unassigned[0][:, None]
+            winner = jnp.min(
+                jnp.where(cand, row_ids_m, s), axis=0
+            )[None, :]                                # (1, S)
+            contested = winner < s
+            won = cand & (row_ids_m == winner[0][None, :])
+            won_row = jnp.any(won, axis=1)[None, :]   # (1, S) row won smth
+            new_col = jnp.max(
+                jnp.where(won, col_ids, -1), axis=1
+            )[None, :]
+
+            # evict previous owners of contested columns:
+            # row i evicted iff exists col j contested with c2r[j] == i
+            prev_owner = jnp.where(contested, c2r, -1)   # (1, S)
+            evicted = jnp.any(row_ids_m == prev_owner, axis=1)[None, :]
+            r2c = jnp.where(evicted, -1, r2c)
+            r2c = jnp.where(won_row, new_col, r2c)
+            c2r = jnp.where(contested, winner, c2r)
+            prices_ref[:, :] = jnp.where(
+                contested, col_best, prices
+            )
+            r2c_ref[:, :] = r2c
+            c2r_ref[:, :] = c2r
+            n_un = jnp.sum((r2c < 0).astype(jnp.int32))
+            return it + 1, n_un
+
+        def cond(carry):
+            it, n_un = carry
+            return jnp.logical_and(it < max_iters, n_un > 0)
+
+        n_un0 = jnp.sum((r2c_ref[0, :] < 0).astype(jnp.int32))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), n_un0))
+        return 0
+
+    jax.lax.fori_loop(0, n_phases, one_phase, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "n_phases", "phase_factor", "interpret"),
+)
+def masked_assignment_pallas(
+    cost: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    thresh,
+    max_iters: int = 4096,
+    n_phases: int = 6,
+    phase_factor: float = 4.0,
+    interpret: bool = False,
+):
+    """Drop-in Pallas-backed masked_assignment. Returns (r2c (N,), c2r (M,))."""
+    n, m = cost.shape
+    s = _round_up(n + m, 128)
+    thresh = jnp.asarray(thresh, jnp.float32)
+    valid = row_mask[:, None] & col_mask[None, :]
+    c = jnp.minimum(cost.astype(jnp.float32), thresh + 1.0)
+    c = jnp.where(valid, c, thresh + 1.0)
+
+    w = jnp.full((s, s), _NEG, jnp.float32)
+    w = w.at[:n, :m].set(-c)
+    diag_n = jnp.arange(n)
+    diag_m = jnp.arange(m)
+    w = w.at[diag_n, m + diag_n].set(-thresh / 2.0)
+    w = w.at[n + diag_m, diag_m].set(-thresh / 2.0)
+    jitter = (
+        (jnp.arange(m, dtype=jnp.float32)[:, None] * 37.0
+         + jnp.arange(n, dtype=jnp.float32)[None, :]) % 97.0
+    ) * (1e-6 / 97.0)
+    w = w.at[n:n + m, m:m + n].set(-jitter)
+    # padding rows/cols: reserved self-match at strongly-preferred weight
+    pad = jnp.arange(s)
+    pad_mask = pad >= n + m
+    w = jnp.where(
+        (pad_mask[:, None] & (pad[None, :] == pad[:, None])), 1.0, w
+    )
+
+    scale = thresh + 1.0
+    sched = jnp.maximum(
+        scale / jnp.power(
+            jnp.float32(phase_factor),
+            jnp.arange(1, n_phases + 1, dtype=jnp.float32),
+        ),
+        2e-4,
+    )
+    nm = jnp.asarray([n, m], jnp.int32)
+    cap = jnp.asarray([2.0 * scale], jnp.float32)
+
+    r2c_p, c2r_p = pl.pallas_call(
+        functools.partial(_auction_kernel, max_iters=max_iters),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, s, s), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, s), jnp.float32)],
+        interpret=interpret,
+    )(w[None], sched, nm, cap)
+
+    r2c_ext = r2c_p[0, :n]
+    c_gate = c
+    row_to_col = jnp.where(
+        (r2c_ext < m) & row_mask
+        & (jnp.take(
+            c_gate, jnp.clip(r2c_ext, 0, m - 1) + jnp.arange(n) * m
+        ) <= thresh),
+        r2c_ext,
+        -1,
+    )
+    col_to_row = jnp.full((m,), -1, jnp.int32).at[
+        jnp.where(row_to_col >= 0, row_to_col, m)
+    ].set(
+        jnp.where(row_to_col >= 0, jnp.arange(n, dtype=jnp.int32), -1),
+        mode="drop",
+    )
+    return row_to_col, col_to_row
