@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests on CPU: synthetic frames through preprocess
+-> detector -> NMS -> coordinate rescale -> tracker -> MOT txt, plus the
+sharded sequence-parallel tracker over the virtual 8-device mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
+from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    pcfg = PipelineConfig(model="yolov7-tiny", nc=8, img_size=160,
+                          detector_batch=2, dtype="float32")
+    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                         capacity=32, det_capacity=16)
+    return TrackingPipeline(pcfg, tcfg)
+
+
+def test_detect_batch_shapes(pipe):
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, 120, 160, 3), np.uint8
+    )
+    boxes, scores, cls, counts = pipe.detect_batch(frames)
+    assert boxes.shape == (2, 300, 4)
+    assert counts.shape == (2,)
+    # rescaled coords stay inside the original frame
+    b = np.asarray(boxes)
+    assert (b[..., [0, 2]] <= 160).all() and (b[..., [1, 3]] <= 120).all()
+    assert (b >= 0).all()
+
+
+def test_run_sequence_and_writer(pipe, tmp_path):
+    frames = [
+        np.random.default_rng(i).integers(0, 255, (120, 160, 3), np.uint8)
+        for i in range(5)
+    ]
+    results = pipe.run_sequence(iter(frames))
+    assert len(results) == 5
+    from yolov7_tracker_tpu.data import writer
+
+    path = writer.save_results(str(tmp_path), "seq01", results)
+    assert os.path.isfile(path)
+
+
+def test_sharded_sequence_tracking():
+    """8 sequences sharded over the 8-device CPU mesh."""
+    from yolov7_tracker_tpu.parallel.mesh import data_mesh
+    from yolov7_tracker_tpu.parallel.tracking import (
+        make_sharded_tracker, stack_slabs,
+    )
+    from yolov7_tracker_tpu.trackers import build_tracker
+    from yolov7_tracker_tpu.trackers import slab as S
+
+    n_seq = len(jax.devices())
+    cfg = TrackerConfig(tracker="sort", conf_thresh=0.5, capacity=16,
+                        det_capacity=8)
+    step, cfg = build_tracker(cfg)
+    mesh = data_mesh()
+    tracker = make_sharded_tracker(step, mesh)
+    slabs = stack_slabs(cfg, n_seq)
+    t_frames = 4
+    rng = np.random.default_rng(0)
+    tlbr = rng.uniform(0, 100, (t_frames, n_seq, 8, 4)).astype(np.float32)
+    tlbr[..., 2:] += tlbr[..., :2]
+    det_streams = S.DetSlab(
+        tlbr=jnp.asarray(tlbr),
+        score=jnp.full((t_frames, n_seq, 8), 0.9, jnp.float32),
+        cls=jnp.zeros((t_frames, n_seq, 8)),
+        valid=jnp.ones((t_frames, n_seq, 8), bool),
+        feature=jnp.zeros((t_frames, n_seq, 8, 0)),
+    )
+    slabs2, outs = tracker(
+        jax.tree.map(jnp.asarray, slabs), det_streams
+    )
+    assert outs.valid.shape == (t_frames, n_seq, 16)
+    # every sequence tracked something by the last frame
+    assert bool(np.asarray(outs.valid[-1]).any())

@@ -38,6 +38,29 @@ import numpy as np
 
 _NEG = jnp.float32(-1e9)
 
+# default epsilon-phase count for the association solvers; 4-5 phases are
+# empirically exact on association-shaped matrices (see the sweep in the
+# commit history) — more phases only add price-war iterations
+DEFAULT_PHASES = 5
+
+
+def solve_assignment(cost, row_mask, col_mask, thresh,
+                     n_phases: int = DEFAULT_PHASES):
+    """Backend-dispatching masked assignment: the Pallas VMEM-resident
+    auction kernel on TPU (~4x faster), the XLA while_loop version
+    elsewhere (CPU tests, interpret runs). Trace-time dispatch."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .pallas_auction import masked_assignment_pallas
+
+        return masked_assignment_pallas(
+            cost, row_mask, col_mask, thresh, n_phases=n_phases
+        )
+    return masked_assignment(
+        cost, row_mask, col_mask, thresh, n_phases=n_phases
+    )
+
 
 # ---------------------------------------------------------------------------
 # host reference (scipy) — mirrors lap.lapjv(extend_cost=True, cost_limit=t)

@@ -72,7 +72,9 @@ def _auction_kernel(w_ref, sched_ref, nm_ref, cap_ref, r2c_ref, c2r_ref,
         cur = jnp.max(jnp.where(own, values, NEG_F), axis=1)[None, :]
         keep = (r2c >= 0) & (cur >= v1 - eps)
         r2c = jnp.where(keep, r2c, -1)
-        kept_own = own & jnp.transpose(keep)
+        # bool minor-dim insertion is unsupported on TPU; go through i32
+        keep_col = jnp.transpose(keep.astype(jnp.int32)) > 0   # (S, 1)
+        kept_own = own & keep_col
         c2r = jnp.max(
             jnp.where(kept_own, row_ids_m, -1), axis=0
         )[None, :]
@@ -98,9 +100,10 @@ def _auction_kernel(w_ref, sched_ref, nm_ref, cap_ref, r2c_ref, c2r_ref,
             bid_eff = jnp.where(unassigned[0], bid, NEG_F)
             bid_m = jnp.where(best_oh, bid_eff[:, None], NEG_F)
             col_best = jnp.max(bid_m, axis=0)[None, :]      # (1, S)
+            un_col = jnp.transpose(unassigned.astype(jnp.int32)) > 0
             cand = best_oh & (
                 bid_eff[:, None] >= col_best[0][None, :]
-            ) & unassigned[0][:, None]
+            ) & un_col
             winner = jnp.min(
                 jnp.where(cand, row_ids_m, s), axis=0
             )[None, :]                                # (1, S)

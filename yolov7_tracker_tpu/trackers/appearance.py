@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kalman
-from ..ops.assignment import masked_assignment
+from ..ops.assignment import solve_assignment as masked_assignment
 from . import slab as S
 
 CHI2INV95_4 = 9.4877  # kalman_filter.py:11-20, 4 dof

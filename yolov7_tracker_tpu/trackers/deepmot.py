@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops
-from ..ops.assignment import masked_assignment
+from ..ops.assignment import solve_assignment as masked_assignment
 from ..reid import dhn as dhn_mod
 from . import slab as S
 from .registry import register

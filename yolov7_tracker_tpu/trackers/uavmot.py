@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops
-from ..ops.assignment import masked_assignment
+from ..ops.assignment import solve_assignment as masked_assignment
 from . import appearance as A
 from . import slab as S
 from .registry import register
