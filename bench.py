@@ -78,6 +78,7 @@ def main():
             tlbr=tlbr, score=score,
             cls=jnp.zeros((t, d)), valid=jnp.tile(valid, (t, 1)),
             feature=jnp.zeros((t, d, 0), jnp.float32),
+            warp=jnp.tile(S.IDENTITY_WARP, (t, 1, 1)),
         )
 
     det_stream = synth_dets(jax.random.PRNGKey(0), n_frames)

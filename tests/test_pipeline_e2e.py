@@ -75,6 +75,7 @@ def test_sharded_sequence_tracking():
         cls=jnp.zeros((t_frames, n_seq, 8)),
         valid=jnp.ones((t_frames, n_seq, 8), bool),
         feature=jnp.zeros((t_frames, n_seq, 8, 0)),
+        warp=jnp.tile(S.IDENTITY_WARP, (t_frames, n_seq, 1, 1)),
     )
     slabs2, outs = tracker(
         jax.tree.map(jnp.asarray, slabs), det_streams

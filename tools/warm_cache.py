@@ -54,6 +54,7 @@ def main():
         tlbr=jnp.zeros((256, d, 4)), score=jnp.zeros((256, d)),
         cls=jnp.zeros((256, d)), valid=jnp.zeros((256, d), bool),
         feature=jnp.zeros((256, d, 0)),
+        warp=jnp.tile(S.IDENTITY_WARP, (256, 1, 1)),
     )
     slab = pipe.init_tracker()
     _, outs = pipe.track_scan(slab, det_stream)

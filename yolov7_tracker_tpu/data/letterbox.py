@@ -64,32 +64,35 @@ def letterbox_host(img: np.ndarray, new_shape=(640, 640), stride: int = 32,
     return img, (r, r), (dw, dh)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "src_hw", "bgr_to_rgb"))
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "src_hw", "bgr_to_rgb", "dtype")
+)
 def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
-                      out_hw: Tuple[int, int], bgr_to_rgb: bool = True):
+                      out_hw: Tuple[int, int], bgr_to_rgb: bool = True,
+                      dtype=jnp.float32):
     """Fused on-device preprocessing for a (B, H, W, 3) uint8 batch.
 
     Bilinear-resizes to the letterbox rectangle for a *fixed* source size
     (one compiled graph per camera resolution — sequences have constant
     resolution), pads with 114, channel-swaps and scales to [0, 1].
-    Returns (B, 3, outH, outW) float32 plus the (ratio, (dw, dh)) needed
-    to invert boxes.
+    Returns NHWC (B, outH, outW, 3) in `dtype` (bf16 halves the resize's
+    HBM traffic; detection deltas are far below score tolerance) plus the
+    (ratio, (dw, dh)) needed to invert boxes.
     """
     r, (uw, uh), (dw, dh) = letterbox_params(src_hw, out_hw, stride=32)
-    x = frames.astype(jnp.float32)
+    x = frames.astype(dtype)
     x = jax.image.resize(
         x, (frames.shape[0], uh, uw, 3), method="linear", antialias=False
     )
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
     out = jnp.full(
-        (frames.shape[0], out_hw[0], out_hw[1], 3), PAD_VALUE, jnp.float32
+        (frames.shape[0], out_hw[0], out_hw[1], 3), PAD_VALUE, dtype
     )
     out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
     if bgr_to_rgb:
         out = out[..., ::-1]
-    out = jnp.transpose(out, (0, 3, 1, 2)) / 255.0
-    return out, (r, (dw, dh))
+    return out / 255.0, (r, (dw, dh))
 
 
 def scale_coords_device(coords: jnp.ndarray, img1_hw, img0_hw,

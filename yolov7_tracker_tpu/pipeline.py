@@ -39,8 +39,13 @@ class PipelineConfig:
     conf_thres: float = 0.01       # NMS conf (post_process_v7, track.py:238)
     iou_thres: float = 0.45
     max_det: int = 300
+    nms_top_k: int = 2048          # candidate slab (reference max_nms 30000;
+                                   # post-gate candidates rarely exceed 2k)
     detector_batch: int = 8
     dtype: str = "bfloat16"        # detector compute dtype
+    gmc_method: str = "none"       # camera-motion comp: none | orb | ecc
+    detect_per_frame: int = 1      # run the detector every k-th frame
+                                   # (reference --detect_per_frame)
 
 
 class TrackingPipeline:
@@ -68,6 +73,12 @@ class TrackingPipeline:
         self.variables = variables
         self.step, self.tcfg = build_tracker(tcfg)
         self._detect_cache = {}
+        self._gmc = None
+        if pcfg.gmc_method != "none":
+            from .trackers.gmc import GMC
+
+            self._gmc = GMC(method=pcfg.gmc_method)
+        self._predict_only = None
 
     # ------------------------------------------------------------------
     # detector
@@ -89,18 +100,20 @@ class TrackingPipeline:
         left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
         out_h, out_w = uh + top + bottom, uw + left + right
 
+        compute_dtype = (
+            jnp.bfloat16 if self.pcfg.dtype == "bfloat16" else jnp.float32
+        )
+
         @jax.jit
         def detect(variables, frames_u8):
             imgs, _ = letterbox.device_preprocess(
-                frames_u8, src_hw, (out_h, out_w)
+                frames_u8, src_hw, (out_h, out_w), dtype=compute_dtype
             )
-            if self.pcfg.dtype == "bfloat16":
-                imgs = imgs.astype(jnp.bfloat16)
-            imgs = jnp.transpose(imgs, (0, 2, 3, 1))  # NCHW->NHWC
             pred, _ = self.model.apply(variables, imgs, training=False)
             pred = pred.astype(jnp.float32)
             dets, counts = nms_mod.nms(
-                pred, pcfg.conf_thres, pcfg.iou_thres, max_det=pcfg.max_det
+                pred, pcfg.conf_thres, pcfg.iou_thres, max_det=pcfg.max_det,
+                top_k=pcfg.nms_top_k,
             )
             boxes = letterbox.scale_coords_device(
                 dets[..., :4], (out_h, out_w), src_hw
@@ -179,39 +192,68 @@ class TrackingPipeline:
 
     def run_sequence(self, frames: Iterable[np.ndarray]):
         """Track a sequence of uint8 HWC frames; returns per-frame results
-        [(frame_id, ids, tlwhs, clses)] in reference format."""
+        [(frame_id, ids, tlwhs, clses)] in reference format.
+
+        Detection runs in device batches; with gmc_method set, a per-frame
+        camera warp rides in each DetSlab; with detect_per_frame=k > 1,
+        skipped frames run the predict-only step
+        (update_without_detection, basetrack.py:489)."""
         slab = self.init_tracker()
         results = []
         frame_id = 0
         batch = []
+        warps = []
         d = self.tcfg.det_capacity
+        k_det = max(1, self.pcfg.detect_per_frame)
 
-        def flush(batch, slab, frame_id):
+        def emit(out, frame_id):
+            valid = np.asarray(out.valid)
+            results.append(
+                (
+                    frame_id,
+                    np.asarray(out.track_id)[valid].tolist(),
+                    list(np.asarray(out.tlwh)[valid]),
+                    np.asarray(out.cls)[valid].astype(int).tolist(),
+                )
+            )
+
+        def flush(batch, warps, slab, frame_id):
             arr = np.stack(batch)
             boxes, score, cls, counts = self.detect_batch(arr)
             det_slabs = jax.vmap(self.dets_to_slab)(
                 boxes[:, :d], score[:, :d], cls[:, :d], counts
             )
+            wstack = jnp.asarray(np.stack(warps), jnp.float32)
+            det_slabs = det_slabs._replace(warp=wstack)
             slab, outs = self.track_scan(slab, det_slabs)
             outs = jax.tree.map(np.asarray, outs)
             for b in range(arr.shape[0]):
                 frame_id += 1
-                valid = outs.valid[b]
-                results.append(
-                    (
-                        frame_id,
-                        outs.track_id[b][valid].tolist(),
-                        list(outs.tlwh[b][valid]),
-                        outs.cls[b][valid].astype(int).tolist(),
-                    )
-                )
+                emit(jax.tree.map(lambda x: x[b], outs), frame_id)
             return slab, frame_id
 
-        for f in frames:
+        for i, f in enumerate(frames):
+            if k_det > 1 and i % k_det != 0:
+                # predict-only frame; flush pending detections first
+                if batch:
+                    slab, frame_id = flush(batch, warps, slab, frame_id)
+                    batch, warps = [], []
+                if self._predict_only is None:
+                    from .trackers.registry import build_predict_only
+
+                    self._predict_only = build_predict_only(self.tcfg)
+                slab, out = self._predict_only(slab)
+                frame_id += 1
+                emit(jax.tree.map(np.asarray, out), frame_id)
+                continue
             batch.append(f)
+            warps.append(
+                self._gmc.apply(f) if self._gmc is not None else
+                np.asarray(S.IDENTITY_WARP)
+            )
             if len(batch) == self.pcfg.detector_batch:
-                slab, frame_id = flush(batch, slab, frame_id)
-                batch = []
+                slab, frame_id = flush(batch, warps, slab, frame_id)
+                batch, warps = [], []
         if batch:
-            slab, frame_id = flush(batch, slab, frame_id)
+            slab, frame_id = flush(batch, warps, slab, frame_id)
         return results

@@ -40,8 +40,7 @@ def _fused_cost(slab, dets, fmt, use_appearance):
 
 
 @register("botsort")
-def botsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
-                 warp: Optional[jnp.ndarray] = None):
+def botsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
     fmt = cfg.kalman_format  # forced 'botsort' (track.py:68-69)
     use_app = cfg.feature_dim > 0
     slab = slab._replace(frame=slab.frame + 1)
@@ -53,8 +52,8 @@ def botsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
     pmask = S.pool_mask(slab)
     umask0 = S.unconfirmed_mask(slab)
     slab = S.predict_pool(slab, fmt, pmask)
-    if warp is not None:
-        slab = A.apply_gmc(slab, warp, pmask | umask0)
+    # camera-motion warp (identity when GMC disabled — a no-op)
+    slab = A.apply_gmc(slab, dets.warp, pmask | umask0)
 
     # stage 1: pool vs high @0.9
     cost = _fused_cost(slab, dets, fmt, use_app)

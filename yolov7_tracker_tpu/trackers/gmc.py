@@ -158,14 +158,12 @@ def ecc_affine(ref: jnp.ndarray, cur: jnp.ndarray, iters: int = 30):
 
     grad_fn = jax.grad(objective)
 
-    def body(_, p):
+    def body(i, p):
         g = grad_fn(p)
-        # diagonal preconditioning: translations move pixels 1:1, scale
-        # and rotation move up to ~half the image size
-        scale = jnp.array([wid * 0.5, wid * 0.5, 1.0, 1.0])
-        return p - 2e-1 * g / (jnp.linalg.norm(g * scale) + 1e-8) * jnp.array(
-            [1e-3, 1e-3, 1.0, 1.0]
-        )
+        # sign-gradient with geometric step decay: robust across the very
+        # different parameter scales (a/b ~1e-3 per step, t ~1px per step)
+        step = jnp.array([8e-4, 8e-4, 0.8, 0.8]) * (0.96 ** i)
+        return p - jnp.sign(g) * step
 
     p = jax.lax.fori_loop(0, iters, body, jnp.zeros(4))
     a, b, tx, ty = p

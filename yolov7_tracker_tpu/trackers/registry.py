@@ -66,3 +66,21 @@ def build_tracker(cfg: S.TrackerConfig) -> Tuple[Callable, S.TrackerConfig]:
             cfg = dataclasses.replace(cfg, **{k: v})
     step = functools.partial(fn, cfg=cfg)
     return jax.jit(step), cfg
+
+
+def build_predict_only(cfg: S.TrackerConfig):
+    """update_without_detection (basetrack.py:489-537): bump frame, KF-
+    predict the pool, dedup, emit — for --detect_per_frame skipping.
+    C-BIoU has no Kalman, so its predict-only step is frame+emit."""
+    import jax.numpy as jnp
+
+    fmt = cfg.kalman_format
+
+    def step(slab):
+        slab = slab._replace(frame=slab.frame + 1)
+        if fmt != "none":
+            slab = S.predict_pool(slab, fmt)
+        slab = S.remove_duplicates(slab, fmt)
+        return slab, S.frame_output(slab, fmt, cfg)
+
+    return jax.jit(step)

@@ -32,6 +32,8 @@ from ..ops import kalman
 # TrackState (basetrack.py:14-18)
 NEW, TRACKED, LOST, REMOVED = 0, 1, 2, 3
 
+IDENTITY_WARP = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+
 
 class TrackSlab(NamedTuple):
     """Padded track state; capacity T fixed at trace time."""
@@ -91,13 +93,15 @@ class TrackerConfig:
 
 
 class DetSlab(NamedTuple):
-    """Padded per-frame detections: tlbr+score+cls (+optional features)."""
+    """Padded per-frame detections: tlbr+score+cls (+optional features,
+    + the frame's camera-motion warp for GMC trackers)."""
 
     tlbr: jnp.ndarray    # (D, 4)
     score: jnp.ndarray   # (D,)
     cls: jnp.ndarray     # (D,)
     valid: jnp.ndarray   # (D,) bool
-    feature: jnp.ndarray  # (D, F) L2-normalized ReID features (F=0 if unused)
+    feature: jnp.ndarray  # (D, F) ReID features (F=0 if unused)
+    warp: jnp.ndarray = IDENTITY_WARP  # (2, 3) affine, identity = no GMC
 
     @property
     def tlwh(self):
@@ -132,7 +136,7 @@ def init_slab(cfg: TrackerConfig) -> TrackSlab:
 
 
 def make_det_slab(cfg: TrackerConfig, tlbr, score, cls, valid,
-                  feature=None) -> DetSlab:
+                  feature=None, warp=None) -> DetSlab:
     d = cfg.det_capacity
     f = cfg.feature_dim
 
@@ -150,6 +154,7 @@ def make_det_slab(cfg: TrackerConfig, tlbr, score, cls, valid,
         cls=pad(jnp.asarray(cls, jnp.float32), d),
         valid=pad(jnp.asarray(valid, bool), d, False),
         feature=pad(jnp.asarray(feature, jnp.float32), d),
+        warp=IDENTITY_WARP if warp is None else jnp.asarray(warp, jnp.float32),
     )
 
 

@@ -43,15 +43,13 @@ def _fused(slab, dets, fmt, gamma):
 
 @register("strongsort", feature_dim=512)
 def strongsort_step(slab: S.TrackSlab, dets: S.DetSlab,
-                    cfg: S.TrackerConfig,
-                    warp: Optional[jnp.ndarray] = None):
+                    cfg: S.TrackerConfig):
     fmt = cfg.kalman_format  # forced 'strongsort' (NSA)
     slab = slab._replace(frame=slab.frame + 1)
     dmask = dets.valid & (dets.score > cfg.conf_thresh)
 
     pmask = S.pool_mask(slab)
-    if warp is not None:
-        slab = A.apply_gmc(slab, warp, pmask)  # ECC before predict
+    slab = A.apply_gmc(slab, dets.warp, pmask)  # ECC before predict
     slab = S.predict_pool(slab, fmt, pmask)
 
     # stage 1: fused motion+appearance @0.7
