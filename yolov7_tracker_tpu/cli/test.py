@@ -14,7 +14,8 @@ import numpy as np
 
 def evaluate_map(spec, variables, val_path: str, img: int = 640,
                  batch: int = 8, conf_thres: float = 0.001,
-                 iou_thres: float = 0.65, max_labels: int = 128) -> Dict:
+                 iou_thres: float = 0.65, max_labels: int = 128,
+                 save_json: str = "") -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +37,8 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
         )
 
     stats = []
+    json_dets = []
+    img_id = 0
     for imgs, tgts, masks in dataset.batches(batch, shuffle=False):
         x = jnp.asarray(imgs[..., ::-1].astype(np.float32) / 255.0)
         dets, counts = forward(variables, x)
@@ -60,6 +63,25 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
             stats.append(
                 (correct, d[:, 4], d[:, 5], l_xyxy[:, 0])
             )
+            if save_json:
+                # COCO-format detections (test.py:173+ json path; scoring
+                # needs pycocotools, absent here — the file is emitted for
+                # external cocoeval)
+                img_id += 1
+                for row in d:
+                    json_dets.append({
+                        "image_id": img_id,
+                        "category_id": int(row[5]),
+                        "bbox": [float(row[0]), float(row[1]),
+                                 float(row[2] - row[0]),
+                                 float(row[3] - row[1])],
+                        "score": float(row[4]),
+                    })
+    if save_json:
+        import json as _json
+
+        with open(save_json, "w") as f:
+            _json.dump(json_dets, f)
     if not stats:
         return {"map50": 0.0, "map": 0.0, "mp": 0.0, "mr": 0.0}
     tp = np.concatenate([s[0] for s in stats])

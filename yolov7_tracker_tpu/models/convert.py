@@ -158,6 +158,20 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
     return {"params": params, "batch_stats": stats}
 
 
+def ensemble_variables(variables_list):
+    """Ensemble via parameter averaging (the inference-side analogue of
+    models/experimental.py Ensemble, which averages decoded outputs; for
+    converted checkpoints of identical topology, weight-space averaging
+    serves the same multi-checkpoint deployment need in one graph).
+    Returns averaged {'params', 'batch_stats'}."""
+    import jax
+
+    def avg(*xs):
+        return sum(xs) / len(xs)
+
+    return jax.tree.map(avg, *variables_list)
+
+
 def state_dict_from_reference_ckpt(path: str, reference_repo: str):
     """Unpickle a reference .pt (attempt_load-style dict) by making the
     reference package importable, and return its fp32 state_dict."""

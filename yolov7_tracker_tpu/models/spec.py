@@ -24,8 +24,10 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 SUPPORTED = {
     "Conv", "MP", "SP", "SPPCSPC", "RepConv", "ReOrg", "DownC", "Concat",
-    "Shortcut", "Upsample", "Detect", "IDetect", "IAuxDetect",
+    "Shortcut", "Upsample", "Detect", "IDetect", "IAuxDetect", "IBin",
 }
+
+BIN_COUNT = 21  # IBin default (models/yolo.py:165)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +61,10 @@ class ModelSpec:
 
     @property
     def no(self) -> int:
+        if self.head_kind == "IBin":
+            # classes + (x, y, obj) + two (bin_count+1) sigmoid-bin heads
+            # (models/yolo.py:167-175)
+            return self.nc + 3 + 2 * (BIN_COUNT + 1)
         return self.nc + 5
 
     def anchors_per_level(self):
@@ -182,7 +188,7 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             factor = args[1]
             norm_args = (factor,)
             out_ch, out_scale = in_ch, in_scale // factor
-        elif kind in ("Detect", "IDetect", "IAuxDetect"):
+        elif kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
             head = (kind, absfrm, i)
             norm_args = ()
             out_ch, out_scale = 0, in_scale

@@ -63,7 +63,7 @@ class YoloV7(nn.Module):
                     name=f"head_m{('2' if i >= nl else '')}_{i % nl}")
             for i in range(n_heads)
         ]
-        if spec.head_kind in ("IDetect", "IAuxDetect"):
+        if spec.head_kind in ("IDetect", "IAuxDetect", "IBin"):
             self._ia = [
                 ImplicitA(name=f"head_ia_{i}") for i in range(nl)
             ]
@@ -84,7 +84,7 @@ class YoloV7(nn.Module):
         y = x
         head_inputs: List[Any] = []
         for l in spec.layers:
-            if l.kind in ("Detect", "IDetect", "IAuxDetect"):
+            if l.kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
                 head_inputs = [
                     saved[i] if i in saved else y for i in l.frm
                 ]
@@ -126,12 +126,13 @@ class YoloV7(nn.Module):
         anchors = jnp.asarray(spec.anchors_per_level())  # (nl, na, 2) px
         raw: List[Any] = []
         decoded: List[Any] = []
+        implicit = spec.head_kind in ("IDetect", "IAuxDetect", "IBin")
         for i, feat in enumerate(head_inputs):
             lead = i < nl
-            if lead and spec.head_kind in ("IDetect", "IAuxDetect"):
+            if lead and implicit:
                 feat = self._ia[i](feat)
             p = self._head_convs[i](feat)
-            if lead and spec.head_kind in ("IDetect", "IAuxDetect"):
+            if lead and implicit:
                 p = self._im[i](p)
             b, ny, nx, _ = p.shape
             p = p.reshape(b, ny, nx, na, no)
@@ -143,6 +144,25 @@ class YoloV7(nn.Module):
                 grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
                 y = jax.nn.sigmoid(p)
                 xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+                if spec.head_kind == "IBin":
+                    # binned wh decode (models/yolo.py:208-225)
+                    from .ibin import sigmoid_bin_decode
+                    from .spec import BIN_COUNT
+
+                    L = BIN_COUNT + 1
+                    pw = sigmoid_bin_decode(y[..., 2:2 + L]) * anchors[i][..., 0]
+                    ph = sigmoid_bin_decode(
+                        y[..., 2 + L:2 + 2 * L]
+                    ) * anchors[i][..., 1]
+                    out = jnp.concatenate(
+                        [xy, pw[..., None], ph[..., None],
+                         y[..., 2 + 2 * L:]],
+                        axis=-1,
+                    )
+                    decoded.append(
+                        out.reshape(b, ny * nx * na, spec.nc + 5)
+                    )
+                    continue
                 wh = (y[..., 2:4] * 2.0) ** 2 * anchors[i]
                 out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
                 decoded.append(out.reshape(b, ny * nx * na, no))
@@ -180,6 +200,8 @@ class ImplicitM(nn.Module):
 def init_head_biases(params, spec: ModelSpec, cf=None):
     """Detection-head bias init (models/yolo.py:353-368): obj bias
     log(8 / (640/stride)^2), cls bias log(0.6 / (nc - 0.99))."""
+    if spec.head_kind == "IBin":  # bin layout has no plain obj/cls slots
+        return params
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     nl, na, nc = spec.nl, spec.na, spec.nc
     n_heads = len(spec.head_from)

@@ -316,6 +316,69 @@ def random_perspective(img, targets, hyp: AugHyp, border=(0, 0), rng=None):
     return img, targets
 
 
+def cutout(img: np.ndarray, labels: np.ndarray, rng) -> np.ndarray:
+    """Random occlusion squares (utils/datasets.py:1314-1347): scales
+    [0.5] + [0.25]*2 + [0.125]*4 + [0.0625]*8 filled with random colors;
+    labels with >60% obscured area are dropped by the caller's
+    box_candidates-style filter — here we mirror the reference and drop
+    labels whose IoA with a cutout box exceeds 0.6."""
+    h, w = img.shape[:2]
+    scales = [0.5] + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    keep = np.ones(len(labels), bool)
+    for s in scales:
+        mask_h = rng.randrange(1, int(h * s))
+        mask_w = rng.randrange(1, int(w * s))
+        xmin = max(0, rng.randrange(0, w) - mask_w // 2)
+        ymin = max(0, rng.randrange(0, h) - mask_h // 2)
+        xmax = min(w, xmin + mask_w)
+        ymax = min(h, ymin + mask_h)
+        img[ymin:ymax, xmin:xmax] = [
+            rng.randrange(64, 191) for _ in range(3)
+        ]
+        if len(labels):
+            box = np.array([xmin, ymin, xmax, ymax], np.float32)
+            ioa = _bbox_ioa(box, labels[:, 1:5])
+            keep &= ioa < 0.60
+    return img, labels[keep]
+
+
+def _bbox_ioa(box1, box2, eps=1e-7):
+    """Intersection over box2 area (utils/general.py bbox_ioa)."""
+    iw = np.maximum(
+        0, np.minimum(box1[2], box2[:, 2]) - np.maximum(box1[0], box2[:, 0])
+    )
+    ih = np.maximum(
+        0, np.minimum(box1[3], box2[:, 3]) - np.maximum(box1[1], box2[:, 1])
+    )
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1]) + eps
+    return iw * ih / area2
+
+
+def paste_in(img: np.ndarray, labels: np.ndarray, samples, rng,
+             probability: float = 0.5):
+    """Copy-paste augmentation (utils/datasets.py:1264-1311): paste
+    cropped object samples [(patch, cls), ...] at random free locations;
+    skips pastes overlapping existing labels (IoA > 0.3)."""
+    h, w = img.shape[:2]
+    out_labels = list(labels)
+    for patch, cls in samples:
+        if rng.random() > probability:
+            continue
+        ph, pw = patch.shape[:2]
+        if ph >= h or pw >= w or ph < 4 or pw < 4:
+            continue
+        x = rng.randrange(0, w - pw)
+        y = rng.randrange(0, h - ph)
+        box = np.array([x, y, x + pw, y + ph], np.float32)
+        if len(out_labels):
+            ioa = _bbox_ioa(box, np.stack(out_labels)[:, 1:5])
+            if (ioa > 0.3).any():
+                continue
+        img[y:y + ph, x:x + pw] = patch
+        out_labels.append(np.array([cls, *box], np.float32))
+    return img, (np.stack(out_labels) if out_labels else labels)
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1):
     """(utils/datasets.py:1233-1240)."""
     w1, h1 = box1[2] - box1[0], box1[3] - box1[1]

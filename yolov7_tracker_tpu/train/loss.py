@@ -67,6 +67,27 @@ def smooth_bce(eps: float):
     return 1.0 - 0.5 * eps, 0.5 * eps
 
 
+def focal_bce(logits, targets, gamma: float, alpha: float = 0.25,
+              pos_weight: float = 1.0):
+    """FocalLoss wrapper around BCE-with-logits (utils/loss.py:121-146):
+    loss *= alpha_factor * (1 - p_t)^gamma with mean reduction."""
+    loss = _bce(logits, targets, pos_weight)
+    p = jax.nn.sigmoid(logits)
+    p_t = targets * p + (1 - targets) * (1 - p)
+    alpha_f = targets * alpha + (1 - targets) * (1 - alpha)
+    return loss * alpha_f * (1.0 - p_t) ** gamma
+
+
+def qfocal_bce(logits, targets, gamma: float, alpha: float = 0.25,
+               pos_weight: float = 1.0):
+    """Quality focal loss (utils/loss.py:149-173): modulates by
+    |targets - sigmoid|^gamma."""
+    loss = _bce(logits, targets, pos_weight)
+    p = jax.nn.sigmoid(logits)
+    alpha_f = targets * alpha + (1 - targets) * (1 - alpha)
+    return loss * alpha_f * jnp.abs(targets - p) ** gamma
+
+
 def _balance(nl: int) -> Tuple[float, ...]:
     return (4.0, 1.0, 0.4) if nl == 3 else (4.0, 1.0, 0.25, 0.06, 0.02)[:nl]
 
