@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--track_eval", type=lambda s: s.lower() != "false",
                    default=True)
     p.add_argument("--detector_batch", type=int, default=8)
+    p.add_argument("--gmc", type=str, default="",
+                   help="camera-motion compensation: orb | ecc "
+                        "(defaults: botsort=orb, strongsort=ecc)")
+    p.add_argument("--detect_per_frame", type=int, default=1)
     p.add_argument("--capacity", type=int, default=256)
     p.add_argument("--det_capacity", type=int, default=128)
     p.add_argument("--config_dir", type=str,
@@ -79,9 +83,13 @@ def main(argv=None):
     from ..trackers.slab import TrackerConfig
     from ..utils.timer import Timer
 
+    gmc = opts.gmc or {"botsort": "orb", "strongsort": "ecc"}.get(
+        opts.tracker, "none"
+    )
     pcfg = PipelineConfig(
         model=opts.model, nc=opts.nc, img_size=opts.img_size,
         conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,
+        gmc_method=gmc, detect_per_frame=opts.detect_per_frame,
     )
     tcfg = TrackerConfig(
         tracker=opts.tracker, kalman_format=opts.kalman_format,

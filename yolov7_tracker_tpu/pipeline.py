@@ -89,13 +89,11 @@ class TrackingPipeline:
         if src_hw in self._detect_cache:
             return self._detect_cache[src_hw]
         pcfg = self.pcfg
-        # letterbox output size for this resolution (minimum rectangle)
+        # letterbox output size for this resolution (minimum rectangle,
+        # exact reference pad arithmetic)
         r, (uw, uh), (dw, dh) = letterbox.letterbox_params(
             src_hw, (pcfg.img_size, pcfg.img_size), stride=max(self.spec.strides)
         )
-        out_h = uh + 2 * int(round(dh - 0.1)) + (1 if (2 * dh) % 2 else 0)
-        out_w = uw + 2 * int(round(dw - 0.1)) + (1 if (2 * dw) % 2 else 0)
-        # exact reference pad arithmetic:
         top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
         left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
         out_h, out_w = uh + top + bottom, uw + left + right
