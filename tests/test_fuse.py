@@ -1,0 +1,33 @@
+"""Conv+BN / RepConv fusion parity: fused model output == unfused."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_fused_matches_unfused():
+    from yolov7_tracker_tpu.models import yolo, zoo
+    from yolov7_tracker_tpu.models.fuse import fuse_variables
+
+    spec = zoo.get_spec("yolov7", nc=8)  # has RepConv heads
+    model, variables = yolo.build_model(spec, img_size=128, init="random")
+    # randomize BN stats so folding actually does something
+    rng = np.random.default_rng(0)
+    stats = jax.tree.map(
+        lambda x: jnp.asarray(
+            np.abs(rng.normal(1.0, 0.1, x.shape)).astype(np.float32)
+        ),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    ref, _ = model.apply(variables, x, training=False)
+
+    fused_vars = fuse_variables(variables)
+    fused_model = yolo.YoloV7(spec, fused=True)
+    got, _ = fused_model.apply(fused_vars, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3
+    )

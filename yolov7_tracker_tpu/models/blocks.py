@@ -32,25 +32,32 @@ def activation(name: str) -> Callable:
 
 
 class ConvBnAct(nn.Module):
-    """Conv (no bias, pad k//2) + BatchNorm + activation."""
+    """Conv (no bias, pad k//2) + BatchNorm + activation.
+
+    fused=True uses a single biased conv (BN folded into the kernel by
+    models/fuse.fuse_variables) — the inference analogue of the
+    reference's Model.fuse() (utils/torch_utils.py:181,
+    models/yolo.py:403-417)."""
 
     c2: int
     k: int = 1
     s: int = 1
     g: int = 1
     act: str = "silu"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = nn.Conv(
             self.c2, (self.k, self.k), strides=self.s,
             padding=self.k // 2, feature_group_count=self.g,
-            use_bias=False, name="conv",
+            use_bias=self.fused, name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not training, epsilon=BN_EPS,
-            momentum=BN_MOM, name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not training, epsilon=BN_EPS,
+                momentum=BN_MOM, name="bn",
+            )(x)
         return activation(self.act)(x)
 
 
@@ -64,10 +71,15 @@ class RepConv(nn.Module):
     c2: int
     s: int = 1
     act: str = "silu"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c1 = x.shape[-1]
+        if self.fused:
+            out = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
+                          use_bias=True, name="rbr_reparam")(x)
+            return activation(self.act)(out)
         dense = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
                         use_bias=False, name="rbr_dense_conv")(x)
         dense = nn.BatchNorm(use_running_average=not training,
@@ -125,14 +137,16 @@ class DownC(nn.Module):
 
     c2: int
     k: int = 2
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c1 = x.shape[-1]
-        a = ConvBnAct(c1, 1, 1, name="cv1")(x, training)
-        a = ConvBnAct(self.c2 // 2, 3, self.k, name="cv2")(a, training)
+        f = self.fused
+        a = ConvBnAct(c1, 1, 1, fused=f, name="cv1")(x, training)
+        a = ConvBnAct(self.c2 // 2, 3, self.k, fused=f, name="cv2")(a, training)
         b = max_pool(x, self.k, self.k, 0)
-        b = ConvBnAct(self.c2 // 2, 1, 1, name="cv3")(b, training)
+        b = ConvBnAct(self.c2 // 2, 1, 1, fused=f, name="cv3")(b, training)
         return jnp.concatenate([a, b], axis=-1)
 
 
@@ -142,19 +156,21 @@ class SPPCSPC(nn.Module):
     c2: int
     e: float = 0.5
     k: Sequence[int] = (5, 9, 13)
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c_ = int(2 * self.c2 * self.e)
-        x1 = ConvBnAct(c_, 1, 1, name="cv1")(x, training)
-        x1 = ConvBnAct(c_, 3, 1, name="cv3")(x1, training)
-        x1 = ConvBnAct(c_, 1, 1, name="cv4")(x1, training)
+        f = self.fused
+        x1 = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        x1 = ConvBnAct(c_, 3, 1, fused=f, name="cv3")(x1, training)
+        x1 = ConvBnAct(c_, 1, 1, fused=f, name="cv4")(x1, training)
         pooled = [x1] + [sp(x1, k) for k in self.k]
         y1 = jnp.concatenate(pooled, axis=-1)
-        y1 = ConvBnAct(c_, 1, 1, name="cv5")(y1, training)
-        y1 = ConvBnAct(c_, 3, 1, name="cv6")(y1, training)
-        y2 = ConvBnAct(c_, 1, 1, name="cv2")(x, training)
-        return ConvBnAct(self.c2, 1, 1, name="cv7")(
+        y1 = ConvBnAct(c_, 1, 1, fused=f, name="cv5")(y1, training)
+        y1 = ConvBnAct(c_, 3, 1, fused=f, name="cv6")(y1, training)
+        y2 = ConvBnAct(c_, 1, 1, fused=f, name="cv2")(x, training)
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv7")(
             jnp.concatenate([y1, y2], axis=-1), training
         )
 

@@ -1,0 +1,79 @@
+"""Conv+BN (and RepConv) folding for inference.
+
+The reference calls Model.fuse() before deployment (track_demo.py:70-71):
+fuse_conv_and_bn (utils/torch_utils.py:181) and fuse_repvgg_block
+(models/common.py:510+). TPU equivalent: a pure tree-to-tree transform
+producing variables for ``YoloV7(spec, fused=True)`` — BN disappears from
+the graph entirely, so every conv emits a biased matmul XLA can fuse the
+activation into.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+def _fold(kernel, bn_p, bn_s):
+    """kernel HWIO + BN params/stats -> (kernel', bias')."""
+    scale = bn_p["scale"] / jnp.sqrt(bn_s["var"] + BN_EPS)
+    k = kernel * scale[None, None, None, :]
+    b = bn_p["bias"] - bn_s["mean"] * scale
+    return k, b
+
+
+def _pad_1x1_to_3x3(k1):
+    return jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+
+def _identity_kernel(c, dtype):
+    k = jnp.zeros((3, 3, c, c), dtype)
+    return k.at[1, 1, jnp.arange(c), jnp.arange(c)].set(1.0)
+
+
+def _fuse_node(params: Dict, stats: Dict) -> Dict:
+    """Recursively fold ConvBnAct and RepConv patterns in one subtree."""
+    keys = set(params.keys())
+    if {"conv", "bn"} <= keys and "kernel" in params["conv"]:
+        k, b = _fold(params["conv"]["kernel"], params["bn"], stats["bn"])
+        out = {"conv": {"kernel": k, "bias": b}}
+        for other in keys - {"conv", "bn"}:
+            out[other] = _fuse_node(
+                params[other], stats.get(other, {})
+            ) if isinstance(params[other], dict) else params[other]
+        return out
+    if "rbr_dense_conv" in keys:
+        kd, bd = _fold(params["rbr_dense_conv"]["kernel"],
+                       params["rbr_dense_bn"], stats["rbr_dense_bn"])
+        k1, b1 = _fold(params["rbr_1x1_conv"]["kernel"],
+                       params["rbr_1x1_bn"], stats["rbr_1x1_bn"])
+        k = kd + _pad_1x1_to_3x3(k1)
+        b = bd + b1
+        if "rbr_identity" in keys:
+            c = kd.shape[2]
+            ki, bi = _fold(_identity_kernel(c, kd.dtype),
+                           params["rbr_identity"], stats["rbr_identity"])
+            k = k + ki
+            b = b + bi
+        return {"rbr_reparam": {"kernel": k, "bias": b}}
+    out = {}
+    for key, val in params.items():
+        if isinstance(val, dict):
+            out[key] = _fuse_node(val, stats.get(key, {}))
+        else:
+            out[key] = val
+    return out
+
+
+def fuse_variables(variables: Dict) -> Dict:
+    """{'params', 'batch_stats'} -> fused {'params', 'batch_stats': {}}
+    for YoloV7(spec, fused=True)."""
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+    fused = _fuse_node(params, stats)
+    return {"params": jax.tree.map(jnp.asarray, fused), "batch_stats": {}}

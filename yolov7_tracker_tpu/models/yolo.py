@@ -31,6 +31,7 @@ from .spec import LayerSpec, ModelSpec
 
 class YoloV7(nn.Module):
     spec: ModelSpec
+    fused: bool = False  # BN folded into conv (models/fuse.py)
 
     def setup(self):
         mods = {}
@@ -38,20 +39,22 @@ class YoloV7(nn.Module):
             if l.kind == "Conv":
                 k, s, g, act = l.args
                 mods[str(l.index)] = blocks.ConvBnAct(
-                    l.c_out, k, s, g, act, name=f"layer{l.index}"
+                    l.c_out, k, s, g, act, fused=self.fused,
+                    name=f"layer{l.index}",
                 )
             elif l.kind == "RepConv":
                 _, s = l.args
                 mods[str(l.index)] = blocks.RepConv(
-                    l.c_out, s, name=f"layer{l.index}"
+                    l.c_out, s, fused=self.fused, name=f"layer{l.index}"
                 )
             elif l.kind == "DownC":
                 mods[str(l.index)] = blocks.DownC(
-                    l.c_out, l.args[0], name=f"layer{l.index}"
+                    l.c_out, l.args[0], fused=self.fused,
+                    name=f"layer{l.index}",
                 )
             elif l.kind == "SPPCSPC":
                 mods[str(l.index)] = blocks.SPPCSPC(
-                    l.c_out, name=f"layer{l.index}"
+                    l.c_out, fused=self.fused, name=f"layer{l.index}"
                 )
         self._mods = mods
         spec = self.spec

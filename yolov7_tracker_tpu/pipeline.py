@@ -43,6 +43,7 @@ class PipelineConfig:
                                    # post-gate candidates rarely exceed 2k)
     detector_batch: int = 8
     dtype: str = "bfloat16"        # detector compute dtype
+    fuse: bool = True              # fold BN into convs (reference fuse())
     gmc_method: str = "none"       # camera-motion comp: none | orb | ecc
     detect_per_frame: int = 1      # run the detector every k-th frame
                                    # (reference --detect_per_frame)
@@ -53,9 +54,13 @@ class TrackingPipeline:
                  variables=None, spec=None):
         self.pcfg = pcfg
         self.spec = spec or zoo.get_spec(pcfg.model, nc=pcfg.nc)
-        self.model = yolo.YoloV7(self.spec)
         if variables is None:
             _, variables = yolo.build_model(self.spec, img_size=256)
+        if pcfg.fuse:
+            from .models.fuse import fuse_variables
+
+            variables = fuse_variables(variables)
+        self.model = yolo.YoloV7(self.spec, fused=pcfg.fuse)
         if pcfg.dtype == "bfloat16":
             # one jitted cast — eager per-leaf casts pay dispatch latency
             # per parameter on remote-attached devices
