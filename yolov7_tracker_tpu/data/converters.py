@@ -16,7 +16,7 @@ from __future__ import annotations
 import configparser
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 
 def _write_labels(per_frame: Dict[int, List[Tuple[int, float, float, float, float]]],

@@ -10,7 +10,7 @@ momentum 0.1) for checkpoint parity.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

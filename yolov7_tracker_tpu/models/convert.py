@@ -21,7 +21,6 @@ plain state_dict (torch.save(model.state_dict())) or use
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict
 
 import numpy as np
@@ -136,7 +135,7 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                         sd[f"{pre}.rbr_identity.running_mean"])
                     put(stats, (name, "rbr_identity", "var"),
                         sd[f"{pre}.rbr_identity.running_var"])
-        elif l.kind in ("Detect", "IDetect", "IAuxDetect"):
+        elif l.kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
             n_heads = len(spec.head_from)
             for hi in range(n_heads):
                 aux = hi >= nl
@@ -144,7 +143,7 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                 dst = f"head_m{('2' if aux else '')}_{hi % nl}"
                 put(params, (dst, "kernel"), _k(sd[f"{src}.weight"]))
                 put(params, (dst, "bias"), sd[f"{src}.bias"])
-            if l.kind in ("IDetect", "IAuxDetect"):
+            if l.kind in ("IDetect", "IAuxDetect", "IBin"):
                 for hi in range(nl):
                     put(params, (f"head_ia_{hi}", "implicit"),
                         sd[f"{head_idx}.ia.{hi}.implicit"].reshape(-1))

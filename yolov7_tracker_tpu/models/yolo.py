@@ -18,7 +18,7 @@ one jit of apply() compiles the whole detector into a single XLA graph.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from . import blocks
-from .spec import LayerSpec, ModelSpec
+from .spec import ModelSpec
 
 
 class YoloV7(nn.Module):

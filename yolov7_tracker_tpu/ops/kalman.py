@@ -23,7 +23,6 @@ a single slab dtype/shape serves every tracker.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

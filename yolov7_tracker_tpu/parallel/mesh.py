@@ -9,7 +9,7 @@ shardings — no process groups, no explicit all-reduce.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

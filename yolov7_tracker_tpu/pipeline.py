@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ Reference quirks kept: stage 2 runs over ALL stage-1-unmatched pool rows
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops

@@ -21,7 +21,7 @@ we mark the actual unmatched Tracked rows lost.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -24,8 +24,6 @@ eval-time postprocessing (see reid/aflink.py, eval/gsi.py).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops

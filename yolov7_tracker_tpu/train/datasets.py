@@ -19,7 +19,7 @@ import glob
 import math
 import os
 import random
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -4,7 +4,6 @@ bounds, 80%-mutate/20%-elite parent selection, fitness-weighted)."""
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Dict, List, Tuple
 
 import numpy as np

@@ -3,7 +3,7 @@ correctness matrix) — host numpy, evaluation-time only."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 
