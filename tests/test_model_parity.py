@@ -33,7 +33,27 @@ def _stub_missing_modules():
         tv.__path__ = []  # mark as package
         ops = types.ModuleType("torchvision.ops")
         ops.DeformConv2d = torch.nn.Module
-        ops.nms = lambda *a, **k: None
+
+        def _nms(boxes, scores, iou_thres):
+            order = torch.argsort(scores, descending=True, stable=True)
+            keep = []
+            alive = torch.ones(len(boxes), dtype=torch.bool)
+            area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            for idx in order.tolist():
+                if not alive[idx]:
+                    continue
+                keep.append(idx)
+                b = boxes[idx]
+                iw = (torch.minimum(b[2], boxes[:, 2])
+                      - torch.maximum(b[0], boxes[:, 0])).clamp(min=0)
+                ih = (torch.minimum(b[3], boxes[:, 3])
+                      - torch.maximum(b[1], boxes[:, 1])).clamp(min=0)
+                inter = iw * ih
+                iou = inter / (area[idx] + area - inter + 1e-7)
+                alive &= iou <= iou_thres
+            return torch.tensor(keep, dtype=torch.long)
+
+        ops.nms = _nms
         for fn in ("roi_pool", "roi_align", "ps_roi_pool", "ps_roi_align"):
             setattr(ops, fn, lambda *a, **k: None)
         utils = types.ModuleType("torchvision.utils")
