@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--data_format", type=str, default="origin",
                    choices=["origin", "yolo"])
     p.add_argument("--split", type=str, default="test")
+    p.add_argument("--split_txt", type=str, default="",
+                   help="image-list txt for --data_format yolo")
     p.add_argument("--tracker", type=str, default="sort")
     p.add_argument("--model", type=str, default="yolov7-w6",
                    help="zoo model name or reference cfg yaml path")
@@ -120,6 +122,7 @@ def main(argv=None):
     seqs = seqmod.discover_sequences(
         data_root, opts.data_format, split=opts.split,
         seqs=certain or None, ignore_seqs=ignore,
+        split_txt=opts.split_txt or None,
     )
     folder = os.path.join(
         opts.output_dir, f"{opts.tracker}_{time.strftime('%Y%m%d_%H%M%S')}"

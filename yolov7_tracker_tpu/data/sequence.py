@@ -43,9 +43,17 @@ def discover_sequences(
     """
     out: List[SequenceSpec] = []
     if data_format == "origin":
-        base = os.path.join(data_root, "images", split)
-        if not os.path.isdir(base):
-            base = os.path.join(data_root, split)
+        candidates = [
+            os.path.join(data_root, "images", split),
+            os.path.join(data_root, split, "sequences"),  # VisDrone layout
+            os.path.join(data_root, f"VisDrone2019-MOT-{split}", "sequences"),
+            os.path.join(data_root, split),
+        ]
+        base = next((c for c in candidates if os.path.isdir(c)), None)
+        if base is None:
+            raise FileNotFoundError(
+                f"no sequence dir under {data_root!r} for split {split!r}"
+            )
         names = seqs if seqs else sorted(os.listdir(base))
         for name in names:
             if name in ignore_seqs:

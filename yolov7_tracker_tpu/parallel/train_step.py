@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import yolo
 from ..models.spec import ModelSpec
-from ..train.loss import Hyp, compute_loss_ota
+from ..train.loss import Hyp, compute_loss_aux_ota, compute_loss_ota
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,16 +119,26 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
     model = yolo.YoloV7(spec)
     tx = make_optimizer(opt_cfg)
 
+    # IAuxDetect models train with the aux-head loss (the reference's
+    # train_aux.py path for w6/e6/d6/e6e, README.md:99-101)
+    use_aux = spec.head_kind == "IAuxDetect"
+
     def loss_fn(params, batch_stats, imgs, targets, tmask):
         x = imgs.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else imgs
         preds, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, training=True, mutable=["batch_stats"],
         )
-        preds = [p.astype(jnp.float32) for p in preds[: spec.nl]]
-        loss, metrics = compute_loss_ota(
-            preds, targets, tmask, spec, img_size, hyp
-        )
+        if use_aux:
+            preds = [p.astype(jnp.float32) for p in preds]
+            loss, metrics = compute_loss_aux_ota(
+                preds, targets, tmask, spec, img_size, hyp
+            )
+        else:
+            preds = [p.astype(jnp.float32) for p in preds[: spec.nl]]
+            loss, metrics = compute_loss_ota(
+                preds, targets, tmask, spec, img_size, hyp
+            )
         return loss, (metrics, updates["batch_stats"])
 
     def step_fn(state: TrainState, imgs, targets, tmask):
