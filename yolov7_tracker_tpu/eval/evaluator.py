@@ -19,6 +19,21 @@ from . import data as D
 from . import metrics as M
 
 
+def _empty_result():
+    """All-zero metric dict used when a sequence errors out."""
+    empty = {
+        "gt_ids": [], "tracker_ids": [], "similarity_scores": [],
+        "num_timesteps": 0, "num_gt_ids": 0, "num_tracker_ids": 0,
+        "num_gt_dets": 0, "num_tracker_dets": 0,
+    }
+    res = {}
+    res.update(M.hota(empty))
+    res.update(M.clear(empty))
+    res.update(M.identity(empty))
+    res.update(M.count(empty))
+    return res
+
+
 def eval_sequence(seq: str, gt_path: str, result_path: str,
                   num_timesteps: int, benchmark: str,
                   classes: Sequence[str]) -> Dict[str, Dict]:
@@ -67,13 +82,27 @@ def evaluate_benchmark(
         )
         for seq, n in seqs.items()
     ]
+    # per-sequence error capture (trackeval eval.py:191-209: log and
+    # continue rather than aborting the whole run)
+    def safe_eval(*job):
+        try:
+            return eval_sequence(*job)
+        except Exception:
+            err = traceback.format_exc()
+            if output_folder:
+                os.makedirs(output_folder, exist_ok=True)
+                with open(os.path.join(output_folder, "error_log.txt"),
+                          "a") as f:
+                    f.write(f"seq {job[0]}:\n{err}\n")
+            return {c: _empty_result() for c in classes}
+
     if num_parallel > 1:
         from multiprocessing import Pool
 
         with Pool(num_parallel) as pool:
-            results = pool.starmap(eval_sequence, jobs)
+            results = pool.starmap(safe_eval, jobs)
     else:
-        results = [eval_sequence(*j) for j in jobs]
+        results = [safe_eval(*j) for j in jobs]
 
     table: Dict[str, Dict[str, Dict]] = {c: {} for c in classes}
     for (seq, *_), res in zip(jobs, results):

@@ -190,6 +190,38 @@ class TrackingPipeline:
         return self._scan_multi_fn(slabs, det_streams)
 
     # ------------------------------------------------------------------
+    # fused single-frame step (lowest latency streaming)
+    # ------------------------------------------------------------------
+
+    def _step_frame_fn(self, src_hw: Tuple[int, int]):
+        key = ("step", src_hw)
+        if key in self._detect_cache:
+            return self._detect_cache[key]
+        detect = self._detect_fn(src_hw)
+        d = self.tcfg.det_capacity
+
+        @jax.jit
+        def step(variables, slab, frame_u8, warp):
+            boxes, score, cls, counts = detect(variables, frame_u8[None])
+            det = self.dets_to_slab(
+                boxes[0, :d], score[0, :d], cls[0, :d], counts[0]
+            )._replace(warp=warp)
+            slab, out = self.step(slab, det)
+            return slab, out
+
+        self._detect_cache[key] = step
+        return step
+
+    def step_frame(self, slab: S.TrackSlab, frame: np.ndarray, warp=None):
+        """Detect + associate one frame in a single compiled call — the
+        latency-oriented streaming mode (one device round trip/frame)."""
+        if warp is None:
+            warp = S.IDENTITY_WARP
+        return self._step_frame_fn(tuple(frame.shape[:2]))(
+            self.variables, slab, frame, jnp.asarray(warp, jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
     # full sequence
     # ------------------------------------------------------------------
 
