@@ -44,7 +44,7 @@ def main():
     model = os.environ.get("BENCH_MODEL", "yolov7-w6")
     img = int(os.environ.get("BENCH_IMG", "1088"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     src_hw = (1080, 1920)  # MOT17/VisDrone-like camera resolution
 
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
@@ -111,7 +111,7 @@ def main():
     trk_time = time.time() - t0
 
     # -- sequence-parallel tracking: NSEQ independent sequences vmapped
-    nseq = int(os.environ.get("BENCH_NSEQ", "8"))
+    nseq = int(os.environ.get("BENCH_NSEQ", "16"))
     multi_stream = jax.tree.map(
         lambda x: jnp.stack([x] * nseq, axis=1), det_stream
     )

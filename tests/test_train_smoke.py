@@ -93,3 +93,33 @@ def test_train_steps_and_checkpoint(tiny_dataset, tmp_path):
     np.testing.assert_allclose(
         np.asarray(leaves_a[0]), np.asarray(leaves_b[0]), rtol=1e-6
     )
+
+def test_remat_step_matches(tiny_dataset):
+    """jax.checkpoint rematerialization changes memory, not math: one
+    remat step from the same state produces the same loss/params."""
+    from yolov7_tracker_tpu.models import zoo
+    from yolov7_tracker_tpu.parallel.mesh import data_mesh, shard_batch
+    from yolov7_tracker_tpu.parallel.train_step import (
+        OptConfig, make_train_state, make_train_step,
+    )
+    from yolov7_tracker_tpu.train.datasets import YoloDataset
+
+    spec = zoo.get_spec("yolov7-tiny", nc=2)
+    mesh = data_mesh()
+    n_dev = len(jax.devices())
+    cfg = OptConfig(epochs=1, steps_per_epoch=1, batch_size=n_dev)
+    ds = YoloDataset(tiny_dataset, img_size=96, max_labels=16, augment=False)
+    imgs, tgts, masks = next(ds.batches(n_dev))
+    batch = shard_batch(mesh, (imgs.astype(np.float32) / 255.0, tgts, masks))
+
+    outs = {}
+    for remat in (False, True):
+        state = make_train_state(spec, img_size=96, opt_cfg=cfg)
+        step = make_train_step(spec, mesh, img_size=96, opt_cfg=cfg,
+                               remat=remat)
+        new_state, metrics = step(state, *batch)
+        outs[remat] = (float(metrics["loss"]),
+                       jax.tree.leaves(jax.device_get(new_state.params))[0])
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=1e-5, atol=1e-6)

@@ -85,6 +85,9 @@ def main(argv=None):
     best_fitness = 0.0
     run_dir = os.path.join(opts.ckpt_dir, time.strftime("%Y%m%d_%H%M%S"))
     os.makedirs(run_dir, exist_ok=True)
+    from ..utils.logging import MetricsLogger
+
+    logger = MetricsLogger(run_dir)
     print(f"training {opts.model} on {len(dataset)} images, "
           f"{steps_per_epoch} steps/epoch, mesh={mesh.shape}")
 
@@ -100,6 +103,7 @@ def main(argv=None):
             losses.append(metrics)
         m = {k: float(np.mean([float(x[k]) for x in losses]))
              for k in losses[0]}
+        logger.log(int(state.step), m, prefix="train")
         print(
             f"epoch {epoch}: loss {m['loss']:.4f} "
             f"(box {m['box']:.4f} obj {m['obj']:.4f} cls {m['cls']:.4f}) "

@@ -113,9 +113,13 @@ def make_train_state(spec: ModelSpec, img_size: int = 640,
 
 def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
                     hyp: Hyp = Hyp(), opt_cfg: OptConfig = OptConfig(),
-                    compute_dtype: str = "float32"):
+                    compute_dtype: str = "float32", remat: bool = False):
     """Return a jitted (state, imgs, targets, tmask) -> (state, metrics)
-    with batch sharded over the mesh data axis and state replicated."""
+    with batch sharded over the mesh data axis and state replicated.
+
+    remat=True rematerializes the forward during backprop
+    (jax.checkpoint) — trades ~30% more FLOPs for activation memory,
+    enabling larger per-chip batches at high resolution."""
     model = yolo.YoloV7(spec)
     tx = make_optimizer(opt_cfg)
 
@@ -123,12 +127,18 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
     # train_aux.py path for w6/e6/d6/e6e, README.md:99-101)
     use_aux = spec.head_kind == "IAuxDetect"
 
-    def loss_fn(params, batch_stats, imgs, targets, tmask):
-        x = imgs.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else imgs
-        preds, updates = model.apply(
+    def fwd(params, batch_stats, x):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, training=True, mutable=["batch_stats"],
         )
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(params, batch_stats, imgs, targets, tmask):
+        x = imgs.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else imgs
+        preds, updates = fwd(params, batch_stats, x)
         if use_aux:
             preds = [p.astype(jnp.float32) for p in preds]
             loss, metrics = compute_loss_aux_ota(
