@@ -94,3 +94,52 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference repo")
+def test_plain_loss_matches_reference():
+    """Plain (non-OTA) loss vs torch ComputeLoss (hyp loss_ota=0 path)."""
+    torch = pytest.importorskip("torch")
+    from tests.test_model_parity import _stub_missing_modules
+
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.yolo import Model
+    from utils.loss import ComputeLoss
+
+    from yolov7_tracker_tpu.models import zoo
+    from yolov7_tracker_tpu.train.loss import Hyp, compute_loss
+
+    img_size = 128
+    torch.manual_seed(0)
+    ref_model = Model(os.path.join(REF, "cfg/training/yolov7-tiny.yaml"),
+                      ch=3, nc=8)
+    ref_model.hyp = HYP
+    ref_model.gr = 1.0
+    loss_ref = ComputeLoss(ref_model)
+
+    spec = zoo.get_spec("yolov7-tiny", nc=8)
+    rng = np.random.default_rng(1)
+    bsz = 2
+    preds = []
+    for s in spec.strides:
+        ny = nx = img_size // s
+        preds.append(
+            rng.normal(0, 1, (bsz, ny, nx, 3, 13)).astype(np.float32)
+        )
+    targets, tmask, flat = make_targets(rng, bsz, 5)
+
+    loss, parts = compute_loss(
+        [jnp.asarray(p) for p in preds], jnp.asarray(targets),
+        jnp.asarray(tmask), spec, img_size, Hyp()
+    )
+    p_t = [torch.from_numpy(np.transpose(p, (0, 3, 1, 2, 4))) for p in preds]
+    ref_total, ref_parts = loss_ref(p_t, torch.from_numpy(flat))
+
+    np.testing.assert_allclose(
+        float(loss), float(ref_total), rtol=2e-3, atol=2e-3
+    )
+    got = np.array([float(parts["box"]), float(parts["obj"]),
+                    float(parts["cls"])])
+    np.testing.assert_allclose(got, ref_parts[:3].numpy(),
+                               rtol=5e-3, atol=2e-3)

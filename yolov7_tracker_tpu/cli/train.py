@@ -58,7 +58,7 @@ def main(argv=None):
             h = yaml.safe_load(f)
         hyp_kw = {k: h[k] for k in
                   ("box", "cls", "obj", "cls_pw", "obj_pw", "anchor_t",
-                   "label_smoothing") if k in h}
+                   "label_smoothing", "loss_ota") if k in h}
         aug_kw = {k: h[k] for k in
                   ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
                    "scale", "shear", "perspective", "fliplr", "flipud",

@@ -26,7 +26,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import yolo
 from ..models.spec import ModelSpec
-from ..train.loss import Hyp, compute_loss_aux_ota, compute_loss_ota
+from ..train.loss import (
+    Hyp, compute_loss, compute_loss_aux_ota, compute_loss_ota,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,7 +148,8 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
             )
         else:
             preds = [p.astype(jnp.float32) for p in preds[: spec.nl]]
-            loss, metrics = compute_loss_ota(
+            loss_impl = compute_loss_ota if hyp.loss_ota else compute_loss
+            loss, metrics = loss_impl(
                 preds, targets, tmask, spec, img_size, hyp
             )
         return loss, (metrics, updates["batch_stats"])

@@ -49,6 +49,8 @@ class Hyp:
     anchor_t: float = 4.0
     label_smoothing: float = 0.0
     aux_weight: float = 0.25  # ComputeLossAuxOTA aux-head scale
+    loss_ota: int = 1         # 1 = SimOTA assignment, 0 = plain ComputeLoss
+                              # (train.py:295 reads hyp['loss_ota'])
 
 
 OFFSETS = jnp.array(
@@ -92,31 +94,16 @@ def _balance(nl: int) -> Tuple[float, ...]:
     return (4.0, 1.0, 0.4) if nl == 3 else (4.0, 1.0, 0.25, 0.06, 0.02)[:nl]
 
 
-def simota_assign(
-    preds_flat: jnp.ndarray,      # (C_total, no) all-layer flattened preds
-    layer_meta,                   # static: list of (ny, nx, base) per layer
-    strides: Sequence[int],
-    anchors_px: jnp.ndarray,      # (nl, na, 2) pixels (anchor * stride)
-    targets: jnp.ndarray,         # (T, 5) [cls, x, y, w, h] normalized
-    tmask: jnp.ndarray,           # (T,) bool
-    img_size: int,
-    nc: int,
-    hyp: Hyp,
-    topk: int = 10,
-    g: float = 0.5,
-):
-    """Per-image SimOTA. Returns per-candidate-slot assignment arrays of
-    shape (T, nl, na, 5): matched mask, flat pred index, plus per-slot
-    layer/grid metadata for the loss."""
-    t_cap = targets.shape[0]
+def _candidate_grid(layer_meta, strides, anchors_px, txywh, tmask, hyp,
+                    g: float = 0.5):
+    """Static (T, nl, na, n_off) candidate grid: anchor-ratio filter
+    (max(r, 1/r) < anchor_t) + neighbor-offset conditions — the
+    build_targets/find_3_positive machinery (utils/loss.py:504-556,
+    :795-846) as one masked tensor. Returns (gi, gj, valid, flat_idx)."""
+    t_cap = txywh.shape[0]
     nl = len(layer_meta)
     na = anchors_px.shape[1]
     n_off = OFFSETS.shape[0]
-
-    txywh = targets[:, 1:5] * img_size  # pixels
-    tcls = targets[:, 0].astype(jnp.int32)
-
-    # --- candidate grid: (T, nl, na, n_off) ------------------------------
     gj = jnp.zeros((t_cap, nl, na, n_off), jnp.int32)
     gi = jnp.zeros((t_cap, nl, na, n_off), jnp.int32)
     valid = jnp.zeros((t_cap, nl, na, n_off), bool)
@@ -145,6 +132,36 @@ def simota_assign(
         a_ids = jnp.arange(na, dtype=jnp.int32)[None, :, None]
         fl = base + (gj_l[:, None, :] * nx + gi_l[:, None, :]) * na + a_ids
         flat_idx = flat_idx.at[:, li].set(fl)
+    return gi, gj, valid, flat_idx
+
+
+def simota_assign(
+    preds_flat: jnp.ndarray,      # (C_total, no) all-layer flattened preds
+    layer_meta,                   # static: list of (ny, nx, base) per layer
+    strides: Sequence[int],
+    anchors_px: jnp.ndarray,      # (nl, na, 2) pixels (anchor * stride)
+    targets: jnp.ndarray,         # (T, 5) [cls, x, y, w, h] normalized
+    tmask: jnp.ndarray,           # (T,) bool
+    img_size: int,
+    nc: int,
+    hyp: Hyp,
+    topk: int = 10,
+    g: float = 0.5,
+):
+    """Per-image SimOTA. Returns per-candidate-slot assignment arrays of
+    shape (T, nl, na, 5): matched mask, flat pred index, plus per-slot
+    layer/grid metadata for the loss."""
+    t_cap = targets.shape[0]
+    nl = len(layer_meta)
+    na = anchors_px.shape[1]
+    n_off = OFFSETS.shape[0]
+
+    txywh = targets[:, 1:5] * img_size  # pixels
+    tcls = targets[:, 0].astype(jnp.int32)
+
+    gi, gj, valid, flat_idx = _candidate_grid(
+        layer_meta, strides, anchors_px, txywh, tmask, hyp, g
+    )
 
     c = t_cap * nl * na * n_off
     valid_f = valid.reshape(c)
@@ -267,8 +284,10 @@ def compute_loss_ota(
     }
 
 
-def _layer_loss_terms(p, li, assign, targets, spec, img_size, hyp, cp, cn):
-    """Per-layer (box, obj-BCE-mean, cls) terms for one head tensor."""
+def _layer_loss_terms(p, li, assign, targets, spec, img_size, hyp, cp, cn,
+                      gr: float = 1.0):
+    """Per-layer (box, obj-BCE-mean, cls) terms for one head tensor.
+    gr blends the obj target: (1-gr) + gr*iou (model.gr, loss.py:476)."""
     nl, na, nc, no = spec.nl, spec.na, spec.nc, spec.no
     anchors_px = jnp.asarray(spec.anchors_per_level())
     strides = spec.strides
@@ -310,7 +329,11 @@ def _layer_loss_terms(p, li, assign, targets, spec, img_size, hyp, cp, cn):
 
         # obj targets: max-scatter matched IoU into the layer grid
         tobj = jnp.zeros((b, ny * nx * na), jnp.float32)
-        val = jnp.where(m, jnp.clip(jax.lax.stop_gradient(iou), 0.0), 0.0)
+        val = jnp.where(
+            m,
+            (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0),
+            0.0,
+        )
         tobj = jax.vmap(
             lambda t0, idx, v: t0.at[idx.reshape(-1)].max(v.reshape(-1))
         )(tobj, flat_cell, val)
@@ -333,6 +356,62 @@ def _layer_loss_terms(p, li, assign, targets, spec, img_size, hyp, cp, cn):
                 jnp.where(m[..., None], cls_bce, 0.0)
             ) / (n_m * nc)
     return lbox_i, obj_i, lcls_i
+
+
+def compute_loss(
+    preds: List[jnp.ndarray],    # nl x (B, ny, nx, na, no) raw heads
+    targets: jnp.ndarray,        # (B, T, 5) [cls, x, y, w, h] normalized
+    tmask: jnp.ndarray,          # (B, T)
+    spec: ModelSpec,
+    img_size: int,
+    hyp: Hyp = Hyp(),
+    gr: float = 1.0,
+):
+    """Plain (non-OTA) v7 loss — the reference's ComputeLoss
+    (utils/loss.py:422-553), selected when hyp['loss_ota'] == 0
+    (train.py:295). Every anchor-ratio/offset candidate is a positive
+    for its own GT (no SimOTA selection): per-layer CIoU box loss over
+    candidates, obj BCE against (1-gr) + gr*iou scattered into the grid,
+    cp/cn-smoothed cls BCE. Same max-scatter deviation as the OTA path
+    for duplicate obj cells."""
+    nl, nc = spec.nl, spec.nc
+    anchors_px = jnp.asarray(spec.anchors_per_level())
+    strides = spec.strides
+    bsz, t_cap = targets.shape[:2]
+    _, metas = _flatten_preds(preds)
+    na, n_off = spec.na, OFFSETS.shape[0]
+
+    def per_image(t, m):
+        txywh = t[:, 1:5] * img_size
+        gi, gj, valid, _ = _candidate_grid(
+            metas, strides, anchors_px, txywh, m, hyp
+        )
+        own_gt = jnp.broadcast_to(
+            jnp.arange(t_cap, dtype=jnp.int32)[:, None, None, None],
+            (t_cap, nl, na, n_off),
+        )
+        return {"matched": valid, "matched_gt": own_gt, "gi": gi, "gj": gj}
+
+    assign = jax.vmap(per_image)(targets, tmask)
+
+    cp, cn = smooth_bce(hyp.label_smoothing)
+    balance = _balance(nl)
+    lbox = lobj = lcls = 0.0
+    for li, p in enumerate(preds):
+        lb, ob, lc = _layer_loss_terms(
+            p, li, assign, targets, spec, img_size, hyp, cp, cn, gr=gr
+        )
+        lbox = lbox + lb
+        lobj = lobj + ob * balance[li]
+        lcls = lcls + lc
+
+    lbox = lbox * hyp.box
+    lobj = lobj * hyp.obj
+    lcls = lcls * hyp.cls
+    total = lbox + lobj + lcls
+    return total * bsz, {
+        "box": lbox, "obj": lobj, "cls": lcls, "loss": total,
+    }
 
 
 def compute_loss_aux_ota(
