@@ -112,3 +112,54 @@ def test_combine_matches_trackeval():
     np.testing.assert_allclose(got["AssA"], want_h["AssA"], atol=1e-8)
     np.testing.assert_allclose(got["MOTA"], want_c["MOTA"], atol=1e-8)
     np.testing.assert_allclose(got["IDF1"], want_i["IDF1"], atol=1e-8)
+
+@pytest.mark.parametrize("seed", range(3))
+def test_vace_ideucl_parity(seed):
+    _import_trackeval()
+    from trackeval.metrics.vace import VACE
+    from trackeval.metrics.ideucl import IDEucl
+
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    data = synth_data(seed)
+    rng = np.random.default_rng(seed + 100)
+    data["gt_dets"] = [
+        np.column_stack([
+            rng.uniform(0, 500, len(g)), rng.uniform(0, 300, len(g)),
+            rng.uniform(20, 80, len(g)), rng.uniform(40, 120, len(g)),
+        ])
+        for g in data["gt_ids"]
+    ]
+
+    got_v = M.vace(data)
+    got_e = M.ideucl(data)
+    want_v = VACE().eval_sequence(dict(data))
+    want_e = IDEucl({"PRINT_CONFIG": False}).eval_sequence(dict(data))
+    for k in ("STDA", "ATA", "FDA", "SFDA"):
+        np.testing.assert_allclose(got_v[k], want_v[k], atol=1e-8, err_msg=k)
+    np.testing.assert_allclose(got_e["IDEucl"], want_e["IDEucl"], atol=1e-8)
+
+    # sequence combine
+    datas = []
+    for s in range(3):
+        d = synth_data(s)
+        r2 = np.random.default_rng(s + 100)
+        d["gt_dets"] = [
+            np.column_stack([
+                r2.uniform(0, 500, len(g)), r2.uniform(0, 300, len(g)),
+                r2.uniform(20, 80, len(g)), r2.uniform(40, 120, len(g)),
+            ])
+            for g in d["gt_ids"]
+        ]
+        datas.append(d)
+    mine = [dict(**M.vace(d), **M.ideucl(d)) for d in datas]
+    got = M.combine_sequences(mine)
+    v = VACE()
+    e = IDEucl({"PRINT_CONFIG": False})
+    want_vc = v.combine_sequences(
+        {k: v.eval_sequence(dict(d)) for k, d in enumerate(datas)})
+    want_ec = e.combine_sequences(
+        {k: e.eval_sequence(dict(d)) for k, d in enumerate(datas)})
+    np.testing.assert_allclose(got["ATA"], want_vc["ATA"], atol=1e-8)
+    np.testing.assert_allclose(got["SFDA"], want_vc["SFDA"], atol=1e-8)
+    np.testing.assert_allclose(got["IDEucl"], want_ec["IDEucl"], atol=1e-8)

@@ -19,33 +19,46 @@ from . import data as D
 from . import metrics as M
 
 
-def _empty_result():
+# metric families selectable like trackeval's METRICS config
+# (run_mot_challenge.py --METRICS); hota/clear/identity/count are the
+# reference flow's defaults, vace/ideucl are opt-in extras
+METRIC_FNS = {
+    "hota": M.hota,
+    "clear": M.clear,
+    "identity": M.identity,
+    "count": M.count,
+    "vace": M.vace,
+    "ideucl": M.ideucl,
+}
+DEFAULT_METRICS = ("hota", "clear", "identity", "count")
+
+
+def _empty_result(metric_names: Sequence[str] = DEFAULT_METRICS):
     """All-zero metric dict used when a sequence errors out."""
     empty = {
-        "gt_ids": [], "tracker_ids": [], "similarity_scores": [],
+        "gt_ids": [], "tracker_ids": [], "gt_dets": [],
+        "similarity_scores": [],
         "num_timesteps": 0, "num_gt_ids": 0, "num_tracker_ids": 0,
         "num_gt_dets": 0, "num_tracker_dets": 0,
     }
     res = {}
-    res.update(M.hota(empty))
-    res.update(M.clear(empty))
-    res.update(M.identity(empty))
-    res.update(M.count(empty))
+    for name in metric_names:
+        res.update(METRIC_FNS[name](empty))
     return res
 
 
 def eval_sequence(seq: str, gt_path: str, result_path: str,
                   num_timesteps: int, benchmark: str,
-                  classes: Sequence[str]) -> Dict[str, Dict]:
+                  classes: Sequence[str],
+                  metric_names: Sequence[str] = DEFAULT_METRICS,
+                  ) -> Dict[str, Dict]:
     raw = D.load_raw_seq(seq, gt_path, result_path, num_timesteps)
     out = {}
     for cls in classes:
         pre = D.preprocess_sequence(raw, benchmark, cls)
         res = {}
-        res.update(M.hota(pre))
-        res.update(M.clear(pre))
-        res.update(M.identity(pre))
-        res.update(M.count(pre))
+        for name in metric_names:
+            res.update(METRIC_FNS[name](pre))
         out[cls] = res
     return out
 
@@ -59,6 +72,7 @@ def evaluate_benchmark(
     gt_loc_format: str = "{gt_folder}/{seq}/gt/gt.txt",
     num_parallel: int = 0,
     output_folder: Optional[str] = None,
+    metric_names: Sequence[str] = DEFAULT_METRICS,
 ):
     """Evaluate result txts against gt.
 
@@ -79,6 +93,7 @@ def evaluate_benchmark(
             n,
             benchmark,
             classes,
+            metric_names,
         )
         for seq, n in seqs.items()
     ]
@@ -94,7 +109,7 @@ def evaluate_benchmark(
                 with open(os.path.join(output_folder, "error_log.txt"),
                           "a") as f:
                     f.write(f"seq {job[0]}:\n{err}\n")
-            return {c: _empty_result() for c in classes}
+            return {c: _empty_result(metric_names) for c in classes}
 
     if num_parallel > 1:
         from multiprocessing import Pool
@@ -130,7 +145,7 @@ def evaluate_benchmark(
 SUMMARY_FIELDS = [
     "HOTA", "DetA", "AssA", "DetRe", "DetPr", "AssRe", "AssPr", "LocA",
     "MOTA", "MOTP", "IDSW", "IDF1", "IDR", "IDP", "CLR_TP", "CLR_FN",
-    "CLR_FP", "MT", "ML", "Frag",
+    "CLR_FP", "MT", "ML", "Frag", "SFDA", "ATA", "IDEucl",
 ]
 
 

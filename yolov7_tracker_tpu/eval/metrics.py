@@ -250,6 +250,98 @@ def count(data: Dict) -> Dict:
     }
 
 
+def vace(data: Dict, threshold: float = 0.5) -> Dict:
+    """VACE metrics — relaxed STDA/ATA (track-level temporal IoU under
+    an optimal track correspondence) and FDA/SFDA (per-frame spatial
+    overlap), trackeval vace.py:7-131 semantics."""
+    n_gt, n_tr = data["num_gt_ids"], data["num_tracker_ids"]
+    potential = np.zeros((n_gt, n_tr))
+    gt_count = np.zeros(n_gt)
+    tr_count = np.zeros(n_tr)
+    both = np.zeros((n_gt, n_tr))
+    fda, non_empty = 0.0, 0
+    for t in range(data["num_timesteps"]):
+        g, d = data["gt_ids"][t], data["tracker_ids"][t]
+        sim = np.asarray(data["similarity_scores"][t])
+        ig, id_ = np.nonzero(sim >= threshold)
+        potential[g[ig], d[id_]] += 1
+        gt_count[g] += 1
+        tr_count[d] += 1
+        both[g[:, None], d[None, :]] += 1
+        if len(g) or len(d):
+            non_empty += 1
+            if len(g) and len(d):
+                r, c = linear_sum_assignment(-sim)
+                fda += sim[r, c].sum() / (0.5 * (len(g) + len(d)))
+    union = gt_count[:, None] + tr_count[None, :] - both
+    stda = 0.0
+    if n_gt and n_tr:
+        tiou = potential / np.maximum(union, 1e-10)
+        r, c = linear_sum_assignment(-tiou)
+        stda = float(tiou[r, c].sum())
+    res = {
+        "STDA": stda, "VACE_IDs": n_tr, "VACE_GT_IDs": n_gt,
+        "FDA": fda, "num_non_empty_timesteps": non_empty,
+    }
+    return _vace_finalize(res)
+
+
+def _vace_finalize(res):
+    denom = 0.5 * (res["VACE_IDs"] + res["VACE_GT_IDs"])
+    res["ATA"] = res["STDA"] / denom if denom else 0.0
+    n = res["num_non_empty_timesteps"]
+    res["SFDA"] = res["FDA"] / n if n else 0.0
+    return res
+
+
+def ideucl(data: Dict, threshold: float = 0.4) -> Dict:
+    """IDEucl — ratio of GT trajectory length covered by the optimally
+    assigned tracker id (trackeval ideucl.py:33-88). Centroids follow
+    the reference's (box[:2]+box[2:4])/2 formula on the stored det
+    arrays, preserving its behavior on tlwh inputs."""
+    if data["num_tracker_dets"] == 0 or data["num_gt_dets"] == 0:
+        return {"IDEucl": 0.0}
+    cent = [
+        (np.asarray(d, float)[:, 0:2] + np.asarray(d, float)[:, 2:4]) / 2.0
+        for d in data["gt_dets"]
+    ]
+    pair_pts: Dict[tuple, list] = {}
+    gt_pts: Dict[int, list] = {}
+    for t in range(data["num_timesteps"]):
+        g, d = data["gt_ids"][t], data["tracker_ids"][t]
+        for i, gid in enumerate(g):
+            gt_pts.setdefault(int(gid), []).append(cent[t][i])
+        sim = np.asarray(data["similarity_scores"][t])
+        ig, id_ = np.nonzero(sim >= threshold)
+        for i, j in zip(ig, id_):
+            pair_pts.setdefault(
+                (int(g[i]), int(d[j])), []
+            ).append(cent[t][i])
+
+    def path_len(pts):
+        a = np.asarray(pts)
+        return float(np.sum(np.linalg.norm(np.diff(a, axis=0), axis=1))) \
+            if len(a) > 1 else 0.0
+
+    gt_len = {k: path_len(v) for k, v in gt_pts.items()}
+    pair_len = {k: path_len(v) for k, v in pair_pts.items()}
+    if not pair_len:
+        return {"IDEucl": 0.0}
+    oids = sorted({k[0] for k in pair_len})
+    hids = sorted({k[1] for k in pair_len})
+    dist = np.zeros((len(oids), len(hids)))
+    for (o, h), v in pair_len.items():
+        dist[oids.index(o), hids.index(h)] = v
+    r, c = linear_sum_assignment(dist.max() - dist)
+    covered = dict.fromkeys(gt_len, 0.0)
+    for i, j in zip(r, c):
+        covered[oids[i]] = dist[i, j]
+    total_gt = sum(gt_len.values())
+    return {
+        "IDEucl": sum(covered.values()) / total_gt if total_gt else 0.0
+    }
+
+
 def combine_sequences(per_seq: List[Dict]) -> Dict:
     """Combine per-sequence results: integer fields sum, derived fields
     recompute, HOTA association fields TP-weighted
@@ -260,7 +352,8 @@ def combine_sequences(per_seq: List[Dict]) -> Dict:
         "HOTA_TP", "HOTA_FN", "HOTA_FP", "CLR_TP", "CLR_FN", "CLR_FP",
         "IDSW", "MT", "PT", "ML", "Frag", "MOTP_sum", "CLR_Frames",
         "IDTP", "IDFN", "IDFP", "Dets", "GT_Dets", "IDs", "GT_IDs",
-        "Frames",
+        "Frames", "STDA", "FDA", "VACE_IDs", "VACE_GT_IDs",
+        "num_non_empty_timesteps",
     }
     for k in keys & sum_keys:
         out[k] = sum(r[k] for r in per_seq)
@@ -278,4 +371,9 @@ def combine_sequences(per_seq: List[Dict]) -> Dict:
         out = _clear_finalize(out)
     if "IDTP" in keys:
         out = _id_finalize(out)
+    if "STDA" in keys:
+        out = _vace_finalize(out)
+    if "IDEucl" in keys:
+        # sequence combine is the mean (ideucl.py:113-118)
+        out["IDEucl"] = float(np.mean([r["IDEucl"] for r in per_seq]))
     return out
