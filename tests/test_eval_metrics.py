@@ -163,3 +163,96 @@ def test_vace_ideucl_parity(seed):
     np.testing.assert_allclose(got["ATA"], want_vc["ATA"], atol=1e-8)
     np.testing.assert_allclose(got["SFDA"], want_vc["SFDA"], atol=1e-8)
     np.testing.assert_allclose(got["IDEucl"], want_ec["IDEucl"], atol=1e-8)
+
+def _synth_tracks(seed, frames=30, n_gt=8, n_dt=9):
+    """Synthetic track-level data in the shared TrackMAP input format."""
+    rng = np.random.default_rng(seed)
+    def mk_tracks(n, jitter):
+        tracks, ids = [], []
+        for i in range(n):
+            t0 = int(rng.integers(0, frames // 2))
+            t1 = int(rng.integers(t0 + 1, frames + 1))
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(10, 120, 2)
+            trk = {}
+            for t in range(t0, t1):
+                trk[t] = np.array([
+                    x + t * 2 + rng.normal(0, jitter),
+                    y + t + rng.normal(0, jitter),
+                    w, h,
+                ])
+            tracks.append(trk)
+            ids.append(i)
+        return ids, tracks
+    gt_ids, gt_tracks = mk_tracks(n_gt, 0.0)
+    rng2 = np.random.default_rng(seed)  # same geometry, jittered
+    dt_ids, dt_tracks = mk_tracks(n_dt, 0.0)
+    # perturb dt boxes so IoUs spread over [0, 1)
+    for trk in dt_tracks:
+        dx = rng.uniform(-20, 20, 2)
+        for t in trk:
+            trk[t] = trk[t] + np.array([dx[0], dx[1], 0, 0])
+    area = lambda trk: float(np.mean([b[2] * b[3] for b in trk.values()]))
+    return {
+        "gt_track_ids": gt_ids, "dt_track_ids": dt_ids,
+        "gt_tracks": gt_tracks, "dt_tracks": dt_tracks,
+        "gt_track_areas": [area(t) for t in gt_tracks],
+        "dt_track_areas": [area(t) for t in dt_tracks],
+        "gt_track_lengths": [len(t) for t in gt_tracks],
+        "dt_track_lengths": [len(t) for t in dt_tracks],
+        "gt_track_iscrowd": [0] * n_gt,
+        "dt_track_scores": rng.uniform(0.1, 1.0, n_dt),
+        "iou_type": "bbox", "boxformat": "xywh",
+        "not_exhaustively_labeled": False,
+    }
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_trackmap_parity(seed):
+    _import_trackeval()
+    from trackeval.metrics.track_map import TrackMAP
+
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    datas = [_synth_tracks(seed * 10 + k) for k in range(3)]
+    mine = M.trackmap_combine([M.trackmap_sequence(d) for d in datas])
+
+    tm = TrackMAP({"PRINT_CONFIG": False})
+    want = tm.combine_sequences(
+        {k: tm.eval_sequence(dict(d)) for k, d in enumerate(datas)}
+    )
+    for lbl in M.TRACKMAP_LABELS:
+        np.testing.assert_allclose(
+            mine["AP_" + lbl], want["AP_" + lbl], atol=1e-8,
+            err_msg="AP_" + lbl,
+        )
+        np.testing.assert_allclose(
+            mine["AR_" + lbl], want["AR_" + lbl], atol=1e-8,
+            err_msg="AR_" + lbl,
+        )
+
+
+def test_tracks_from_frames_roundtrip():
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    data = synth_data(0, frames=12, n_gt=4, n_trk=4)
+    rng = np.random.default_rng(7)
+    data["gt_dets"] = [
+        np.column_stack([rng.uniform(0, 300, len(g)),
+                         rng.uniform(0, 300, len(g)),
+                         rng.uniform(10, 60, len(g)),
+                         rng.uniform(10, 60, len(g))])
+        for g in data["gt_ids"]
+    ]
+    data["tracker_dets"] = [
+        np.column_stack([rng.uniform(0, 300, len(d)),
+                         rng.uniform(0, 300, len(d)),
+                         rng.uniform(10, 60, len(d)),
+                         rng.uniform(10, 60, len(d))])
+        for d in data["tracker_ids"]
+    ]
+    td = M.tracks_from_frames(data)
+    assert len(td["gt_tracks"]) == len(td["gt_track_ids"])
+    assert all(l >= 1 for l in td["gt_track_lengths"])
+    out = M.trackmap_combine([M.trackmap_sequence(td)])
+    assert out["AP_all"].shape == (10,)

@@ -377,3 +377,222 @@ def combine_sequences(per_seq: List[Dict]) -> Dict:
         # sequence combine is the mean (ideucl.py:113-118)
         out["IDEucl"] = float(np.mean([r["IDEucl"] for r in per_seq]))
     return out
+
+# ---------------------------------------------------------------------------
+# TrackMAP — track-level COCO-style AP (trackeval track_map.py:9-310, the
+# TAO/YouTubeVIS protocol): spatio-temporal track IoU, greedy score-ordered
+# matching per IoU threshold, 101-point interpolated AP, with "all" plus
+# area-range and time-range ignore splits.
+# ---------------------------------------------------------------------------
+
+TRACKMAP_IOU_THRS = np.arange(0.5, 0.96, 0.05)
+TRACKMAP_REC_THRS = np.linspace(0.0, 1.0, 101)
+TRACKMAP_AREA_RANGES = {
+    "area_s": (0.0, 32.0 ** 2),
+    "area_m": (32.0 ** 2, 96.0 ** 2),
+    "area_l": (96.0 ** 2, 1e5 ** 2),
+}
+TRACKMAP_TIME_RANGES = {
+    "time_s": (0.0, 3.0),
+    "time_m": (3.0, 10.0),
+    "time_l": (10.0, 1e5),
+}
+TRACKMAP_LABELS = ("all",) + tuple(TRACKMAP_AREA_RANGES) + tuple(
+    TRACKMAP_TIME_RANGES
+)
+
+
+def track_iou_xywh(dt_track: Dict[int, np.ndarray],
+                   gt_track: Dict[int, np.ndarray]) -> float:
+    """Spatio-temporal track IoU: frame intersections summed over the
+    union of both tracks' frames, divided by summed unions (frames where
+    only one track exists contribute their full area to the union)
+    (track_map.py:349-398, xywh branch)."""
+    inter = union = 0.0
+    for f in set(dt_track) | set(gt_track):
+        d, g = dt_track.get(f), gt_track.get(f)
+        if d is not None and g is not None:
+            w = max(min(d[0] + d[2], g[0] + g[2]) - max(d[0], g[0]), 0.0)
+            h = max(min(d[1] + d[3], g[1] + g[3]) - max(d[1], g[1]), 0.0)
+            i = w * h
+            inter += i
+            union += d[2] * d[3] + g[2] * g[3] - i
+        elif g is not None:
+            union += g[2] * g[3]
+        elif d is not None:
+            union += d[2] * d[3]
+    return inter / union if union > 0 else 0.0
+
+
+def _trackmap_ig_masks(n, lengths, areas, iscrowd=None):
+    """One 0/1 ignore vector per split: 'all' keeps everything; range
+    splits ignore tracks outside [lo, hi] (track_map.py:313-346)."""
+    masks = [np.zeros(n)]
+    for lo, hi in TRACKMAP_AREA_RANGES.values():
+        a = np.asarray(areas, float)
+        masks.append(((a < lo - EPS) | (a > hi + EPS)).astype(float))
+    for lo, hi in TRACKMAP_TIME_RANGES.values():
+        t = np.asarray(lengths, float)
+        masks.append(((t < lo - EPS) | (t > hi + EPS)).astype(float))
+    if iscrowd is not None:
+        crowd = np.asarray(iscrowd, float) > 0
+        masks = [np.maximum(m, crowd) for m in masks]
+    return masks
+
+
+def trackmap_sequence(data: Dict) -> Dict:
+    """Per-sequence TrackMAP matching (track_map.py:62-168). Input keys
+    (same shapes as the reference): gt_track_ids / dt_track_ids,
+    gt_tracks / dt_tracks ({frame: xywh box} dicts), gt_track_areas /
+    dt_track_areas, gt_track_lengths / dt_track_lengths, dt_track_scores,
+    optional gt_track_iscrowd. Returns per-split match-state dicts that
+    trackmap_combine() turns into AP/AR."""
+    gt_ids = list(data["gt_track_ids"])
+    dt_ids = list(data["dt_track_ids"])
+    n_splits = len(TRACKMAP_LABELS)
+    if not gt_ids and not dt_ids:
+        return {i: None for i in range(n_splits)}
+
+    gt_ig_masks = _trackmap_ig_masks(
+        len(gt_ids), data["gt_track_lengths"], data["gt_track_areas"],
+        data.get("gt_track_iscrowd"),
+    )
+    dt_ig_masks = _trackmap_ig_masks(
+        len(dt_ids), data["dt_track_lengths"], data["dt_track_areas"]
+    )
+    ious = np.zeros((len(dt_ids), len(gt_ids)))
+    for i, dt in enumerate(data["dt_tracks"]):
+        for j, gt in enumerate(data["gt_tracks"]):
+            ious[i, j] = track_iou_xywh(dt, gt)
+
+    n_thrs = len(TRACKMAP_IOU_THRS)
+    res = {}
+    for s in range(n_splits):
+        order = np.argsort(gt_ig_masks[s], kind="mergesort")
+        gt_ids_s = [gt_ids[i] for i in order]
+        ious_s = ious[:, order] if len(ious) else ious
+        gt_ig = gt_ig_masks[s][order]
+        gt_m = -np.ones((n_thrs, len(gt_ids)))
+        dt_m = -np.ones((n_thrs, len(dt_ids)))
+        dt_ig = np.zeros((n_thrs, len(dt_ids)))
+        for ti, thr in enumerate(TRACKMAP_IOU_THRS):
+            if not len(ious_s):
+                break
+            for di in range(len(dt_ids)):
+                best_iou = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(len(gt_ids_s)):
+                    if gt_m[ti, gi] > 0:
+                        continue
+                    # matched a real gt already and the rest are ignores
+                    if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                        break
+                    if ious_s[di, gi] < best_iou - EPS:
+                        continue
+                    best_iou = ious_s[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dt_ig[ti, di] = gt_ig[m]
+                dt_m[ti, di] = gt_ids_s[m]
+                gt_m[ti, m] = dt_ids[di]
+        dmask = np.repeat(
+            np.asarray(dt_ig_masks[s]).reshape(1, -1), n_thrs, 0
+        )
+        dt_ig = np.logical_or(dt_ig, np.logical_and(dt_m == -1, dmask))
+        res[s] = {
+            "dt_matches": dt_m,
+            "gt_ignore": gt_ig,
+            "dt_ignore": dt_ig,
+            "dt_scores": np.asarray(data["dt_track_scores"], float),
+        }
+    return res
+
+
+def trackmap_combine(per_seq: List[Dict]) -> Dict:
+    """Pool track matches over sequences, compute 101-point interpolated
+    precision per IoU threshold and split -> AP_<split>/AR_<split>
+    arrays (track_map.py:170-249). -1 marks undefined splits."""
+    n_thrs = len(TRACKMAP_IOU_THRS)
+    n_rec = len(TRACKMAP_REC_THRS)
+    n_splits = len(TRACKMAP_LABELS)
+    precision = -np.ones((n_thrs, n_rec, n_splits))
+    recall = -np.ones((n_thrs, n_splits))
+    for s in range(n_splits):
+        rs = [r[s] for r in per_seq if r[s] is not None]
+        if not rs:
+            continue
+        scores = np.concatenate([r["dt_scores"] for r in rs])
+        order = np.argsort(-scores, kind="mergesort")
+        dt_m = np.concatenate([r["dt_matches"] for r in rs], axis=1)[:, order]
+        dt_ig = np.concatenate([r["dt_ignore"] for r in rs], axis=1)[:, order]
+        gt_ig = np.concatenate([r["gt_ignore"] for r in rs])
+        num_gt = int(np.count_nonzero(gt_ig == 0))
+        if num_gt == 0:
+            continue
+        tps = np.cumsum((dt_m != -1) & ~dt_ig.astype(bool), axis=1).astype(float)
+        fps = np.cumsum((dt_m == -1) & ~dt_ig.astype(bool), axis=1).astype(float)
+        for ti in range(n_thrs):
+            tp, fp = tps[ti], fps[ti]
+            rc = tp / num_gt
+            recall[ti, s] = rc[-1] if len(tp) else 0.0
+            pr = (tp / (fp + tp + np.spacing(1))).tolist()
+            for i in range(len(pr) - 1, 0, -1):
+                if pr[i] > pr[i - 1]:
+                    pr[i - 1] = pr[i]
+            idxs = np.searchsorted(rc, TRACKMAP_REC_THRS, side="left")
+            pr_at = np.zeros(n_rec)
+            for k, pi in enumerate(idxs):
+                if pi >= len(pr):
+                    break
+                pr_at[k] = pr[pi]
+            precision[ti, :, s] = pr_at
+    out = {}
+    for s, lbl in enumerate(TRACKMAP_LABELS):
+        ap = np.zeros(n_thrs)
+        for ti in range(n_thrs):
+            p = precision[ti, :, s]
+            valid = p[p > -1]
+            ap[ti] = np.mean(valid) if len(valid) else -1
+        out["AP_" + lbl] = ap
+        out["AR_" + lbl] = recall[:, s]
+    return out
+
+
+def tracks_from_frames(data: Dict) -> Dict:
+    """Build TrackMAP's track-level inputs from a preprocessed per-frame
+    sequence dict (the adapter the TAO dataset classes provide,
+    tao.py get_raw_seq_data): per-id {frame: xywh}, mean area, length,
+    and mean-confidence track scores (1.0 when no confidences stored)."""
+    gt_tracks: Dict[int, Dict[int, np.ndarray]] = {}
+    dt_tracks: Dict[int, Dict[int, np.ndarray]] = {}
+    dt_conf: Dict[int, list] = {}
+    confs = data.get("tracker_confidences")
+    for t in range(data["num_timesteps"]):
+        for i, gid in enumerate(data["gt_ids"][t]):
+            gt_tracks.setdefault(int(gid), {})[t] = np.asarray(
+                data["gt_dets"][t][i], float
+            )
+        for i, did in enumerate(data["tracker_ids"][t]):
+            dt_tracks.setdefault(int(did), {})[t] = np.asarray(
+                data["tracker_dets"][t][i], float
+            )
+            dt_conf.setdefault(int(did), []).append(
+                float(confs[t][i]) if confs is not None else 1.0
+            )
+    gt_ids = sorted(gt_tracks)
+    dt_ids = sorted(dt_tracks)
+    area = lambda trk: float(
+        np.mean([b[2] * b[3] for b in trk.values()])
+    ) if trk else 0.0
+    return {
+        "gt_track_ids": gt_ids,
+        "dt_track_ids": dt_ids,
+        "gt_tracks": [gt_tracks[i] for i in gt_ids],
+        "dt_tracks": [dt_tracks[i] for i in dt_ids],
+        "gt_track_areas": [area(gt_tracks[i]) for i in gt_ids],
+        "dt_track_areas": [area(dt_tracks[i]) for i in dt_ids],
+        "gt_track_lengths": [len(gt_tracks[i]) for i in gt_ids],
+        "dt_track_lengths": [len(dt_tracks[i]) for i in dt_ids],
+        "dt_track_scores": [float(np.mean(dt_conf[i])) for i in dt_ids],
+    }
