@@ -123,3 +123,47 @@ def test_remat_step_matches(tiny_dataset):
     np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
     np.testing.assert_allclose(outs[False][1], outs[True][1],
                                rtol=1e-5, atol=1e-6)
+
+def test_rect_batches(tmp_path):
+    """Rect val batches: aspect-sorted, stride-quantized canvases, labels
+    normalized to the actual canvas."""
+    import cv2
+
+    from yolov7_tracker_tpu.train.datasets import YoloDataset
+
+    img_dir = tmp_path / "images" / "val"
+    lab_dir = tmp_path / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    sizes = [(60, 120), (64, 128), (120, 60), (128, 64)]  # wide + tall
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+        with open(lab_dir / f"{i}.txt", "w") as f:
+            f.write("0 0.5 0.5 0.4 0.4\n")
+    ds = YoloDataset(str(img_dir), img_size=128, augment=False,
+                     max_labels=8)
+    batches = list(ds.rect_batches(2, stride=32))
+    assert len(batches) == 2
+    shapes = sorted(b[0].shape[1:3] for b in batches)
+    # wide pair -> short canvas, tall pair -> narrow canvas
+    assert shapes[0][0] < 128 and shapes[0][1] == 128
+    assert shapes[1][0] == 128 and shapes[1][1] < 128
+    for imgs, tgts, masks in batches:
+        assert imgs.shape[1] % 32 == 0 and imgs.shape[2] % 32 == 0
+        assert masks.any()
+        # boxes stay inside the canvas after normalization
+        lab = tgts[masks]
+        assert (lab[:, 1:] > 0).all() and (lab[:, 1:] < 1).all()
+
+
+def test_evaluate_map_rect(tiny_dataset):
+    from yolov7_tracker_tpu.cli.test import evaluate_map
+    from yolov7_tracker_tpu.models import zoo, yolo
+
+    spec = zoo.get_spec("yolov7-tiny", nc=2)
+    _, variables = yolo.build_model(spec, img_size=96, init="random")
+    res = evaluate_map(spec, variables, tiny_dataset, img=96, batch=4,
+                       max_labels=16, rect=True)
+    assert "map50" in res and np.isfinite(res["map50"])

@@ -15,7 +15,7 @@ import numpy as np
 def evaluate_map(spec, variables, val_path: str, img: int = 640,
                  batch: int = 8, conf_thres: float = 0.001,
                  iou_thres: float = 0.65, max_labels: int = 128,
-                 save_json: str = "") -> Dict:
+                 save_json: str = "", rect: bool = False) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -39,20 +39,26 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
     stats = []
     json_dets = []
     img_id = 0
-    for imgs, tgts, masks in dataset.batches(batch, shuffle=False):
+    # rect=True is the reference's aspect-ratio-bucketed val loading
+    # (test.py:90 rect dataloader); jax.jit retraces once per distinct
+    # batch shape (bounded by the stride-64 bucketing)
+    it = (dataset.rect_batches(batch) if rect
+          else dataset.batches(batch, shuffle=False))
+    for imgs, tgts, masks in it:
         x = jnp.asarray(imgs[..., ::-1].astype(np.float32) / 255.0)
         dets, counts = forward(variables, x)
         dets = np.asarray(dets)
         counts = np.asarray(counts)
+        ih, iw = imgs.shape[1:3]
         for b in range(len(imgs)):
             d = dets[b][: counts[b]]
             lab = tgts[b][masks[b]]
-            # labels to xyxy pixels
+            # labels to xyxy pixels (normalized to the batch canvas)
             if len(lab):
                 l_xyxy = np.zeros((len(lab), 5))
                 l_xyxy[:, 0] = lab[:, 0]
-                cx, cy, w, h = (lab[:, 1] * img, lab[:, 2] * img,
-                                lab[:, 3] * img, lab[:, 4] * img)
+                cx, cy, w, h = (lab[:, 1] * iw, lab[:, 2] * ih,
+                                lab[:, 3] * iw, lab[:, 4] * ih)
                 l_xyxy[:, 1] = cx - w / 2
                 l_xyxy[:, 2] = cy - h / 2
                 l_xyxy[:, 3] = cx + w / 2
@@ -112,6 +118,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--iou", type=float, default=0.65)
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-ratio-bucketed rectangular val batches")
     opts = p.parse_args(argv)
 
     with open(opts.data) as f:
@@ -123,7 +131,7 @@ def main(argv=None):
     variables = checkpoint.load_variables(opts.weights)
     res = evaluate_map(spec, variables, data_cfg["val"], img=opts.img,
                        batch=opts.batch, conf_thres=opts.conf,
-                       iou_thres=opts.iou)
+                       iou_thres=opts.iou, rect=opts.rect)
     print(res)
     return res
 

@@ -160,15 +160,23 @@ class YoloDataset:
         )
         return canvas, labels4
 
-    def _plain(self, idx: int):
-        """Letterboxed single image (val / no-mosaic path); labels xyxy."""
+    def _plain(self, idx: int, out_shape: Optional[Tuple[int, int]] = None):
+        """Letterboxed single image (val / no-mosaic path); labels xyxy.
+        out_shape (th, tw) letterboxes into a rectangular canvas (the
+        reference's rect=True val loading, utils/datasets.py:385-400)."""
         import cv2
 
         s = self.img_size
         img, _ = self._load_image(idx)
         h, w = img.shape[:2]
-        canvas = np.full((s, s, 3), 114, np.uint8)
-        dw, dh = (s - w) // 2, (s - h) // 2
+        th, tw = out_shape if out_shape is not None else (s, s)
+        if h > th or w > tw:  # rect canvas smaller than cached resize
+            r = min(th / h, tw / w)
+            img = cv2.resize(img, (int(w * r), int(h * r)),
+                             interpolation=cv2.INTER_LINEAR)
+            h, w = img.shape[:2]
+        canvas = np.full((th, tw, 3), 114, np.uint8)
+        dw, dh = (tw - w) // 2, (th - h) // 2
         canvas[dh:dh + h, dw:dw + w] = img
         lab = self.labels[idx].copy()
         if len(lab):
@@ -179,9 +187,9 @@ class YoloDataset:
             lab[:, 4] = h * (xy[:, 1] + xy[:, 3] / 2) + dh
         return canvas, lab
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx, out_shape: Optional[Tuple[int, int]] = None):
         """Returns (img uint8 (S, S, 3), targets (T, 5) normalized xywh,
-        mask (T,))."""
+        mask (T,)); out_shape selects a rectangular val canvas."""
         use_mosaic = self.augment and self.rng.random() < self.hyp.mosaic
         if use_mosaic:
             img, labels = self._mosaic(idx)
@@ -191,7 +199,7 @@ class YoloDataset:
                 img = (img * r + img2 * (1 - r)).astype(np.uint8)
                 labels = np.concatenate([labels, labels2], 0)
         else:
-            img, labels = self._plain(idx)
+            img, labels = self._plain(idx, out_shape)
             if self.augment:
                 img, labels = random_perspective(
                     img, labels, self.hyp, border=(0, 0), rng=self.rng
@@ -238,6 +246,54 @@ class YoloDataset:
                 tgts = np.stack([x[1] for x in items])
                 masks = np.stack([x[2] for x in items])
                 yield imgs, tgts, masks
+
+    # -- rect validation ----------------------------------------------
+
+    def _image_shapes(self):
+        """(h0, w0) per image from file headers (PIL, no pixel decode)."""
+        if not hasattr(self, "_shapes"):
+            from PIL import Image
+
+            shapes = []
+            for p in self.files:
+                with Image.open(p) as im:
+                    w, h = im.size
+                shapes.append((h, w))
+            self._shapes = np.asarray(shapes, float)
+        return self._shapes
+
+    def rect_batches(self, batch_size: int, stride: int = 64,
+                     pad: float = 0.5) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Aspect-ratio-sorted rectangular val batches (the reference's
+        rect=True loader, utils/datasets.py:417-443), with a TPU twist:
+        the padded dim quantizes to `stride` (default 64, coarser than
+        the reference's 32), so the number of DISTINCT batch shapes —
+        and therefore XLA recompiles — is bounded by img_size/stride
+        while still cutting most of the square-letterbox padding."""
+        shapes = self._image_shapes()
+        ar = shapes[:, 0] / shapes[:, 1]             # h/w
+        order = np.argsort(ar)
+        s = self.img_size
+        n = len(order) // batch_size * batch_size
+        for k in range(0, n, batch_size):
+            idxs = order[k:k + batch_size]
+            a = ar[idxs]
+            # per-batch canvas from the extreme aspect ratios
+            # (datasets.py:437-441), ceil to stride
+            th, tw = 1.0, 1.0
+            if a.max() < 1:
+                th, tw = a.max(), 1.0
+            elif a.min() > 1:
+                th, tw = 1.0, 1.0 / a.min()
+            out = (
+                int(np.ceil(s * th / stride + pad) * stride),
+                int(np.ceil(s * tw / stride + pad) * stride),
+            )
+            out = (min(out[0], s), min(out[1], s))
+            items = [self.__getitem__(int(i), out_shape=out) for i in idxs]
+            yield (np.stack([x[0] for x in items]),
+                   np.stack([x[1] for x in items]),
+                   np.stack([x[2] for x in items]))
 
 
 def augment_hsv(img: np.ndarray, hyp: AugHyp, rng) -> np.ndarray:
