@@ -143,3 +143,63 @@ def test_plain_loss_matches_reference():
                     float(parts["cls"])])
     np.testing.assert_allclose(got, ref_parts[:3].numpy(),
                                rtol=5e-3, atol=2e-3)
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference repo")
+def test_bin_ota_loss_matches_reference(tmp_path):
+    """ComputeLossBinOTA parity on an IBin-headed tiny model (the
+    reference ships no IBin cfg, so the oracle model is built from the
+    tiny cfg with its head swapped to IBin)."""
+    torch = pytest.importorskip("torch")
+    from tests.test_model_parity import _stub_missing_modules
+
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.yolo import Model
+    from utils.loss import ComputeLossBinOTA
+
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+    from yolov7_tracker_tpu.train.loss import Hyp, compute_loss_bin_ota
+
+    cfg_txt = open(os.path.join(REF, "cfg/training/yolov7-tiny.yaml")).read()
+    cfg_txt = cfg_txt.replace("IDetect", "IBin")
+    p = tmp_path / "tiny-bin.yaml"
+    p.write_text(cfg_txt)
+
+    img_size = 128
+    torch.manual_seed(0)
+    ref_model = Model(str(p), ch=3, nc=8)
+    ref_model.hyp = HYP
+    ref_model.gr = 1.0
+    loss_ref = ComputeLossBinOTA(ref_model)
+
+    spec = load_yaml_file(str(p), nc=8)
+    no = spec.no
+    assert no == 8 + 3 + 2 * 22, no
+
+    rng = np.random.default_rng(0)
+    bsz = 2
+    preds = []
+    for s in spec.strides:
+        ny = nx = img_size // s
+        preds.append(
+            rng.normal(0, 1, (bsz, ny, nx, 3, no)).astype(np.float32)
+        )
+    targets, tmask, flat = make_targets(rng, bsz, 5)
+
+    loss, parts = compute_loss_bin_ota(
+        [np.asarray(p) for p in preds], jnp.asarray(targets),
+        jnp.asarray(tmask), spec, img_size, Hyp()
+    )
+    p_t = [torch.from_numpy(np.transpose(pp, (0, 3, 1, 2, 4)))
+           for pp in preds]
+    imgs = torch.zeros(bsz, 3, img_size, img_size)
+    ref_total, ref_parts = loss_ref(p_t, torch.from_numpy(flat), imgs)
+
+    np.testing.assert_allclose(
+        float(loss), float(ref_total), rtol=3e-3, atol=3e-3
+    )
+    got = np.array([float(parts["box"]), float(parts["obj"]),
+                    float(parts["cls"])])
+    np.testing.assert_allclose(got, ref_parts[:3].numpy(),
+                               rtol=5e-3, atol=3e-3)

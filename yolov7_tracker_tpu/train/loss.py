@@ -147,10 +147,15 @@ def simota_assign(
     hyp: Hyp,
     topk: int = 10,
     g: float = 0.5,
+    bin_wh: bool = False,
 ):
     """Per-image SimOTA. Returns per-candidate-slot assignment arrays of
     shape (T, nl, na, 5): matched mask, flat pred index, plus per-slot
-    layer/grid metadata for the loss."""
+    layer/grid metadata for the loss.
+
+    bin_wh=True decodes candidate w/h through the SigmoidBin head layout
+    (ComputeLossBinOTA build_targets, utils/loss.py:1017-1024) with
+    obj/cls at the shifted indices."""
     t_cap = targets.shape[0]
     nl = len(layer_meta)
     na = anchors_px.shape[1]
@@ -178,7 +183,24 @@ def simota_assign(
     ).reshape(c, 2)
     grid_per_slot = jnp.stack([gi.reshape(c), gj.reshape(c)], axis=-1)
     pxy = (jax.nn.sigmoid(fg[:, :2]) * 2.0 - 0.5 + grid_per_slot) * stride_per_slot[:, None]
-    pwh = (jax.nn.sigmoid(fg[:, 2:4]) * 2.0) ** 2 * anch_per_slot
+    if bin_wh:
+        from ..models.ibin import BIN_MAX, BIN_MIN, sigmoid_bin_decode
+        from ..models.spec import BIN_COUNT
+
+        L = BIN_COUNT + 1
+        pw = jnp.clip(
+            sigmoid_bin_decode(jax.nn.sigmoid(fg[:, 2:2 + L])),
+            BIN_MIN, BIN_MAX,
+        )
+        ph = jnp.clip(
+            sigmoid_bin_decode(jax.nn.sigmoid(fg[:, 2 + L:2 + 2 * L])),
+            BIN_MIN, BIN_MAX,
+        )
+        pwh = jnp.stack([pw, ph], axis=-1) * anch_per_slot
+        obj_idx = 2 + 2 * L
+    else:
+        pwh = (jax.nn.sigmoid(fg[:, 2:4]) * 2.0) ** 2 * anch_per_slot
+        obj_idx = 4
     pxyxy = xywh_to_xyxy(jnp.concatenate([pxy, pwh], axis=-1))
 
     txyxy = xywh_to_xyxy(txywh)                       # (T, 4)
@@ -189,8 +211,8 @@ def simota_assign(
     topv = jax.lax.top_k(pair_iou, min(topk, c))[0]
     dynamic_k = jnp.maximum(jnp.sum(topv, axis=1).astype(jnp.int32), 1)
 
-    obj_sig = jax.nn.sigmoid(fg[:, 4])
-    cls_sig = jax.nn.sigmoid(fg[:, 5:])
+    obj_sig = jax.nn.sigmoid(fg[:, obj_idx])
+    cls_sig = jax.nn.sigmoid(fg[:, obj_idx + 1:])
     y = jnp.sqrt(jnp.clip(cls_sig[None] * obj_sig[None, :, None], 1e-8, 1 - 1e-8))
     onehot = jax.nn.one_hot(tcls, nc)                 # (T, nc)
     cls_cost = -(
@@ -462,6 +484,157 @@ def compute_loss_aux_ota(
         lbox = lbox + lb + w_aux * lb_a
         lobj = lobj + (ob + w_aux * ob_a) * balance[li]
         lcls = lcls + lc + w_aux * lc_a
+
+    lbox = lbox * hyp.box
+    lobj = lobj * hyp.obj
+    lcls = lcls * hyp.cls
+    total = lbox + lobj + lcls
+    return total * bsz, {
+        "box": lbox, "obj": lobj, "cls": lcls, "loss": total,
+    }
+
+
+def _layer_loss_terms_bin(p, li, assign, targets, spec, img_size, hyp,
+                          cp, cn, gr: float = 1.0):
+    """Per-layer terms for the IBin head (ComputeLossBinOTA __call__,
+    utils/loss.py:882-950): w/h are SigmoidBin training losses (nearest
+    target bin BCE) with the CIoU box computed from target-bin-biased
+    residual decode; obj/cls live at the shifted channel indices."""
+    from ..models.ibin import (
+        BIN_MAX, BIN_MIN, _REG_SCALE, _STEP, bin_centers,
+    )
+    from ..models.spec import BIN_COUNT
+
+    nl, na, nc, no = spec.nl, spec.na, spec.nc, spec.no
+    L = BIN_COUNT + 1
+    obj_idx = 2 + 2 * L
+    anchors_px = jnp.asarray(spec.anchors_per_level())
+    strides = spec.strides
+    b, ny, nx, _, _ = p.shape
+    m = assign["matched"][:, :, li]              # (B, T, na, n_off)
+    mgt = assign["matched_gt"][:, :, li]
+    gi = assign["gi"][:, :, li]
+    gj = assign["gj"][:, :, li]
+    anchors_grid = anchors_px[li] / float(strides[li])  # (na, 2)
+    a_ids = jnp.arange(na, dtype=jnp.int32)[None, None, :, None]
+    flat_cell = (gj * nx + gi) * na + a_ids
+
+    ps = jnp.take_along_axis(
+        p.reshape(b, -1, no),
+        flat_cell.reshape(b, -1)[..., None],
+        axis=1,
+    ).reshape(m.shape + (no,))
+
+    t_xywh = jnp.take_along_axis(
+        targets[:, :, 1:5], mgt.reshape(b, -1)[..., None], axis=1
+    ).reshape(m.shape + (4,))
+    t_grid = t_xywh * img_size / float(strides[li])
+    grid = jnp.stack([gi, gj], axis=-1).astype(jnp.float32)
+    t_box = jnp.concatenate(
+        [t_grid[..., :2] - grid, t_grid[..., 2:]], axis=-1
+    )
+
+    n_m = jnp.maximum(jnp.sum(m), 1)
+    bins = bin_centers()
+
+    def bin_training(logits, target):
+        """SigmoidBin.training_loss (loss.py:90-118): nearest-bin BCE
+        sum (masked-mean outside) + target-bin-biased decode."""
+        reg = (jax.nn.sigmoid(logits[..., 0]) * _REG_SCALE
+               - _REG_SCALE / 2.0) * _STEP
+        idx = jnp.argmin(
+            jnp.abs(target[..., None] - bins), axis=-1
+        )
+        onehot = jax.nn.one_hot(idx, BIN_COUNT)
+        bce = _bce(logits[..., 1:], onehot)
+        loss_sum = jnp.sum(jnp.where(m[..., None], bce, 0.0))
+        decoded = jnp.clip(
+            reg + bins[idx], BIN_MIN, BIN_MAX
+        )
+        return loss_sum / (n_m * BIN_COUNT), decoded
+
+    anc = anchors_grid[None, None, :, None, :]
+    w_loss, pw = bin_training(
+        ps[..., 2:2 + L], t_box[..., 2] / anc[..., 0]
+    )
+    h_loss, ph = bin_training(
+        ps[..., 2 + L:obj_idx], t_box[..., 3] / anc[..., 1]
+    )
+    pxy = jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5
+    pbox = jnp.concatenate(
+        [pxy, (pw * anc[..., 0])[..., None], (ph * anc[..., 1])[..., None]],
+        axis=-1,
+    )
+    iou = bbox_iou(pbox, t_box, xywh=True, ciou=True)
+    lbox_i = w_loss + h_loss + jnp.sum(
+        jnp.where(m, 1.0 - iou, 0.0)
+    ) / n_m
+
+    tobj = jnp.zeros((b, ny * nx * na), jnp.float32)
+    val = jnp.where(
+        m,
+        (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0),
+        0.0,
+    )
+    tobj = jax.vmap(
+        lambda t0, idx, v: t0.at[idx.reshape(-1)].max(v.reshape(-1))
+    )(tobj, flat_cell, val)
+    obj_bce = _bce(
+        p[..., obj_idx].reshape(b, -1), tobj, pos_weight=hyp.obj_pw
+    )
+    obj_i = obj_bce.mean()
+
+    lcls_i = 0.0
+    if nc > 1:
+        tcls_sel = jnp.take_along_axis(
+            targets[:, :, 0].astype(jnp.int32),
+            mgt.reshape(b, -1), axis=1,
+        ).reshape(m.shape)
+        t_one = jnp.where(
+            jax.nn.one_hot(tcls_sel, nc, dtype=bool), cp, cn
+        )
+        cls_bce = _bce(ps[..., obj_idx + 1:], t_one, pos_weight=hyp.cls_pw)
+        lcls_i = jnp.sum(
+            jnp.where(m[..., None], cls_bce, 0.0)
+        ) / (n_m * nc)
+    return lbox_i, obj_i, lcls_i
+
+
+def compute_loss_bin_ota(
+    preds: List[jnp.ndarray],    # nl x (B, ny, nx, na, no) IBin heads
+    targets: jnp.ndarray,
+    tmask: jnp.ndarray,
+    spec: ModelSpec,
+    img_size: int,
+    hyp: Hyp = Hyp(),
+):
+    """ComputeLossBinOTA (utils/loss.py:849-1176): SimOTA assignment with
+    bin-decoded candidate boxes, then per-layer SigmoidBin w/h losses +
+    CIoU + shifted obj/cls. The reference never instantiates this class
+    from any shipped cfg; provided for IBin-model training parity."""
+    nl, nc = spec.nl, spec.nc
+    anchors_px = jnp.asarray(spec.anchors_per_level())
+    strides = spec.strides
+    bsz = preds[0].shape[0]
+    preds_flat, metas = _flatten_preds(preds)
+
+    assign = jax.vmap(
+        lambda pf, t, mm: simota_assign(
+            pf, metas, strides, anchors_px, t, mm, img_size, nc, hyp,
+            bin_wh=True,
+        )
+    )(preds_flat, targets, tmask)
+
+    cp, cn = smooth_bce(hyp.label_smoothing)
+    balance = _balance(nl)
+    lbox = lobj = lcls = 0.0
+    for li, p in enumerate(preds):
+        lb, ob, lc = _layer_loss_terms_bin(
+            p, li, assign, targets, spec, img_size, hyp, cp, cn
+        )
+        lbox = lbox + lb
+        lobj = lobj + ob * balance[li]
+        lcls = lcls + lc
 
     lbox = lbox * hyp.box
     lobj = lobj * hyp.obj
