@@ -167,3 +167,19 @@ def test_evaluate_map_rect(tiny_dataset):
     res = evaluate_map(spec, variables, tiny_dataset, img=96, batch=4,
                        max_labels=16, rect=True)
     assert "map50" in res and np.isfinite(res["map50"])
+
+def test_mosaic9(tiny_dataset):
+    """mosaic9 produces a valid 2s canvas with in-bounds labels."""
+    from yolov7_tracker_tpu.train.datasets import YoloDataset
+
+    ds = YoloDataset(tiny_dataset, img_size=96, max_labels=64)
+    img, labels = ds._mosaic9(0)
+    # the border=(-s//2) perspective warp crops the 2s canvas back to s
+    assert img.shape == (96, 96, 3)
+    if len(labels):
+        assert (labels[:, 1:] >= 0).all()
+        assert (labels[:, 1:] <= 96).all()
+    # the augmented __getitem__ path exercises the 80/20 selection
+    for i in range(4):
+        im, t, m = ds[i]
+        assert im.shape == (96, 96, 3)

@@ -160,6 +160,68 @@ class YoloDataset:
         )
         return canvas, labels4
 
+    def _mosaic9(self, idx: int):
+        """9-image mosaic (utils/datasets.py:898-970): a 3s canvas tiled
+        center/top/right/... by each image's own size chained off the
+        previous tile, then a random 2s crop and the same border-(-s/2)
+        perspective warp as mosaic4."""
+        s = self.img_size
+        idxs = [idx] + [self.rng.randrange(len(self)) for _ in range(8)]
+        canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+        labels9 = []
+        h0 = w0 = hp = wp = 0
+        for i, index in enumerate(idxs):
+            img, _ = self._load_image(index)
+            h, w = img.shape[:2]
+            if i == 0:
+                h0, w0 = h, w
+                c = s, s, s + w, s + h
+            elif i == 1:
+                c = s, s - h, s + w, s
+            elif i == 2:
+                c = s + wp, s - h, s + wp + w, s
+            elif i == 3:
+                c = s + w0, s, s + w0 + w, s + h
+            elif i == 4:
+                c = s + w0, s + hp, s + w0 + w, s + hp + h
+            elif i == 5:
+                c = s + w0 - w, s + h0, s + w0, s + h0 + h
+            elif i == 6:
+                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+            elif i == 7:
+                c = s - w, s + h0 - h, s, s + h0
+            else:
+                c = s - w, s + h0 - hp - h, s, s + h0 - hp
+            padx, pady = c[:2]
+            x1, y1, x2, y2 = (max(v, 0) for v in c)
+            canvas[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:][
+                : y2 - y1, : x2 - x1
+            ]
+            hp, wp = h, w
+            lab = self.labels[index].copy()
+            if len(lab):
+                xy = lab[:, 1:5].copy()
+                lab[:, 1] = w * (xy[:, 0] - xy[:, 2] / 2) + padx
+                lab[:, 2] = h * (xy[:, 1] - xy[:, 3] / 2) + pady
+                lab[:, 3] = w * (xy[:, 0] + xy[:, 2] / 2) + padx
+                lab[:, 4] = h * (xy[:, 1] + xy[:, 3] / 2) + pady
+                labels9.append(lab)
+        yc = int(self.rng.uniform(0, s))
+        xc = int(self.rng.uniform(0, s))
+        canvas = np.ascontiguousarray(canvas[yc:yc + 2 * s, xc:xc + 2 * s])
+        labels9 = (
+            np.concatenate(labels9, 0) if labels9 else np.zeros((0, 5))
+        )
+        if len(labels9):
+            labels9[:, [1, 3]] -= xc
+            labels9[:, [2, 4]] -= yc
+            np.clip(labels9[:, 1:], 0, 2 * s, out=labels9[:, 1:])
+        canvas, labels9 = random_perspective(
+            canvas, labels9, self.hyp, border=(-s // 2, -s // 2),
+            rng=self.rng,
+        )
+        return canvas, labels9
+
     def _plain(self, idx: int, out_shape: Optional[Tuple[int, int]] = None):
         """Letterboxed single image (val / no-mosaic path); labels xyxy.
         out_shape (th, tw) letterboxes into a rectangular canvas (the
@@ -192,9 +254,14 @@ class YoloDataset:
         mask (T,)); out_shape selects a rectangular val canvas."""
         use_mosaic = self.augment and self.rng.random() < self.hyp.mosaic
         if use_mosaic:
-            img, labels = self._mosaic(idx)
+            # 80/20 mosaic4/mosaic9 split (utils/datasets.py:553-558)
+            mfn = (self._mosaic if self.rng.random() < 0.8
+                   else self._mosaic9)
+            img, labels = mfn(idx)
             if self.rng.random() < self.hyp.mixup:
-                img2, labels2 = self._mosaic(self.rng.randrange(len(self)))
+                mfn2 = (self._mosaic if self.rng.random() < 0.8
+                        else self._mosaic9)
+                img2, labels2 = mfn2(self.rng.randrange(len(self)))
                 r = np.random.beta(8.0, 8.0)
                 img = (img * r + img2 * (1 - r)).astype(np.uint8)
                 labels = np.concatenate([labels, labels2], 0)
