@@ -152,3 +152,53 @@ def test_param_count_matches_reference():
         _, variables = yolo.build_model(spec, img_size=128)
         n_mine = sum(x.size for x in jax.tree.leaves(variables["params"]))
         assert n_mine == n_ref, (name, n_mine, n_ref)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    ["yolov3.yaml", "yolov3-spp.yaml", "yolov4-csp.yaml",
+     "yolor-csp.yaml", "r50-csp.yaml", "x50-csp.yaml", "yolor-p6.yaml"],
+)
+def test_baseline_cfg_forward_parity(cfg):
+    """Baseline cfg zoo (cfg/baseline/*) built through the yaml DSL."""
+    torch = pytest.importorskip("torch")
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.yolo import Model
+
+    from yolov7_tracker_tpu.models import convert, yolo
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+
+    path = os.path.join(REF, "cfg", "baseline", cfg)
+    torch.manual_seed(0)
+    ref = Model(path, ch=3, nc=80)
+    ref.float().eval()
+    gen = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(
+                0.1 * torch.randn(m.num_features, generator=gen))
+            m.running_var.copy_(
+                1.0 + 0.1 * torch.rand(m.num_features, generator=gen))
+
+    spec = load_yaml_file(path, nc=80)
+    variables = convert.convert_state_dict(ref.state_dict(), spec)
+    model = yolo.YoloV7(spec)
+
+    n_ref = sum(p.numel() for p in ref.parameters())
+    import jax
+    n_mine = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert n_mine == n_ref, (cfg, n_mine, n_ref)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    dec, _ = model.apply(variables, x_nhwc, training=False)
+    dec = np.asarray(dec)
+    assert dec.shape == ref_out.shape
+    a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
+    b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

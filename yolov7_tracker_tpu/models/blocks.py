@@ -10,7 +10,7 @@ momentum 0.1) for checkpoint parity.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -178,3 +178,130 @@ class SPPCSPC(nn.Module):
 def upsample_nearest(x, factor: int):
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * factor, w * factor, c), "nearest")
+
+
+class Bottleneck(nn.Module):
+    """Darknet bottleneck (models/common.py:209-220); n>1 stacks
+    sequentially (parse_model nn.Sequential, models/yolo.py:497)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        for j in range(self.n):
+            c1 = x.shape[-1]
+            c_ = int(self.c2 * self.e)
+            pre = f"m{j}_" if self.n > 1 else ""
+            y = ConvBnAct(c_, 1, 1, fused=f, name=f"{pre}cv1")(x, training)
+            y = ConvBnAct(self.c2, 3, 1, g=self.g, fused=f,
+                          name=f"{pre}cv2")(y, training)
+            x = x + y if (self.shortcut and c1 == self.c2) else y
+        return x
+
+
+class Res(nn.Module):
+    """ResNet bottleneck (models/common.py:223-234)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        y = ConvBnAct(c_, 3, 1, g=self.g, fused=f, name="cv2")(y, training)
+        y = ConvBnAct(self.c2, 1, 1, fused=f, name="cv3")(y, training)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class CSP(nn.Module):
+    """CSP wrapper covering the A/B/C split topologies with Bottleneck
+    or Res inner stacks (models/common.py:307-404: BottleneckCSPA/B/C,
+    ResCSPA/B/C, ResXCSPA/B/C):
+
+      A: y1 = m(cv1(x)),      y2 = cv2(x)   -> cv3(cat)
+      B: x1 = cv1(x); y1 = m(x1), y2 = cv2(x1) -> cv3(cat)  (c_ = c2)
+      C: y1 = cv3(m(cv1(x))), y2 = cv2(x)   -> cv4(cat)
+    """
+
+    c2: int
+    n: int = 1
+    variant: str = "a"          # 'a' | 'b' | 'c'
+    inner: str = "bottleneck"   # 'bottleneck' | 'res'
+    shortcut: bool = True
+    g: int = 1                  # inner conv groups (32 for ResX)
+    inner_e: float = 1.0
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = self.c2 if self.variant == "b" else self.c2 // 2
+        x1 = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        y1 = x1
+        for j in range(self.n):
+            if self.inner == "res":
+                y1 = Res(c_, self.shortcut, self.g, self.inner_e,
+                         fused=f, name=f"m{j}")(y1, training)
+            else:
+                y1 = Bottleneck(c_, 1, self.shortcut, self.g,
+                                self.inner_e, fused=f,
+                                name=f"m{j}")(y1, training)
+        if self.variant == "c":
+            y1 = ConvBnAct(c_, 1, 1, fused=f, name="cv3")(y1, training)
+        y2 = ConvBnAct(
+            c_, 1, 1, fused=f, name="cv2"
+        )(x1 if self.variant == "b" else x, training)
+        out_name = "cv4" if self.variant == "c" else "cv3"
+        return ConvBnAct(self.c2, 1, 1, fused=f, name=out_name)(
+            jnp.concatenate([y1, y2], axis=-1), training
+        )
+
+
+class SPP(nn.Module):
+    """YOLOv3-SPP pyramid pooling (models/common.py:195-206)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = x.shape[-1] // 2
+        x = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        pools = [max_pool(x, k, 1, k // 2) for k in self.k]
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv2")(
+            jnp.concatenate([x] + pools, axis=-1), training
+        )
+
+
+class Stem(nn.Module):
+    """4x-downsampling stem (models/common.py:165-178): stride-2 conv,
+    then a conv branch and a maxpool branch concatenated."""
+
+    c2: int
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = self.c2 // 2
+        x = ConvBnAct(c_, 3, 2, fused=f, name="cv1")(x, training)
+        a = ConvBnAct(c_, 1, 1, fused=f, name="cv2")(x, training)
+        a = ConvBnAct(c_, 3, 2, fused=f, name="cv3")(a, training)
+        b = max_pool(x, 2, 2, 0)
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv4")(
+            jnp.concatenate([a, b], axis=-1), training
+        )

@@ -25,7 +25,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from .spec import ModelSpec
+from .spec import CSP_KINDS, ModelSpec
 
 BN_EPS = 1e-5
 
@@ -86,6 +86,32 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                 conv_bn((cv,), f"{pre}.{cv}", name)
         elif l.kind == "SPPCSPC":
             for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+                conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "Bottleneck":
+            n = l.args[0]
+            if n > 1:  # parse_model wraps repeats in nn.Sequential
+                for j in range(n):
+                    for cv in ("cv1", "cv2"):
+                        conv_bn((f"m{j}_{cv}",), f"{pre}.{j}.{cv}", name)
+            else:
+                for cv in ("cv1", "cv2"):
+                    conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind in CSP_KINDS:
+            variant, inner, *_ = CSP_KINDS[l.kind]
+            outer = ("cv1", "cv2", "cv3", "cv4") if variant == "c" else (
+                "cv1", "cv2", "cv3")
+            for cv in outer:
+                conv_bn((cv,), f"{pre}.{cv}", name)
+            inner_cvs = ("cv1", "cv2", "cv3") if inner == "res" else (
+                "cv1", "cv2")
+            for j in range(l.args[0]):
+                for cv in inner_cvs:
+                    conv_bn((f"m{j}", cv), f"{pre}.m.{j}.{cv}", name)
+        elif l.kind == "SPP":
+            for cv in ("cv1", "cv2"):
+                conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "Stem":
+            for cv in ("cv1", "cv2", "cv3", "cv4"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
         elif l.kind == "RepConv":
             if f"{pre}.rbr_reparam.weight" in sd:

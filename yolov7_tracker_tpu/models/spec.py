@@ -25,6 +25,26 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 SUPPORTED = {
     "Conv", "MP", "SP", "SPPCSPC", "RepConv", "ReOrg", "DownC", "Concat",
     "Shortcut", "Upsample", "Detect", "IDetect", "IAuxDetect", "IBin",
+    # baseline-cfg zoo blocks (yolov3/yolov4-csp/yolor/r50/x50)
+    "Bottleneck", "SPP", "Stem",
+    "BottleneckCSPA", "BottleneckCSPB", "BottleneckCSPC",
+    "ResCSPA", "ResCSPB", "ResCSPC",
+    "ResXCSPA", "ResXCSPB", "ResXCSPC",
+}
+
+# CSP variant table: (split topology, inner block, inner shortcut,
+# inner groups, inner expansion) — models/common.py:307-404 defaults as
+# instantiated by parse_model from yaml args [c2] (+ repeat n)
+CSP_KINDS = {
+    "BottleneckCSPA": ("a", "bottleneck", True, 1, 1.0),
+    "BottleneckCSPB": ("b", "bottleneck", False, 1, 1.0),
+    "BottleneckCSPC": ("c", "bottleneck", True, 1, 1.0),
+    "ResCSPA": ("a", "res", True, 1, 0.5),
+    "ResCSPB": ("b", "res", True, 1, 0.5),
+    "ResCSPC": ("c", "res", True, 1, 0.5),
+    "ResXCSPA": ("a", "res", True, 32, 1.0),
+    "ResXCSPB": ("b", "res", True, 32, 1.0),
+    "ResXCSPC": ("c", "res", True, 32, 1.0),
 }
 
 BIN_COUNT = 21  # IBin default (models/yolo.py:165)
@@ -141,6 +161,8 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
             k = args[1] if len(args) > 1 else 1
+            if isinstance(k, (list, tuple)):  # e.g. [512, [1, 1]]
+                k = k[0]
             s = args[2] if len(args) > 2 else 1
             g = args[4] if len(args) > 4 else 1
             act = _parse_act(args[5]) if len(args) > 5 else "silu"
@@ -163,6 +185,24 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             c2 = make_divisible(args[0] * gw, 8)
             norm_args = ()
             out_ch, out_scale = c2, in_scale
+        elif kind == "Bottleneck":
+            c2 = make_divisible(args[0] * gw, 8)
+            shortcut = bool(args[1]) if len(args) > 1 else True
+            norm_args = (n, shortcut)  # sequential repeats, residual flag
+            out_ch, out_scale = c2, in_scale
+        elif kind in CSP_KINDS:
+            c2 = make_divisible(args[0] * gw, 8)
+            norm_args = (n,)          # inner stack depth
+            out_ch, out_scale = c2, in_scale
+        elif kind == "SPP":
+            c2 = make_divisible(args[0] * gw, 8)
+            k = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
+            norm_args = (k,)
+            out_ch, out_scale = c2, in_scale
+        elif kind == "Stem":
+            c2 = make_divisible(args[0] * gw, 8)
+            norm_args = ()
+            out_ch, out_scale = c2, in_scale * 4
         elif kind == "MP":
             k = args[0] if args else 2
             norm_args = (k,)

@@ -26,6 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from . import blocks
+from . import spec as spec_mod
 from .spec import ModelSpec
 
 
@@ -54,6 +55,27 @@ class YoloV7(nn.Module):
                 )
             elif l.kind == "SPPCSPC":
                 mods[str(l.index)] = blocks.SPPCSPC(
+                    l.c_out, fused=self.fused, name=f"layer{l.index}"
+                )
+            elif l.kind == "Bottleneck":
+                mods[str(l.index)] = blocks.Bottleneck(
+                    l.c_out, n=l.args[0], shortcut=l.args[1],
+                    fused=self.fused, name=f"layer{l.index}",
+                )
+            elif l.kind in spec_mod.CSP_KINDS:
+                variant, inner, sc, g, ie = spec_mod.CSP_KINDS[l.kind]
+                mods[str(l.index)] = blocks.CSP(
+                    l.c_out, n=l.args[0], variant=variant, inner=inner,
+                    shortcut=sc, g=g, inner_e=ie, fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "SPP":
+                mods[str(l.index)] = blocks.SPP(
+                    l.c_out, k=l.args[0], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "Stem":
+                mods[str(l.index)] = blocks.Stem(
                     l.c_out, fused=self.fused, name=f"layer{l.index}"
                 )
         self._mods = mods
@@ -95,7 +117,7 @@ class YoloV7(nn.Module):
             inp = saved[l.frm[0]] if l.frm[0] != l.index - 1 else y
             if l.index == 0:
                 inp = x
-            if l.kind in ("Conv", "RepConv", "DownC", "SPPCSPC"):
+            if str(l.index) in self._mods:
                 y = self._mods[str(l.index)](inp, training)
             elif l.kind == "MP":
                 y = blocks.mp(inp, l.args[0])
