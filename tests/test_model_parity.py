@@ -202,3 +202,25 @@ def test_baseline_cfg_forward_parity(cfg):
     a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
     b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "name,cfg",
+    [("yolov3", "yolov3.yaml"), ("yolov3-spp", "yolov3-spp.yaml"),
+     ("yolov4-csp", "yolov4-csp.yaml"), ("yolor-csp", "yolor-csp.yaml")],
+)
+def test_baseline_zoo_builders_match_cfg(name, cfg):
+    """Programmatic baseline builders produce specs identical to parsing
+    the reference cfg files."""
+    from yolov7_tracker_tpu.models import zoo
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+
+    a = zoo.get_spec(name, nc=80)
+    b = load_yaml_file(os.path.join(REF, "cfg", "baseline", cfg), nc=80)
+    assert a.anchors == b.anchors
+    assert a.strides == b.strides
+    assert a.head_kind == b.head_kind
+    assert len(a.layers) == len(b.layers)
+    for la, lb in zip(a.layers, b.layers):
+        assert (la.kind, la.frm, la.args, la.c_out, la.scale) == (
+            lb.kind, lb.frm, lb.args, lb.c_out, lb.scale), (la, lb)

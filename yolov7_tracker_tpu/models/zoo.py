@@ -48,8 +48,8 @@ class Rows:
     def i(self) -> int:
         return len(self.rows) - 1
 
-    def add(self, frm, kind, args):
-        self.rows.append([frm, 1, kind, list(args)])
+    def add(self, frm, kind, args, n: int = 1):
+        self.rows.append([frm, n, kind, list(args)])
         return self.i
 
     def conv(self, c, k=1, s=1, frm=-1, act=None):
@@ -398,8 +398,114 @@ def yolov7_e6e_rows():
                            double_elan=True)
 
 
+def _yolov3_rows(spp: bool = False):
+    """Darknet53 + YOLOv3 FPN head (cfg/baseline/yolov3{,-spp}.yaml)."""
+    r = Rows()
+    r.conv(32, 3, 1)
+    r.conv(64, 3, 2)
+    r.add(-1, "Bottleneck", [64])
+    r.conv(128, 3, 2)
+    r.add(-1, "Bottleneck", [128], n=2)
+    r.conv(256, 3, 2)
+    p3 = r.add(-1, "Bottleneck", [256], n=8)
+    r.conv(512, 3, 2)
+    p4 = r.add(-1, "Bottleneck", [512], n=8)
+    r.conv(1024, 3, 2)
+    r.add(-1, "Bottleneck", [1024], n=4)
+    # head
+    r.add(-1, "Bottleneck", [1024, False])
+    if spp:
+        r.add(-1, "SPP", [512, [5, 9, 13]])
+    else:
+        r.conv(512, 1, 1)
+    r.conv(1024, 3, 1)
+    r.conv(512, 1, 1)
+    p5_out = r.conv(1024, 3, 1)
+    r.conv(256, 1, 1, frm=-2)
+    r.up()
+    r.concat([-1, p4])
+    r.add(-1, "Bottleneck", [512, False])
+    r.add(-1, "Bottleneck", [512, False])
+    r.conv(256, 1, 1)
+    p4_out = r.conv(512, 3, 1)
+    r.conv(128, 1, 1, frm=-2)
+    r.up()
+    r.concat([-1, p3])
+    r.add(-1, "Bottleneck", [256, False])
+    p3_out = r.add(-1, "Bottleneck", [256, False], n=2)
+    r.add([p3_out, p4_out, p5_out], "Detect", ["nc", "anchors"])
+    return r.rows
+
+
+def yolov3_rows():
+    return _yolov3_rows(spp=False)
+
+
+def yolov3_spp_rows():
+    return _yolov3_rows(spp=True)
+
+
+def _csp_darknet_rows(head_kind: str):
+    """CSP-Darknet + CSP-Dark-PAN (cfg/baseline/yolov4-csp.yaml /
+    yolor-csp.yaml — identical bodies, Detect vs IDetect head)."""
+    r = Rows()
+    r.conv(32, 3, 1)
+    r.conv(64, 3, 2)
+    r.add(-1, "Bottleneck", [64])
+    r.conv(128, 3, 2)
+    r.add(-1, "BottleneckCSPC", [128], n=2)
+    r.conv(256, 3, 2)
+    p3 = r.add(-1, "BottleneckCSPC", [256], n=8)
+    r.conv(512, 3, 2)
+    p4 = r.add(-1, "BottleneckCSPC", [512], n=8)
+    r.conv(1024, 3, 2)
+    r.add(-1, "BottleneckCSPC", [1024], n=4)
+    # head
+    spp = r.add(-1, "SPPCSPC", [512])
+    r.conv(256, 1, 1)
+    r.up()
+    r.conv(256, 1, 1, frm=p4)
+    r.concat([-1, -2])
+    f16 = r.add(-1, "BottleneckCSPB", [256], n=2)
+    r.conv(128, 1, 1)
+    r.up()
+    r.conv(128, 1, 1, frm=p3)
+    r.concat([-1, -2])
+    r.add(-1, "BottleneckCSPB", [128], n=2)
+    p3_out = r.conv(256, 3, 1)
+    r.conv(256, 3, 2, frm=-2)
+    r.concat([-1, f16])
+    r.add(-1, "BottleneckCSPB", [256], n=2)
+    p4_out = r.conv(512, 3, 1)
+    r.conv(512, 3, 2, frm=-2)
+    r.concat([-1, spp])
+    r.add(-1, "BottleneckCSPB", [512], n=2)
+    p5_out = r.conv(1024, 3, 1)
+    r.add([p3_out, p4_out, p5_out], head_kind, ["nc", "anchors"])
+    return r.rows
+
+
+def yolov4_csp_rows():
+    return _csp_darknet_rows("Detect")
+
+
+def yolor_csp_rows():
+    return _csp_darknet_rows("IDetect")
+
+
+ANCHORS_P5_V3 = [
+    [10, 13, 16, 30, 33, 23],
+    [30, 61, 62, 45, 59, 119],
+    [116, 90, 156, 198, 373, 326],
+]
+
+
 _ZOO = {
     "yolov7-tiny": (yolov7_tiny_rows, ANCHORS_P5_TINY, 1.0, 1.0),
+    "yolov3": (yolov3_rows, ANCHORS_P5_V3, 1.0, 1.0),
+    "yolov3-spp": (yolov3_spp_rows, ANCHORS_P5_V3, 1.0, 1.0),
+    "yolov4-csp": (yolov4_csp_rows, ANCHORS_P5, 1.0, 1.0),
+    "yolor-csp": (yolor_csp_rows, ANCHORS_P5, 1.0, 1.0),
     "yolov7": (yolov7_rows, ANCHORS_P5, 1.0, 1.0),
     "yolov7x": (yolov7x_rows, ANCHORS_P5, 1.0, 1.0),
     "yolov7-w6": (yolov7_w6_rows, ANCHORS_P6, 1.0, 1.0),
