@@ -96,3 +96,39 @@ def test_track_cli_end_to_end(mot_dataset, tmp_path):
         assert os.path.isfile(os.path.join(folder, seq + ".txt"))
     # eval outputs written
     assert os.path.isfile(os.path.join(folder, "pedestrian_summary.csv"))
+
+
+def test_track_cli_yaml_model(mot_dataset, tmp_path):
+    """--model accepting a reference-format cfg yaml path (the
+    track_yolov5/track_yolov8 'swap the detector' entry analogue)."""
+    ref_cfg = "/root/reference/cfg/training/yolov7-tiny.yaml"
+    if not os.path.isfile(ref_cfg):
+        pytest.skip("no reference cfg available")
+    root, seq_info = mot_dataset
+    cfg = {
+        "DATASET_ROOT": root,
+        "CATEGORY_NAMES": ["pedestrian"],
+        "CATEGORY_DICT": {0: "pedestrian"},
+    }
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "synth.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from yolov7_tracker_tpu.cli import track
+
+    folder = track.main([
+        "--dataset", "synth",
+        "--config_dir", str(cfg_dir),
+        "--tracker", "sort",
+        "--model", ref_cfg,
+        "--nc", "1",
+        "--img_size", "160",
+        "--split", "train",
+        "--capacity", "32",
+        "--det_capacity", "16",
+        "--detector_batch", "4",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    for seq in seq_info:
+        assert os.path.isfile(os.path.join(folder, seq + ".txt"))

@@ -100,11 +100,21 @@ def main(argv=None):
         det_capacity=opts.det_capacity, gamma=opts.gamma,
         min_area=opts.min_area,
     )
+    # --model accepts a zoo name OR any reference-format cfg yaml — the
+    # analogue of the reference's track_yolov5/track_yolov8 entries
+    # (swap the detector, keep the tracking loop); any model the spec
+    # DSL supports plugs into the same compiled pipeline.
+    spec = None
+    if opts.model.endswith((".yaml", ".yml")):
+        from ..models.spec import load_yaml_file
+
+        spec = load_yaml_file(opts.model, nc=opts.nc)
     variables = None
     if opts.model_path:
         from ..models import convert, zoo
 
-        spec = zoo.get_spec(opts.model, nc=opts.nc)
+        if spec is None:
+            spec = zoo.get_spec(opts.model, nc=opts.nc)
         if opts.model_path.endswith(".pt"):
             sd = convert.state_dict_from_reference_ckpt(
                 opts.model_path, "/root/reference"
@@ -114,7 +124,7 @@ def main(argv=None):
             from ..utils import checkpoint
 
             variables = checkpoint.load_variables(opts.model_path)
-    pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec)
 
     data_root = cfgs.get("DATASET_ROOT", ".")
     ignore = [s for s in (cfgs.get("IGNORE_SEQS") or []) if s]
