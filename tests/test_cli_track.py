@@ -132,3 +132,40 @@ def test_track_cli_yaml_model(mot_dataset, tmp_path):
     ])
     for seq in seq_info:
         assert os.path.isfile(os.path.join(folder, seq + ".txt"))
+
+
+def test_stream_frames_and_demo_stream_loop(mot_dataset, tmp_path):
+    """StreamFrames over a video file (same cv2 path a webcam/RTSP
+    source uses) + the demo's per-frame streaming loop."""
+    import cv2
+
+    root, seq_info = mot_dataset
+    seq = sorted(seq_info)[0]
+    img_dir = os.path.join(root, "train", seq, "img1")
+    files = sorted(os.listdir(img_dir))
+    vid = str(tmp_path / "synth.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (240, 160))
+    for f in files:
+        w.write(cv2.imread(os.path.join(img_dir, f)))
+    w.release()
+
+    from yolov7_tracker_tpu.data.sequence import StreamFrames
+
+    src = StreamFrames(vid, max_frames=5)
+    frames = list(src)
+    assert len(frames) == 5 and frames[0].shape == (160, 240, 3)
+    src.release()
+
+    # per-frame fused step on a few frames
+    from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    pipe = TrackingPipeline(
+        PipelineConfig(model="yolov7-tiny", nc=1, img_size=160),
+        TrackerConfig(tracker="bytetrack", capacity=32, det_capacity=16),
+    )
+    slab = pipe.init_tracker()
+    for fr in frames[:3]:
+        slab, out = pipe.step_frame(slab, fr)
+    assert out.valid.shape[0] == 32

@@ -12,7 +12,10 @@ import time
 def parse_args(argv=None):
     p = argparse.ArgumentParser("tpu tracker demo")
     p.add_argument("--obj", type=str, required=True,
-                   help="video file or image directory")
+                   help="video file, image directory, webcam id (e.g. 0)"
+                        " or rtsp/http stream URL")
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="stop a live stream after N frames (0 = run on)")
     p.add_argument("--tracker", type=str, default="bytetrack")
     p.add_argument("--model", type=str, default="yolov7-tiny")
     p.add_argument("--model_path", type=str, default="")
@@ -44,6 +47,36 @@ def main(argv=None):
 
         variables = checkpoint.load_variables(opts.model_path)
     pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+
+    is_stream = opts.obj.isdigit() or "://" in opts.obj
+    if is_stream:
+        # live source: per-frame fused detect+associate (one device
+        # round trip/frame — the latency path), results emitted as we go
+        src = seqmod.StreamFrames(opts.obj, max_frames=opts.max_frames)
+        name = f"stream_{opts.obj.replace('://', '_').replace('/', '_')}"
+        slab = pipe.init_tracker()
+        results = []
+        import numpy as np
+
+        t0 = time.time()
+        n = 0
+        for frame in src:
+            slab, out = pipe.step_frame(slab, frame)
+            valid = np.asarray(out.valid)
+            results.append((
+                n + 1,
+                np.asarray(out.track_id)[valid].tolist(),
+                list(np.asarray(out.tlwh)[valid]),
+                np.asarray(out.cls)[valid].astype(int).tolist(),
+            ))
+            n += 1
+        src.release()
+        dt = time.time() - t0
+        print(f"{name}: {n} frames in {dt:.1f}s "
+              f"({n/max(dt,1e-9):.1f} fps)")
+        os.makedirs(opts.save_dir, exist_ok=True)
+        writer.save_results(opts.save_dir, name, results)
+        return results
 
     if os.path.isdir(opts.obj):
         spec = seqmod.SequenceSpec(

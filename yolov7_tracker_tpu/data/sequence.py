@@ -125,3 +125,37 @@ class VideoFrames:
             if not ok:
                 return
             yield frame
+
+
+class StreamFrames:
+    """Live webcam / RTSP / HTTP stream source (the reference's
+    LoadWebcam/LoadStreams, utils/datasets.py:140-356): unbounded frame
+    iterator over cv2.VideoCapture with optional frame-skip for
+    real-time pacing; pair with TrackingPipeline.step_frame for the
+    single-round-trip streaming path."""
+
+    def __init__(self, source, skip: int = 0, max_frames: int = 0):
+        import cv2
+
+        src = int(source) if str(source).isdigit() else source
+        self.cap = cv2.VideoCapture(src)
+        assert self.cap.isOpened(), f"cannot open stream {source!r}"
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30
+        self.skip = skip
+        self.max_frames = max_frames
+
+    def __iter__(self):
+        n = 0
+        while True:
+            for _ in range(self.skip):
+                self.cap.grab()
+            ok, frame = self.cap.read()
+            if not ok:
+                return
+            yield frame
+            n += 1
+            if self.max_frames and n >= self.max_frames:
+                return
+
+    def release(self):
+        self.cap.release()
