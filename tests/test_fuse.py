@@ -31,3 +31,28 @@ def test_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3
     )
+
+
+def test_activation_registry_matches_torch():
+    """mish/hardswish/relu/silu vs torch (utils/activations.py set)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.models.blocks import activation
+    from yolov7_tracker_tpu.models.spec import _parse_act
+
+    x = np.linspace(-5, 5, 101).astype(np.float32)
+    for name, tfn in [("mish", torch.nn.Mish()),
+                      ("hardswish", torch.nn.Hardswish()),
+                      ("relu", torch.nn.ReLU()),
+                      ("silu", torch.nn.SiLU()),
+                      ("leaky:0.1", torch.nn.LeakyReLU(0.1))]:
+        got = np.asarray(activation(name)(jnp.asarray(x)))
+        want = tfn(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=name)
+    assert _parse_act("nn.Mish()") == "mish"
+    assert _parse_act("nn.Hardswish()") == "hardswish"
+    assert _parse_act("nn.LeakyReLU(0.1)") == "leaky:0.1"

@@ -21,6 +21,9 @@ BN_MOM = 0.9  # flax momentum = 1 - torch momentum (0.1)
 
 
 def activation(name: str) -> Callable:
+    """Activation registry (reference utils/activations.py:9-65 set:
+    SiLU/Hardswish/Mish/FReLU — FReLU is a conv-act, unused by any cfg,
+    handled as a ValueError here)."""
     if name == "silu":
         return jax.nn.silu
     if name.startswith("leaky:"):
@@ -28,6 +31,12 @@ def activation(name: str) -> Callable:
         return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
     if name == "id":
         return lambda x: x
+    if name == "relu":
+        return jax.nn.relu
+    if name == "mish":
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
+    if name == "hardswish":
+        return jax.nn.hard_swish
     raise ValueError(name)
 
 

@@ -113,6 +113,12 @@ def _parse_act(a: Any) -> str:
             return "silu"
         if a.strip() in ("nn.Identity()", "False"):
             return "id"
+        token = {
+            "nn.ReLU()": "relu", "nn.Mish()": "mish", "Mish()": "mish",
+            "nn.Hardswish()": "hardswish",
+        }.get(a.strip())
+        if token:
+            return token
         raise ValueError(f"unsupported activation {a!r}")
     if a is False:
         return "id"
