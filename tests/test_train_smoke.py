@@ -183,3 +183,20 @@ def test_mosaic9(tiny_dataset):
     for i in range(4):
         im, t, m = ds[i]
         assert im.shape == (96, 96, 3)
+
+def test_image_weights_sampling(tiny_dataset):
+    from yolov7_tracker_tpu.train.datasets import (
+        YoloDataset, labels_to_class_weights, labels_to_image_weights,
+    )
+
+    ds = YoloDataset(tiny_dataset, img_size=96, max_labels=16,
+                     augment=False)
+    cw = labels_to_class_weights(ds.labels, nc=2)
+    assert cw.shape == (2,) and abs(cw.sum() - 1.0) < 1e-9
+    iw = labels_to_image_weights(ds.labels, 2, cw)
+    assert iw.shape == (len(ds),) and (iw >= 0).all()
+    # images of class 0 only: weight concentrated there
+    ds.resample_by_weights(iw)
+    assert len(ds.indices) == len(ds)
+    imgs, tgts, masks = next(ds.batches(4))
+    assert imgs.shape == (4, 96, 96, 3)

@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--n_devices", type=int, default=0,
                    help="0 = all local devices")
+    p.add_argument("--image_weights", action="store_true",
+                   help="per-epoch weighted image sampling by class "
+                        "rarity x (1 - per-class mAP)^2 (train.py:312)")
     return p.parse_args(argv)
 
 
@@ -91,7 +94,19 @@ def main(argv=None):
     print(f"training {opts.model} on {len(dataset)} images, "
           f"{steps_per_epoch} steps/epoch, mesh={mesh.shape}")
 
+    nc = int(data_cfg.get("nc", 80))
+    maps = np.zeros(nc)  # per-class mAPs from the latest eval
     for epoch in range(opts.epochs):
+        if opts.image_weights:
+            from ..train.datasets import (
+                labels_to_class_weights, labels_to_image_weights,
+            )
+
+            cw = labels_to_class_weights(dataset.labels, nc)
+            cw = cw * (1 - maps) ** 2 / nc
+            dataset.resample_by_weights(
+                labels_to_image_weights(dataset.labels, nc, cw)
+            )
         t0 = time.time()
         losses = []
         for imgs, tgts, masks in dataset.batches(opts.batch):
@@ -124,6 +139,9 @@ def main(argv=None):
             )
             from ..train.metrics import fitness
 
+            for c, a in res.get("per_class_ap", {}).items():
+                if 0 <= int(c) < nc:
+                    maps[int(c)] = a
             fit = fitness(res)
             print(f"  val: mAP50 {res['map50']:.4f} mAP {res['map']:.4f}")
             if fit > best_fitness:

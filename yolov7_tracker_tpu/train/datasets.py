@@ -301,10 +301,18 @@ class YoloDataset:
             m[:n] = True
         return img, t, m
 
+    def resample_by_weights(self, image_weights: np.ndarray):
+        """Weighted-with-replacement epoch resample (train.py:312-317:
+        dataset.indices = random.choices(range(n), weights=iw, k=n))."""
+        n = len(self)
+        self.indices = self.rng.choices(
+            range(n), weights=list(image_weights), k=n
+        )
+
     def batches(self, batch_size: int, shuffle: bool = True,
                 epochs: int = 1) -> Iterator[Tuple[np.ndarray, ...]]:
-        order = list(range(len(self)))
         for _ in range(epochs):
+            order = list(getattr(self, "indices", range(len(self))))
             if shuffle:
                 self.rng.shuffle(order)
             for k in range(0, len(order) - batch_size + 1, batch_size):
@@ -512,3 +520,26 @@ def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1):
         & (w2 * h2 / (w1 * h1 + 1e-16) > area_thr)
         & (ar < ar_thr)
     )
+
+
+def labels_to_class_weights(labels, nc: int) -> np.ndarray:
+    """Inverse-frequency class weights from label arrays
+    (utils/general.py:216-232)."""
+    if not labels:
+        return np.ones(nc) / nc
+    cls = np.concatenate([l[:, 0] for l in labels]).astype(int) \
+        if any(len(l) for l in labels) else np.zeros(0, int)
+    w = np.bincount(cls, minlength=nc).astype(np.float64)
+    w[w == 0] = 1
+    w = 1.0 / w
+    return w / w.sum()
+
+
+def labels_to_image_weights(labels, nc: int,
+                            class_weights: np.ndarray) -> np.ndarray:
+    """Per-image sampling weights = class_weights . per-image class
+    counts (utils/general.py:235-240)."""
+    counts = np.stack([
+        np.bincount(l[:, 0].astype(int), minlength=nc) for l in labels
+    ])
+    return (class_weights.reshape(1, nc) * counts).sum(1)
