@@ -200,3 +200,26 @@ def test_image_weights_sampling(tiny_dataset):
     assert len(ds.indices) == len(ds)
     imgs, tgts, masks = next(ds.batches(4))
     assert imgs.shape == (4, 96, 96, 3)
+
+
+def test_train_cli_multiscale(tiny_dataset, tmp_path):
+    """One epoch of the full train CLI with --multi_scale and
+    --image_weights on the virtual mesh."""
+    import yaml
+
+    from yolov7_tracker_tpu.cli import train as train_cli
+
+    data_yaml = tmp_path / "data.yaml"
+    yaml.safe_dump({"train": tiny_dataset, "nc": 2},
+                   open(data_yaml, "w"))
+    run_dir = train_cli.main([
+        "--model", "yolov7-tiny",
+        "--data", str(data_yaml),
+        "--img", "96",
+        "--batch", str(len(jax.devices())),
+        "--epochs", "1",
+        "--max_labels", "16",
+        "--ckpt_dir", str(tmp_path / "runs"),
+        "--multi_scale", "--image_weights",
+    ])
+    assert os.path.isfile(os.path.join(run_dir, "last.msgpack"))

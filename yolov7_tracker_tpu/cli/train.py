@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--image_weights", action="store_true",
                    help="per-epoch weighted image sampling by class "
                         "rarity x (1 - per-class mAP)^2 (train.py:312)")
+    p.add_argument("--multi_scale", action="store_true",
+                   help="random train scale per batch. TPU twist on "
+                        "train.py:352-358: a FIXED set of stride-rounded "
+                        "scales (0.7x..1.3x) so XLA compiles each shape "
+                        "once instead of on every batch")
     return p.parse_args(argv)
 
 
@@ -81,9 +86,29 @@ def main(argv=None):
     state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg)
     if opts.resume:
         state = checkpoint.load_train_state(opts.resume, state)
-    step_fn = make_train_step(spec, mesh, img_size=opts.img,
-                              hyp=Hyp(**hyp_kw), opt_cfg=opt_cfg,
-                              compute_dtype="bfloat16")
+
+    hyp = Hyp(**hyp_kw)
+    step_fns = {}
+
+    def step_for(size: int):
+        if size not in step_fns:
+            step_fns[size] = make_train_step(
+                spec, mesh, img_size=size, hyp=hyp, opt_cfg=opt_cfg,
+                compute_dtype="bfloat16",
+            )
+        return step_fns[size]
+
+    gs = max(spec.strides)
+    if opts.multi_scale:
+        scales = sorted({
+            max(int(round(opts.img * f / gs)) * gs, gs)
+            for f in (0.7, 0.85, 1.0, 1.15, 1.3)
+        })
+    else:
+        scales = [opts.img]
+    import random as _random
+
+    scale_rng = _random.Random(0)
 
     best_fitness = 0.0
     run_dir = os.path.join(opts.ckpt_dir, time.strftime("%Y%m%d_%H%M%S"))
@@ -110,11 +135,21 @@ def main(argv=None):
         t0 = time.time()
         losses = []
         for imgs, tgts, masks in dataset.batches(opts.batch):
+            size = scale_rng.choice(scales)
+            if size != imgs.shape[1]:
+                # labels are normalized; only pixels need resizing
+                import cv2
+
+                imgs = np.stack([
+                    cv2.resize(im, (size, size),
+                               interpolation=cv2.INTER_LINEAR)
+                    for im in imgs
+                ])
             batch = shard_batch(
                 mesh,
                 (imgs.astype(np.float32)[..., ::-1] / 255.0, tgts, masks),
             )
-            state, metrics = step_fn(state, *batch)
+            state, metrics = step_for(size)(state, *batch)
             losses.append(metrics)
         m = {k: float(np.mean([float(x[k]) for x in losses]))
              for k in losses[0]}

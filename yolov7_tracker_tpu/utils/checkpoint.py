@@ -42,6 +42,7 @@ def save_train_state(ckpt_dir: str, state, step: int,
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    ckptr.wait_until_finished()  # orbax saves async; meta.json needs the dir
     if metadata:
         import json
 
