@@ -44,6 +44,8 @@ def main():
     model = os.environ.get("BENCH_MODEL", "yolov7-w6")
     img = int(os.environ.get("BENCH_IMG", "1088"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
+    # batch sweep on v5e (w6@1088, ms/frame): b12 5.03, b16 3.02,
+    # b20 3.42, b24 2.99, b32 3.77 — b16/b24 tie within noise; 16 kept
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     src_hw = (1080, 1920)  # MOT17/VisDrone-like camera resolution
 
