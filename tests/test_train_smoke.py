@@ -223,3 +223,36 @@ def test_train_cli_multiscale(tiny_dataset, tmp_path):
         "--multi_scale", "--image_weights",
     ])
     assert os.path.isfile(os.path.join(run_dir, "last.msgpack"))
+
+
+def test_warmup_group_schedules():
+    """Reference warmup parity (train.py:341-350): bias group starts at
+    warmup_bias_lr, others at 0; momentum ramps warmup_momentum->momentum;
+    groups converge to lr0*lf after nw steps."""
+    import optax
+
+    from yolov7_tracker_tpu.parallel.train_step import (
+        OptConfig, make_optimizer, momentum_schedule, one_cycle_lr,
+    )
+
+    cfg = OptConfig(epochs=10, steps_per_epoch=500, batch_size=16)
+    params = {
+        "layer0": {"conv": {"kernel": jnp.ones((3, 3, 4, 4))},
+                   "bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)}},
+        "head": {"bias": jnp.zeros(8)},
+    }
+    tx = make_optimizer(cfg)
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    u, st = tx.update(g, st, params)
+    # nesterov first step with grad 1: update = -lr * (1 + momentum)
+    assert abs(float(u["head"]["bias"][0]) + 0.1 * 1.8) < 1e-4
+    assert abs(float(u["layer0"]["conv"]["kernel"][0, 0, 0, 0])) < 1e-3
+    nw = max(cfg.warmup_epochs * cfg.steps_per_epoch, 1000)
+    np.testing.assert_allclose(
+        float(one_cycle_lr(cfg, 0.1)(nw + 10)),
+        float(one_cycle_lr(cfg, 0.0)(nw + 10)), rtol=1e-6,
+    )
+    mom = momentum_schedule(cfg)
+    assert abs(float(mom(0)) - cfg.warmup_momentum) < 1e-6
+    assert abs(float(mom(nw)) - cfg.momentum) < 1e-6

@@ -55,19 +55,45 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def one_cycle_lr(cfg: OptConfig):
+def _warmup_steps(cfg: OptConfig) -> float:
+    # nw = max(3 epochs' worth of batches, 1000) (train.py:298)
+    return max(cfg.warmup_epochs * cfg.steps_per_epoch, 1000.0)
+
+
+def one_cycle_lf(cfg: OptConfig, step):
     """lf(x) = (1+cos(x*pi/epochs))/2 * (1-lrf) + lrf (train.py:190-196),
     stepped per-epoch in the reference; we interpolate per step."""
+    x = step / cfg.steps_per_epoch
+    return (1 + jnp.cos(x * math.pi / cfg.epochs)) / 2 * (1 - cfg.lrf) + cfg.lrf
+
+
+def one_cycle_lr(cfg: OptConfig, warmup_from: float = 0.0):
+    """Per-group schedule with the reference's warmup interpolation
+    (train.py:341-350): lr ramps linearly from `warmup_from` (0 for
+    weights/BN, warmup_bias_lr for the bias group) to lr0*lf over nw
+    steps, then follows one-cycle cosine."""
 
     def schedule(step):
-        x = step / cfg.steps_per_epoch
-        lf = (1 + jnp.cos(x * math.pi / cfg.epochs)) / 2 * (1 - cfg.lrf) + cfg.lrf
-        warm = jnp.clip(
-            step / jnp.maximum(cfg.warmup_epochs * cfg.steps_per_epoch, 1), 0, 1
-        )
-        return cfg.lr0 * lf * jnp.where(warm < 1.0, warm, 1.0)
+        target = cfg.lr0 * one_cycle_lf(cfg, step)
+        warm = jnp.clip(step / _warmup_steps(cfg), 0.0, 1.0)
+        return warmup_from * (1.0 - warm) + target * warm
 
     return schedule
+
+
+def momentum_schedule(cfg: OptConfig):
+    """momentum interp warmup_momentum -> momentum over nw steps
+    (train.py:349-350)."""
+
+    def schedule(step):
+        warm = jnp.clip(step / _warmup_steps(cfg), 0.0, 1.0)
+        return cfg.warmup_momentum * (1.0 - warm) + cfg.momentum * warm
+
+    return schedule
+
+
+def _leaf_name(path) -> str:
+    return getattr(path[-1], "key", getattr(path[-1], "name", ""))
 
 
 def _decay_mask(params):
@@ -75,10 +101,19 @@ def _decay_mask(params):
     scales and implicit embeddings stay decay-free."""
 
     def mask_fn(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        return names[-1] == "kernel"
+        return _leaf_name(path) == "kernel"
 
     return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def _group_labels(params):
+    """'bias' for every .bias leaf (pg2, train.py:115-160), 'rest' for
+    kernels/BN scales/implicits (pg0+pg1)."""
+
+    def label_fn(path, leaf):
+        return "bias" if _leaf_name(path) == "bias" else "rest"
+
+    return jax.tree_util.tree_map_with_path(label_fn, params)
 
 
 def make_optimizer(cfg: OptConfig):
@@ -86,11 +121,19 @@ def make_optimizer(cfg: OptConfig):
     wd = cfg.weight_decay * cfg.batch_size * max(
         round(cfg.nominal_batch / cfg.batch_size), 1
     ) / cfg.nominal_batch
-    schedule = one_cycle_lr(cfg)
+    mom = momentum_schedule(cfg)
+
+    def sgd(warmup_from):
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=one_cycle_lr(cfg, warmup_from),
+            momentum=mom, nesterov=True,
+        )
+
     return optax.chain(
         optax.add_decayed_weights(wd, mask=_decay_mask),
-        optax.sgd(
-            learning_rate=schedule, momentum=cfg.momentum, nesterov=True
+        optax.multi_transform(
+            {"bias": sgd(cfg.warmup_bias_lr), "rest": sgd(0.0)},
+            _group_labels,
         ),
     )
 
