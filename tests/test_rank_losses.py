@@ -106,3 +106,17 @@ def test_ap_parity(seed):
     g = jax.grad(f)(jnp.asarray(logits))
     np.testing.assert_allclose(float(cls), float(cls_t), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g), g_t, atol=1e-5)
+
+
+def test_bce_blur_parity():
+    torch, *_ = _ref_losses()
+    from utils.loss import BCEBlurWithLogitsLoss
+
+    from yolov7_tracker_tpu.train.loss import bce_blur
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 2, 200).astype(np.float32)
+    t = (rng.uniform(size=200) < 0.3).astype(np.float32)
+    want = BCEBlurWithLogitsLoss()(torch.tensor(x), torch.tensor(t))
+    got = bce_blur(jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(float(got), float(want), atol=1e-6)

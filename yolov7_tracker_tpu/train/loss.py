@@ -80,6 +80,16 @@ def focal_bce(logits, targets, gamma: float, alpha: float = 0.25,
     return loss * alpha_f * (1.0 - p_t) ** gamma
 
 
+def bce_blur(logits, targets, alpha: float = 0.05):
+    """BCEBlurWithLogitsLoss (utils/loss.py:16-30): down-weights
+    confident predictions on zero targets (missing-label noise); mean
+    reduction."""
+    loss = _bce(logits, targets)
+    dx = jax.nn.sigmoid(logits) - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return (loss * alpha_factor).mean()
+
+
 def qfocal_bce(logits, targets, gamma: float, alpha: float = 0.25,
                pos_weight: float = 1.0):
     """Quality focal loss (utils/loss.py:149-173): modulates by
