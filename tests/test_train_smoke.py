@@ -256,3 +256,16 @@ def test_warmup_group_schedules():
     mom = momentum_schedule(cfg)
     assert abs(float(mom(0)) - cfg.warmup_momentum) < 1e-6
     assert abs(float(mom(nw)) - cfg.momentum) < 1e-6
+
+
+def test_evaluate_map_plots(tiny_dataset, tmp_path):
+    from yolov7_tracker_tpu.cli.test import evaluate_map
+    from yolov7_tracker_tpu.models import zoo, yolo
+
+    spec = zoo.get_spec("yolov7-tiny", nc=2)
+    _, variables = yolo.build_model(spec, img_size=96, init="random")
+    plots = str(tmp_path / "plots")
+    res = evaluate_map(spec, variables, tiny_dataset, img=96, batch=4,
+                       max_labels=16, plots_dir=plots)
+    assert os.path.isfile(os.path.join(plots, "PR_curve.png"))
+    assert os.path.isfile(os.path.join(plots, "confusion_matrix.png"))

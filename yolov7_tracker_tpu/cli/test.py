@@ -15,14 +15,17 @@ import numpy as np
 def evaluate_map(spec, variables, val_path: str, img: int = 640,
                  batch: int = 8, conf_thres: float = 0.001,
                  iou_thres: float = 0.65, max_labels: int = 128,
-                 save_json: str = "", rect: bool = False) -> Dict:
+                 save_json: str = "", rect: bool = False,
+                 plots_dir: str = "") -> Dict:
     import jax
     import jax.numpy as jnp
 
     from ..models import yolo
     from ..ops import nms as nms_mod
     from ..train.datasets import YoloDataset
-    from ..train.metrics import IOUV, ap_per_class, correctness_matrix
+    from ..train.metrics import (
+        IOUV, ConfusionMatrix, ap_per_class, correctness_matrix,
+    )
 
     model = yolo.YoloV7(spec)
     dataset = YoloDataset(val_path, img_size=img, augment=False,
@@ -39,6 +42,7 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
     stats = []
     json_dets = []
     img_id = 0
+    cm = ConfusionMatrix(nc=spec.nc) if plots_dir else None
     # rect=True is the reference's aspect-ratio-bucketed val loading
     # (test.py:90 rect dataloader); jax.jit retraces once per distinct
     # batch shape (bounded by the stride-64 bucketing)
@@ -69,6 +73,8 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
             stats.append(
                 (correct, d[:, 4], d[:, 5], l_xyxy[:, 0])
             )
+            if cm is not None:
+                cm.process_batch(d, l_xyxy)
             if save_json:
                 # COCO-format detections (test.py:173+ json path; scoring
                 # needs pycocotools, absent here — the file is emitted for
@@ -97,6 +103,23 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
     if tp.size == 0 or len(tcls) == 0:
         return {"map50": 0.0, "map": 0.0, "mp": 0.0, "mr": 0.0}
     p, r, ap, f1, classes = ap_per_class(tp, conf, pcls, tcls)
+    if plots_dir:
+        import os
+
+        from ..utils.logging import plot_confusion_matrix, plot_pr_curve
+
+        os.makedirs(plots_dir, exist_ok=True)
+        px = np.linspace(0, 1, 1000)
+        # precision-vs-recall curves: (r, p) are parameterized by the
+        # confidence grid; resample onto the recall grid per class
+        py = [np.interp(px, r[ci][::-1], p[ci][::-1])
+              for ci in range(len(classes))]
+        plot_pr_curve(px, py, ap, os.path.join(plots_dir, "PR_curve.png"),
+                      names=[str(c) for c in classes])
+        plot_confusion_matrix(
+            cm.matrix, os.path.join(plots_dir, "confusion_matrix.png"),
+            names=[str(c) for c in range(spec.nc)],
+        )
     return {
         "map50": float(ap[:, 0].mean()),
         "map": float(ap.mean()),
@@ -120,6 +143,8 @@ def main(argv=None):
     p.add_argument("--iou", type=float, default=0.65)
     p.add_argument("--rect", action="store_true",
                    help="aspect-ratio-bucketed rectangular val batches")
+    p.add_argument("--plots", type=str, default="",
+                   help="directory for PR-curve + confusion-matrix pngs")
     opts = p.parse_args(argv)
 
     with open(opts.data) as f:
@@ -131,7 +156,8 @@ def main(argv=None):
     variables = checkpoint.load_variables(opts.weights)
     res = evaluate_map(spec, variables, data_cfg["val"], img=opts.img,
                        batch=opts.batch, conf_thres=opts.conf,
-                       iou_thres=opts.iou, rect=opts.rect)
+                       iou_thres=opts.iou, rect=opts.rect,
+                       plots_dir=opts.plots)
     print(res)
     return res
 

@@ -102,3 +102,29 @@ def profile_trace(log_dir: str):
     import jax
 
     return jax.profiler.trace(log_dir)
+
+
+def plot_confusion_matrix(matrix, out_png: str, names=()):
+    """Confusion-matrix heatmap (utils/metrics.py ConfusionMatrix.plot
+    analogue, without the seaborn dependency)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    m = np.asarray(matrix, float)
+    norm = m / np.maximum(m.sum(0, keepdims=True), 1e-9)
+    fig, ax = plt.subplots(1, 1, figsize=(8, 7))
+    im = ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
+    n = m.shape[0]
+    labels = [str(names[i]) if i < len(names) else str(i)
+              for i in range(n - 1)] + ["background"]
+    ax.set_xticks(range(n)); ax.set_xticklabels(labels, rotation=90,
+                                                fontsize=6)
+    ax.set_yticks(range(n)); ax.set_yticklabels(labels, fontsize=6)
+    ax.set_xlabel("True"); ax.set_ylabel("Predicted")
+    fig.colorbar(im)
+    fig.savefig(out_png, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
