@@ -269,3 +269,15 @@ def test_evaluate_map_plots(tiny_dataset, tmp_path):
                        max_labels=16, plots_dir=plots)
     assert os.path.isfile(os.path.join(plots, "PR_curve.png"))
     assert os.path.isfile(os.path.join(plots, "confusion_matrix.png"))
+
+
+def test_quad_batches(tiny_dataset):
+    from yolov7_tracker_tpu.train.datasets import YoloDataset
+
+    ds = YoloDataset(tiny_dataset, img_size=96, max_labels=16,
+                     augment=False)
+    imgs, tgts, masks = next(ds.quad_batches(2))
+    assert imgs.shape == (2, 192, 192, 3)
+    assert tgts.shape == (2, 64, 5) and masks.shape == (2, 64)
+    lab = tgts[masks]
+    assert len(lab) and (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1).all()

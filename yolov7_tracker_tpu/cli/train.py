@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--image_weights", action="store_true",
                    help="per-epoch weighted image sampling by class "
                         "rarity x (1 - per-class mAP)^2 (train.py:312)")
+    p.add_argument("--quad", action="store_true",
+                   help="quad collate: 4 items -> one 2x-size sample "
+                        "(utils/datasets.py collate_fn4)")
     p.add_argument("--multi_scale", action="store_true",
                    help="random train scale per batch. TPU twist on "
                         "train.py:352-358: a FIXED set of stride-rounded "
@@ -134,8 +137,11 @@ def main(argv=None):
             )
         t0 = time.time()
         losses = []
-        for imgs, tgts, masks in dataset.batches(opts.batch):
-            size = scale_rng.choice(scales)
+        batch_iter = (dataset.quad_batches(max(opts.batch // 4, 1))
+                      if opts.quad else dataset.batches(opts.batch))
+        for imgs, tgts, masks in batch_iter:
+            size = scale_rng.choice(scales) if not opts.quad \
+                else imgs.shape[1]
             if size != imgs.shape[1]:
                 # labels are normalized; only pixels need resizing
                 import cv2

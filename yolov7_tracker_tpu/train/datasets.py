@@ -322,6 +322,49 @@ class YoloDataset:
                 masks = np.stack([x[2] for x in items])
                 yield imgs, tgts, masks
 
+    def quad_batches(self, batch_size: int, shuffle: bool = True,
+                     epochs: int = 1) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Quad collate (--quad, utils/datasets.py collate_fn4:653-677):
+        every 4 items become one 2S-sized sample — 50% one image
+        bilinearly upscaled 2x, 50% a 2x2 tile with labels shifted and
+        halved. Normalized-xywh labels make the transforms pure
+        offset/scale ops; target capacity grows to 4T."""
+        import cv2
+
+        t4 = 4 * self.max_labels
+        for imgs, tgts, masks in self.batches(
+            batch_size * 4, shuffle=shuffle, epochs=epochs
+        ):
+            s = imgs.shape[1]
+            out_i = np.zeros((batch_size, 2 * s, 2 * s, 3), imgs.dtype)
+            out_t = np.zeros((batch_size, t4, 5), np.float32)
+            out_m = np.zeros((batch_size, t4), bool)
+            for b in range(batch_size):
+                k = 4 * b
+                if self.rng.random() < 0.5:
+                    out_i[b] = cv2.resize(
+                        imgs[k], (2 * s, 2 * s),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
+                    n = int(masks[k].sum())
+                    out_t[b, :n] = tgts[k][masks[k]]
+                    out_m[b, :n] = True
+                else:
+                    offs = [(0, 0), (1, 0), (0, 1), (1, 1)]  # (dy, dx)
+                    pos = 0
+                    for q, (dy, dx) in enumerate(offs):
+                        out_i[b, dy * s:(dy + 1) * s,
+                              dx * s:(dx + 1) * s] = imgs[k + q]
+                        lab = tgts[k + q][masks[k + q]].copy()
+                        if len(lab):
+                            lab[:, 1] = (lab[:, 1] + dx) * 0.5
+                            lab[:, 2] = (lab[:, 2] + dy) * 0.5
+                            lab[:, 3:5] *= 0.5
+                            out_t[b, pos:pos + len(lab)] = lab
+                            out_m[b, pos:pos + len(lab)] = True
+                            pos += len(lab)
+            yield out_i, out_t, out_m
+
     # -- rect validation ----------------------------------------------
 
     def _image_shapes(self):
