@@ -1,0 +1,51 @@
+"""AFLink offline linking plumbing: fragment merge behavior under
+forced thresholds (net weights are random; protocol/merge logic is what
+is tested)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _params():
+    from yolov7_tracker_tpu.reid.aflink import PostLinker
+
+    m = PostLinker()
+    x = jnp.zeros((1, 30, 3))
+    return m.init(jax.random.PRNGKey(0), x, x)
+
+
+def _fragmented_rows():
+    """One trajectory split into id 1 (frames 1-20) and id 5 (frames
+    26-45), plus an unrelated far-away id 9."""
+    rows = []
+    for f in range(1, 21):
+        rows.append([f, 1, 100 + 2 * f, 50 + f, 20, 40])
+    for f in range(26, 46):
+        rows.append([f, 5, 100 + 2 * f, 50 + f, 20, 40])
+    for f in range(1, 46):
+        rows.append([f, 9, 900, 700, 20, 40])
+    return np.asarray(rows, float)
+
+
+def test_link_tracks_merges_and_gates():
+    from yolov7_tracker_tpu.trackers.aflink_post import link_tracks
+
+    params = _params()
+    rows = _fragmented_rows()
+
+    # thr=0: every gated candidate links -> 5 merges into 1
+    out = link_tracks(rows, params, thr=0.0)
+    assert set(np.unique(out[:, 1]).astype(int)) == {1, 9}
+    assert (out[rows[:, 1] == 5, 1] == 1).all()
+
+    # thr > 1: nothing links
+    out = link_tracks(rows, params, thr=1.1)
+    assert set(np.unique(out[:, 1]).astype(int)) == {1, 5, 9}
+
+    # spatial gate: distant fragment never a candidate even at thr=0
+    far = rows.copy()
+    far[far[:, 1] == 5, 2] += 5000
+    out = link_tracks(far, params, thr=0.0)
+    assert set(np.unique(out[:, 1]).astype(int)) == {1, 5, 9}

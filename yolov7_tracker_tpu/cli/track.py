@@ -60,6 +60,10 @@ def parse_args(argv=None):
                    default=os.path.join(os.path.dirname(__file__), "..",
                                         "configs"))
     p.add_argument("--output_dir", type=str, default="./results")
+    p.add_argument("--aflink", type=str, default="",
+                   help="PostLinker weights (.msgpack): AFLink offline "
+                        "fragment linking on the results (the reference "
+                        "leaves this TODO, strongsort.py:34-36)")
     return p.parse_args(argv)
 
 
@@ -150,6 +154,28 @@ def main(argv=None):
         fps = len(spec_seq) / max(dt, 1e-9)
         seq_fps.append(fps)
         print(f"{spec_seq.name}: {len(spec_seq)} frames, {fps:.1f} fps")
+        if opts.aflink:
+            from ..trackers.aflink_post import link_tracks
+            from ..utils import checkpoint as ckpt_mod
+
+            aflink_params = ckpt_mod.load_variables(opts.aflink)
+            rows = [
+                [fid, tid, t[0], t[1], t[2], t[3]]
+                for fid, ids, tlwhs, _ in results
+                for tid, t in zip(ids, tlwhs)
+            ]
+            if rows:
+                linked = link_tracks(np.asarray(rows, float), aflink_params)
+                by_frame = {}
+                for r in linked:
+                    by_frame.setdefault(int(r[0]), []).append(r)
+                results = [
+                    (fid,
+                     [int(r[1]) for r in by_frame.get(fid, [])],
+                     [r[2:6] for r in by_frame.get(fid, [])],
+                     [c for c, _ in zip(clses, by_frame.get(fid, []))])
+                    for fid, ids, tlwhs, clses in results
+                ]
         writer.save_results(folder, spec_seq.name, results)
     if seq_fps:
         print(f"mean fps: {np.mean(seq_fps):.2f}")
