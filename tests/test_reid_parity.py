@@ -99,3 +99,30 @@ def test_osnet_x0_25_real_checkpoint():
     out = np.asarray(model.apply(variables, x))
     assert out.shape == (1, 512)
     assert np.isfinite(out).all()
+
+
+def test_dhn_training_learns():
+    """A short DHN training run on synthetic Hungarian problems drives
+    the loss down and yields assignment-shaped outputs."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.reid.dhn import DHN
+    from yolov7_tracker_tpu.train.dhn_train import (
+        make_problem, train_dhn, weighted_focal_bce,
+    )
+
+    variables = train_dhn(steps=60, h=8, w=8, log_every=0, seed=0)
+    model = DHN()
+    rng = np.random.default_rng(99)
+    losses = []
+    accs = []
+    for _ in range(10):
+        d, y = make_problem(rng, 8, 8)
+        pred = np.asarray(model.apply(variables, jnp.asarray(d)))
+        losses.append(float(weighted_focal_bce(jnp.asarray(pred),
+                                               jnp.asarray(y))))
+        # prediction should score true matches above non-matches
+        accs.append(pred[y > 0.5].mean() - pred[y < 0.5].mean())
+    assert np.mean(accs) > 0.05, np.mean(accs)
