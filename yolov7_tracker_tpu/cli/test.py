@@ -108,11 +108,13 @@ def evaluate_map(spec, variables, val_path: str, img: int = 640,
 
         from ..utils.logging import plot_confusion_matrix, plot_pr_curve
 
+        pc, rc, *_ = ap_per_class(tp, conf, pcls, tcls,
+                                  return_curves=True)
         os.makedirs(plots_dir, exist_ok=True)
         px = np.linspace(0, 1, 1000)
         # precision-vs-recall curves: (r, p) are parameterized by the
         # confidence grid; resample onto the recall grid per class
-        py = [np.interp(px, r[ci][::-1], p[ci][::-1])
+        py = [np.interp(px, rc[ci][::-1], pc[ci][::-1])
               for ci in range(len(classes))]
         plot_pr_curve(px, py, ap, os.path.join(plots_dir, "PR_curve.png"),
                       names=[str(c) for c in classes])

@@ -51,10 +51,13 @@ def correctness_matrix(dets: np.ndarray, labels: np.ndarray) -> np.ndarray:
     return correct
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls):
+def ap_per_class(tp, conf, pred_cls, target_cls, return_curves=False):
     """101-point interpolated AP per class (utils/metrics.py:18-106).
 
-    Returns (p, r, ap (nc, 10), f1, unique_classes).
+    Returns (p, r, ap (nc, 10), f1, unique_classes); like the reference,
+    p/r/f1 are the per-class values at the confidence maximizing mean F1
+    (metrics.py:57-59) — return_curves=True yields the full (nc, 1000)
+    curves over the confidence grid instead (for PR plotting).
     """
     i = np.argsort(-conf)
     tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
@@ -79,7 +82,10 @@ def ap_per_class(tp, conf, pred_cls, target_cls):
         for j in range(tp.shape[1]):
             ap[ci, j] = compute_ap(recall[:, j], precision[:, j])
     f1 = 2 * p * r / (p + r + 1e-16)
-    return p, r, ap, f1, unique_classes.astype(int)
+    if return_curves:
+        return p, r, ap, f1, unique_classes.astype(int)
+    i = f1.mean(0).argmax()
+    return p[:, i], r[:, i], ap, f1[:, i], unique_classes.astype(int)
 
 
 def compute_ap(recall, precision):
@@ -107,6 +113,9 @@ class ConfusionMatrix:
         self.iou_thres = iou_thres
 
     def process_batch(self, detections, labels):
+        """Mirror of the reference's match-dedup order exactly
+        (utils/metrics.py:117-157): sort by IoU, unique per detection,
+        RE-sort by IoU, unique per gt; correct cell is [gc, dc]."""
         detections = detections[detections[:, 4] > self.conf]
         gt_classes = labels[:, 0].astype(int)
         det_classes = detections[:, 5].astype(int)
@@ -114,9 +123,11 @@ class ConfusionMatrix:
         x = np.nonzero(iou > self.iou_thres)
         if len(x[0]):
             m = np.stack([x[0], x[1], iou[x[0], x[1]]], axis=1)
-            m = m[m[:, 2].argsort()[::-1]]
-            m = m[np.unique(m[:, 1], return_index=True)[1]]
-            m = m[np.unique(m[:, 0], return_index=True)[1]]
+            if len(x[0]) > 1:
+                m = m[m[:, 2].argsort()[::-1]]
+                m = m[np.unique(m[:, 1], return_index=True)[1]]
+                m = m[m[:, 2].argsort()[::-1]]
+                m = m[np.unique(m[:, 0], return_index=True)[1]]
         else:
             m = np.zeros((0, 3))
         matched = len(m) > 0
@@ -124,10 +135,10 @@ class ConfusionMatrix:
         for i, gc in enumerate(gt_classes):
             j = m0 == i
             if matched and j.sum() == 1:
-                self.matrix[det_classes[m1[j]][0], gc] += 1
+                self.matrix[gc, det_classes[m1[j]][0]] += 1  # correct
             else:
-                self.matrix[self.nc, gc] += 1  # FN
+                self.matrix[self.nc, gc] += 1  # missed gt
         if matched:
             for i, dc in enumerate(det_classes):
                 if not (m1 == i).any():
-                    self.matrix[dc, self.nc] += 1  # FP
+                    self.matrix[dc, self.nc] += 1  # unmatched detection
