@@ -49,3 +49,24 @@ def test_link_tracks_merges_and_gates():
     far[far[:, 1] == 5, 2] += 5000
     out = link_tracks(far, params, thr=0.0)
     assert set(np.unique(out[:, 1]).astype(int)) == {1, 5, 9}
+
+
+def test_gsi_interpolation_fills_and_smooths():
+    from yolov7_tracker_tpu.trackers.aflink_post import gsi_interpolation
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for f in range(1, 31):
+        if f in (10, 11, 12):   # a 3-frame hole
+            continue
+        rows.append([f, 1, 100 + 3 * f + rng.normal(0, 4), 50 + f,
+                     20, 40])
+    rows = np.asarray(rows, float)
+    out = gsi_interpolation(rows, interval=20, tau=5.0)
+    # hole filled
+    assert set(out[:, 0].astype(int)) == set(range(1, 31))
+    # smoothing reduces jitter vs the ideal line x = 100 + 3f
+    f = out[:, 0]
+    resid_out = np.abs(out[:, 2] - (100 + 3 * f)).mean()
+    resid_in = np.abs(rows[:, 2] - (100 + 3 * rows[:, 0])).mean()
+    assert resid_out < resid_in

@@ -129,3 +129,54 @@ def link_tracks(rows: np.ndarray, params, thr: float = 0.95,
         if root != tid:
             out[rows[:, 1] == tid, 1] = root
     return out
+
+
+def gsi_interpolation(rows: np.ndarray, interval: int = 20,
+                      tau: float = 10.0, noise: float = 1.0) -> np.ndarray:
+    """Gaussian-smoothed interpolation (the GSI step of StrongSORT++,
+    Du et al. 2023 §III-E; like AFLink the reference never wires it).
+
+    Per track id: gaps shorter than `interval` frames are linearly
+    interpolated, then each of (x, y, w, h) is smoothed by RBF-kernel
+    Gaussian-process regression over time (length scale tau) — closed
+    form, (K + noise*I)^-1 solves on host.
+
+    rows: (N, >=6) [frame, id, x, y, w, h]; returns new rows (possibly
+    more of them, sorted by frame then id).
+    """
+    rows = np.asarray(rows, float)
+    if len(rows) == 0:
+        return rows
+    out = []
+    for tid in np.unique(rows[:, 1]).astype(int):
+        r = rows[rows[:, 1] == tid]
+        r = r[np.argsort(r[:, 0])]
+        # linear fill of short gaps
+        filled = [r[0]]
+        for k in range(1, len(r)):
+            gap = int(r[k, 0] - r[k - 1, 0])
+            if 1 < gap < interval:
+                for g in range(1, gap):
+                    w = g / gap
+                    row = r[k - 1] * (1 - w) + r[k] * w
+                    row[0] = r[k - 1, 0] + g
+                    row[1] = tid
+                    filled.append(row)
+            filled.append(r[k])
+        r = np.stack(filled)
+        t = r[:, 0:1]
+        d2 = (t - t.T) ** 2
+        K = np.exp(-d2 / (2.0 * tau * tau))
+        A = K + noise * np.eye(len(r))
+        y = r[:, 2:6]
+        # linear-detrended zero-mean GP prior: constant-motion tracks
+        # pass through unshrunk, the GP smooths only the residual jitter
+        X = np.column_stack([np.ones(len(r)), r[:, 0]])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        trend = X @ beta
+        smooth = trend + K @ np.linalg.solve(A, y - trend)
+        r = r.copy()
+        r[:, 2:6] = smooth
+        out.append(r)
+    out = np.concatenate(out)
+    return out[np.lexsort((out[:, 1], out[:, 0]))]
