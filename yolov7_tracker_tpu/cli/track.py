@@ -64,6 +64,9 @@ def parse_args(argv=None):
                    help="PostLinker weights (.msgpack): AFLink offline "
                         "fragment linking on the results (the reference "
                         "leaves this TODO, strongsort.py:34-36)")
+    p.add_argument("--gsi", action="store_true",
+                   help="Gaussian-smoothed interpolation post-processing "
+                        "(StrongSORT++ GSI)")
     return p.parse_args(argv)
 
 
@@ -154,20 +157,27 @@ def main(argv=None):
         fps = len(spec_seq) / max(dt, 1e-9)
         seq_fps.append(fps)
         print(f"{spec_seq.name}: {len(spec_seq)} frames, {fps:.1f} fps")
-        if opts.aflink:
-            from ..trackers.aflink_post import link_tracks
-            from ..utils import checkpoint as ckpt_mod
-
-            aflink_params = ckpt_mod.load_variables(opts.aflink)
+        if opts.aflink or opts.gsi:
             rows = [
                 [fid, tid, t[0], t[1], t[2], t[3]]
                 for fid, ids, tlwhs, _ in results
                 for tid, t in zip(ids, tlwhs)
             ]
             if rows:
-                linked = link_tracks(np.asarray(rows, float), aflink_params)
+                rows = np.asarray(rows, float)
+                if opts.aflink:
+                    from ..trackers.aflink_post import link_tracks
+                    from ..utils import checkpoint as ckpt_mod
+
+                    rows = link_tracks(
+                        rows, ckpt_mod.load_variables(opts.aflink)
+                    )
+                if opts.gsi:
+                    from ..trackers.aflink_post import gsi_interpolation
+
+                    rows = gsi_interpolation(rows)
                 by_frame = {}
-                for r in linked:
+                for r in rows:
                     by_frame.setdefault(int(r[0]), []).append(r)
                 results = [
                     (fid,
