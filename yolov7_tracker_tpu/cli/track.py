@@ -72,7 +72,8 @@ def parse_args(argv=None):
 
 def load_dataset_config(opts):
     """Load our configs/ yaml, or a reference-format config file."""
-    for base in (opts.config_dir, "./tracker/config_files"):
+    for base in (opts.config_dir, "./config_files",
+                 "./tracker/config_files"):
         path = os.path.join(base, f"{opts.dataset}.yaml")
         if os.path.isfile(path):
             with open(path) as f:
