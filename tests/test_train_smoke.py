@@ -281,3 +281,22 @@ def test_quad_batches(tiny_dataset):
     assert tgts.shape == (2, 64, 5) and masks.shape == (2, 64)
     lab = tgts[masks]
     assert len(lab) and (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1).all()
+
+
+def test_label_cache_roundtrip(tiny_dataset):
+    import glob
+
+    from yolov7_tracker_tpu.train.datasets import YoloDataset
+
+    ds1 = YoloDataset(tiny_dataset, img_size=96, max_labels=16)
+    caches = glob.glob(os.path.join(tiny_dataset, ".labels_*.npz"))
+    assert caches, "label cache not written"
+    ds2 = YoloDataset(tiny_dataset, img_size=96, max_labels=16)
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+    # touching a label file invalidates the key -> new cache
+    lab = glob.glob(tiny_dataset.replace("images", "labels") + "/*.txt")[0]
+    os.utime(lab, (1e9, 1e9))
+    ds3 = YoloDataset(tiny_dataset, img_size=96, max_labels=16)
+    assert len(glob.glob(os.path.join(tiny_dataset,
+                                      ".labels_*.npz"))) >= 2

@@ -83,7 +83,7 @@ class YoloDataset:
             files = list(path_or_list)
         assert files, f"no images found in {path_or_list}"
         self.files = files
-        self.labels = [load_labels(img2label_path(p)) for p in files]
+        self.labels = self._load_labels_cached(files)
         self.img_size = img_size
         self.hyp = hyp
         self.augment = augment
@@ -92,6 +92,37 @@ class YoloDataset:
 
     def __len__(self):
         return len(self.files)
+
+    @staticmethod
+    def _load_labels_cached(files):
+        """Label cache (reference .cache files, utils/datasets.py:484-537):
+        parsed labels persist next to the first image dir as an .npz
+        keyed by a hash of paths+mtimes; a stale key reparses."""
+        import hashlib
+
+        label_paths = [img2label_path(p) for p in files]
+        key_src = "".join(
+            f"{p}{os.path.getmtime(p) if os.path.isfile(p) else 0}"
+            for p in label_paths
+        )
+        key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+        cache_path = os.path.join(
+            os.path.dirname(files[0]), f".labels_{key}.npz"
+        )
+        if os.path.isfile(cache_path):
+            try:
+                z = np.load(cache_path, allow_pickle=False)
+                return [z[f"l{i}"] for i in range(len(files))]
+            except Exception:
+                pass
+        labels = [load_labels(p) for p in label_paths]
+        try:
+            np.savez_compressed(
+                cache_path, **{f"l{i}": l for i, l in enumerate(labels)}
+            )
+        except OSError:
+            pass  # read-only dataset dir: skip caching
+        return labels
 
     # -- image io -----------------------------------------------------
 
