@@ -83,3 +83,25 @@ def test_sharded_sequence_tracking():
     assert outs.valid.shape == (t_frames, n_seq, 16)
     # every sequence tracked something by the last frame
     assert bool(np.asarray(outs.valid[-1]).any())
+
+
+def test_apply_classifier_filters():
+    import numpy as np
+
+    from yolov7_tracker_tpu.cli.detect import apply_classifier
+
+    frame = np.random.default_rng(0).integers(
+        0, 255, (160, 240, 3), np.uint8
+    )
+    dets = np.array([
+        [10, 10, 60, 80, 0.9, 0],
+        [100, 20, 160, 90, 0.8, 1],
+        [30, 100, 90, 150, 0.7, 2],
+    ], np.float32)
+    # classifier agrees with classes 0 and 2 only
+    out = apply_classifier(dets, frame,
+                           lambda crops: np.array([0, 5, 2]))
+    assert out.shape == (2, 6)
+    assert set(out[:, 5].astype(int)) == {0, 2}
+    assert apply_classifier(np.zeros((0, 6)), frame,
+                            lambda c: c).shape == (0, 6)

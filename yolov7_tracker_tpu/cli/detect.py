@@ -66,3 +66,36 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def apply_classifier(dets: "np.ndarray", frame: "np.ndarray",
+                     classify_fn) -> "np.ndarray":
+    """Second-stage classifier filter (utils/general.py:745-777):
+    square-pad each detection's crop by 1.3x + 30px, resize to 224,
+    and keep only detections whose classifier argmax agrees with the
+    detector class.
+
+    classify_fn: (K, 224, 224, 3) float RGB in [0,1] -> (K,) int class
+    ids (the reference uses an opt-in torchvision resnet; any jitted
+    flax classifier works here)."""
+    import cv2
+    import numpy as np
+
+    if len(dets) == 0:
+        return dets
+    h, w = frame.shape[:2]
+    cx = (dets[:, 0] + dets[:, 2]) / 2
+    cy = (dets[:, 1] + dets[:, 3]) / 2
+    side = np.maximum(dets[:, 2] - dets[:, 0],
+                      dets[:, 3] - dets[:, 1]) * 1.3 + 30
+    crops = []
+    for k in range(len(dets)):
+        x1 = int(max(cx[k] - side[k] / 2, 0))
+        y1 = int(max(cy[k] - side[k] / 2, 0))
+        x2 = int(min(cx[k] + side[k] / 2, w))
+        y2 = int(min(cy[k] + side[k] / 2, h))
+        cut = frame[y1:max(y2, y1 + 1), x1:max(x2, x1 + 1)]
+        im = cv2.resize(cut, (224, 224))[:, :, ::-1].astype(np.float32)
+        crops.append(im / 255.0)
+    pred2 = np.asarray(classify_fn(np.stack(crops)))
+    return dets[dets[:, 5].astype(int) == pred2.astype(int)]
