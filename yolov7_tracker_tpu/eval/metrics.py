@@ -596,3 +596,143 @@ def tracks_from_frames(data: Dict) -> Dict:
         "dt_track_lengths": [len(dt_tracks[i]) for i in dt_ids],
         "dt_track_scores": [float(np.mean(dt_conf[i])) for i in dt_ids],
     }
+
+
+# ---------------------------------------------------------------------------
+# J&F — MOTS/DAVIS segmentation quality (trackeval j_and_f.py:9-310).
+# Operates on DENSE binary masks (H, W) instead of pycocotools RLE; the
+# reference's math (per-track J = mask IoU under an optimal track
+# matching, F = boundary F-measure with disk-dilated 1px boundaries,
+# 4-bin decay) is reproduced exactly.
+# ---------------------------------------------------------------------------
+
+def _disk(radius: int) -> np.ndarray:
+    """Disk structuring element (skimage.morphology.disk)."""
+    r = int(radius)
+    y, x = np.ogrid[-r:r + 1, -r:r + 1]
+    return (x * x + y * y <= r * r).astype(np.uint8)
+
+
+def _seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """1px-wide boundary map offset 1/2px toward the origin
+    (j_and_f.py:147-205, the David Martin construction)."""
+    seg = seg.astype(bool)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def _boundary_f(gt_mask: np.ndarray, tr_mask: np.ndarray,
+                bound_th: float = 0.008) -> float:
+    """Boundary F-measure of one mask pair (j_and_f.py:208-273)."""
+    import cv2
+
+    bound_pix = bound_th if bound_th >= 1 - EPS else int(
+        np.ceil(bound_th * np.linalg.norm(tr_mask.shape))
+    )
+    fg_b = _seg2bmap(tr_mask)
+    gt_b = _seg2bmap(gt_mask)
+    k = _disk(bound_pix)
+    fg_dil = cv2.dilate(fg_b.astype(np.uint8), k)
+    gt_dil = cv2.dilate(gt_b.astype(np.uint8), k)
+    n_fg, n_gt = fg_b.sum(), gt_b.sum()
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = float((fg_b * gt_dil).sum()) / n_fg
+        recall = float((gt_b * fg_dil).sum()) / n_gt
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def jandf(data: Dict, bound_th: float = 0.008) -> Dict:
+    """J&F over dense masks. data needs per-frame gt_ids/tracker_ids and
+    gt_dets/tracker_dets as lists of (H, W) binary masks, plus
+    num_gt_ids / num_tracker_ids / num_timesteps (j_and_f.py:20-122,
+    optim_type='J')."""
+    T = data["num_timesteps"]
+    n_gt, n_tr = data["num_gt_ids"], data["num_tracker_ids"]
+    shape = None
+    for t in range(T):
+        for dets in (data["gt_dets"][t], data["tracker_dets"][t]):
+            if len(dets):
+                shape = np.asarray(dets[0]).shape
+                break
+        if shape:
+            break
+    if shape is None:
+        shape = (1, 1)
+    zero = np.zeros(shape, np.uint8)
+
+    # dense per-id mask grids, zero-padded where a track has no det
+    gt = [[zero] * n_gt for _ in range(T)]
+    tr_n = max(n_tr, n_gt)
+    tr = [[zero] * tr_n for _ in range(T)]
+    for t in range(T):
+        for i, gid in enumerate(data["gt_ids"][t]):
+            gt[t][int(gid)] = np.asarray(data["gt_dets"][t][i], np.uint8)
+        for i, did in enumerate(data["tracker_ids"][t]):
+            tr[t][int(did)] = np.asarray(
+                data["tracker_dets"][t][i], np.uint8
+            )
+
+    j = np.zeros((tr_n, n_gt, T))
+    for t in range(T):
+        a_tr = np.array([m.sum() for m in tr[t]], float)
+        a_gt = np.array([m.sum() for m in gt[t]], float)
+        for k in range(tr_n):
+            for i in range(n_gt):
+                inter = float(np.logical_and(tr[t][k], gt[t][i]).sum())
+                union = a_tr[k] + a_gt[i] - inter
+                j[k, i, t] = inter / union if union > 0 else 0.0
+        both_zero = np.isclose(a_tr[:, None], 0) & np.isclose(
+            a_gt[None, :], 0
+        )
+        j[..., t] = np.where(both_zero, 1.0, j[..., t])
+
+    rows, cols = linear_sum_assignment(-np.mean(j, axis=2))
+    j_m = j[rows, cols, :]
+    f_m = np.zeros_like(j_m)
+    for i, (tk, gi) in enumerate(zip(rows, cols)):
+        for t in range(T):
+            f_m[i, t] = _boundary_f(gt[t][gi], tr[t][tk], bound_th)
+
+    if j_m.shape[0] < n_gt:
+        diff = n_gt - j_m.shape[0]
+        j_m = np.concatenate([j_m, np.zeros((diff, T))])
+        f_m = np.concatenate([f_m, np.zeros((diff, T))])
+
+    res = {
+        "J-Mean": [np.nanmean(j_m[i]) for i in range(len(j_m))],
+        "J-Recall": [np.nanmean(j_m[i] > 0.5 + EPS) for i in range(len(j_m))],
+        "F-Mean": [np.nanmean(f_m[i]) for i in range(len(f_m))],
+        "F-Recall": [np.nanmean(f_m[i] > 0.5 + EPS) for i in range(len(f_m))],
+        "J-Decay": [], "F-Decay": [],
+    }
+    n_bins = 4
+    ids = (np.round(np.linspace(1, T, n_bins + 1) + 1e-10) - 1).astype(int)
+    for k in range(len(j_m)):
+        bins = [j_m[k][ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
+        res["J-Decay"].append(np.nanmean(bins[0]) - np.nanmean(bins[3]))
+    for k in range(len(f_m)):
+        bins = [f_m[k][ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
+        res["F-Decay"].append(np.nanmean(bins[0]) - np.nanmean(bins[3]))
+    res["num_gt_tracks"] = len(res["J-Mean"])
+    for k in ("J-Mean", "J-Recall", "J-Decay", "F-Mean", "F-Recall",
+              "F-Decay"):
+        res[k] = float(np.mean(res[k]))
+    res["J&F"] = (res["J-Mean"] + res["F-Mean"]) / 2
+    return res
