@@ -29,6 +29,9 @@ METRIC_FNS = {
     "count": M.count,
     "vace": M.vace,
     "ideucl": M.ideucl,
+    # jandf needs dense-mask dets (MOTS data); selectable when the
+    # caller's loader supplies them
+    "jandf": M.jandf,
 }
 DEFAULT_METRICS = ("hota", "clear", "identity", "count")
 
