@@ -17,7 +17,9 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "liblapjv.so")
+# non-.so filename keeps pkgutil from mistaking the shared lib for
+# an importable CPython extension module
+_SO = os.path.join(_HERE, "lapjv_c.bin")
 _LIB = None
 
 
