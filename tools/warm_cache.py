@@ -28,7 +28,7 @@ def main():
 
     model = os.environ.get("WARM_MODEL", "yolov7-w6")
     img = int(os.environ.get("WARM_IMG", "1088"))
-    batch = int(os.environ.get("WARM_BATCH", "8"))
+    batch = int(os.environ.get("WARM_BATCH", "16"))
 
     def log(m):
         print(f"[warm +{time.time()-t_start:7.1f}s] {m}", flush=True)
