@@ -149,3 +149,43 @@ def test_pallas_auction_interpret_matches_host():
         # c2r consistent with r2c
         for i, j in got:
             assert int(np.asarray(c2r)[j]) == i
+
+
+def test_pallas_auction_batched_interpret():
+    """Batched lockstep kernel semantics (interpret mode): same matching
+    as the scipy host reference on each problem in the batch."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.ops.assignment import linear_assignment_host
+    from yolov7_tracker_tpu.ops.pallas_auction import (
+        masked_assignment_pallas_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    T, D, B = 24, 16, 3
+    costs, rms, cms = [], [], []
+    for _ in range(B):
+        nt, nd = rng.integers(4, T), rng.integers(4, D)
+        iou = rng.uniform(0, 0.3, (T, D)).astype(np.float32)
+        for k in range(min(nt, nd) - 1):
+            iou[k, k] = rng.uniform(0.5, 0.95)
+        costs.append(1.0 - iou)
+        rms.append(np.arange(T) < nt)
+        cms.append(np.arange(D) < nd)
+    costs, rms, cms = map(np.stack, (costs, rms, cms))
+    r2c, c2r = masked_assignment_pallas_batched(
+        jnp.asarray(costs), jnp.asarray(rms), jnp.asarray(cms), 0.8,
+        n_phases=5, interpret=True,
+    )
+    r2c = np.asarray(r2c)
+    for b in range(B):
+        nt, nd = rms[b].sum(), cms[b].sum()
+        m0, _, _ = linear_assignment_host(costs[b][:nt, :nd], 0.8)
+        got = {(i, int(r2c[b, i])) for i in range(T) if r2c[b, i] >= 0}
+        want = {(int(a), int(bb)) for a, bb in m0}
+        gc = sum(costs[b][i, j] for i, j in got)
+        rc = sum(costs[b][i, j] for i, j in want)
+        assert len(got) == len(want)
+        assert abs(gc - rc) < 1e-3
+        for i, j in got:
+            assert int(np.asarray(c2r)[b, j]) == i

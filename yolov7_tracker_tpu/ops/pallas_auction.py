@@ -228,3 +228,209 @@ def masked_assignment_pallas(
         mode="drop",
     )
     return row_to_col, col_to_row
+
+
+# ---------------------------------------------------------------------------
+# Batched kernel: B independent problems solved in ONE kernel invocation,
+# advancing in lockstep inside one while_loop (iterations = max over the
+# batch instead of sum).
+#
+# MEASURED (v5e, 16x (128, 64) association problems, 5 phases): lockstep
+# 67.3 us/solve vs 49.9 us/solve for vmap of the single-problem kernel
+# (batch -> sequential Pallas grid). The grid wins because each problem
+# exits its own while_loop as soon as IT converges, while lockstep pays
+# max-iterations x full (B, S, S) work — per-iteration op overhead was
+# already negligible. Kept as a tested variant; the tracking path uses
+# the vmapped single-problem kernel.
+# ---------------------------------------------------------------------------
+
+
+def _auction_kernel_batched(w_ref, sched_ref, nm_ref, cap_ref,
+                            r2c_ref, c2r_ref, prices_ref,
+                            max_iters: int):
+    b, s = w_ref.shape[0], w_ref.shape[2]
+    n = nm_ref[0]
+    m = nm_ref[1]
+    bid_cap = cap_ref[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, s), 2)
+    row_ids_m = jax.lax.broadcasted_iota(jnp.int32, (b, s, s), 1)
+    ids_row = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)   # (B, S)
+
+    real_row = ids_row < n
+    dummy_row = (ids_row >= n) & (ids_row < n + m)
+    r2c0 = jnp.where(real_row, ids_row + m,
+                     jnp.where(dummy_row, ids_row - n, ids_row))
+    real_col = ids_row < m
+    dummy_col = (ids_row >= m) & (ids_row < n + m)
+    c2r0 = jnp.where(real_col, ids_row + n,
+                     jnp.where(dummy_col, ids_row - m, ids_row))
+    r2c_ref[:, :] = r2c0
+    c2r_ref[:, :] = c2r0
+    prices_ref[:, :] = jnp.zeros((b, s), jnp.float32)
+
+    n_phases = sched_ref.shape[0]
+
+    def one_phase(p_idx, _):
+        eps = sched_ref[p_idx]
+
+        prices = prices_ref[:, :]                      # (B, S)
+        values = w_ref[:, :, :] - prices[:, None, :]   # (B, S, S)
+        v1 = jnp.max(values, axis=2)                   # (B, S)
+        r2c = r2c_ref[:, :]
+        own = col_ids == r2c[:, :, None]               # (B, S, S)
+        cur = jnp.max(jnp.where(own, values, NEG_F), axis=2)
+        keep = (r2c >= 0) & (cur >= v1 - eps)          # (B, S)
+        r2c = jnp.where(keep, r2c, -1)
+        # i1 minor-dim insertion is unsupported on TPU; widen first
+        kept_own = own & (keep.astype(jnp.int32)[:, :, None] > 0)
+        c2r = jnp.max(jnp.where(kept_own, row_ids_m, -1), axis=1)
+        r2c_ref[:, :] = r2c
+        c2r_ref[:, :] = c2r
+
+        def body(carry):
+            it, n_un = carry
+            prices = prices_ref[:, :]
+            r2c = r2c_ref[:, :]
+            c2r = c2r_ref[:, :]
+            unassigned = r2c < 0                       # (B, S)
+
+            values = w_ref[:, :, :] - prices[:, None, :]
+            v1 = jnp.max(values, axis=2)               # (B, S) rows
+            best_j = jnp.argmax(values, axis=2).astype(jnp.int32)
+            best_oh = col_ids == best_j[:, :, None]    # (B, S, S)
+            v2 = jnp.max(jnp.where(best_oh, NEG_F, values), axis=2)
+            bid = (
+                jnp.sum(jnp.where(best_oh, prices[:, None, :], 0.0),
+                        axis=2)
+                + jnp.minimum(v1 - v2, bid_cap) + eps
+            )                                          # (B, S)
+            bid_eff = jnp.where(unassigned, bid, NEG_F)
+            bid_m = jnp.where(best_oh, bid_eff[:, :, None], NEG_F)
+            col_best = jnp.max(bid_m, axis=1)          # (B, S)
+            un_col = unassigned.astype(jnp.int32)[:, :, None] > 0
+            cand = best_oh & (
+                bid_eff[:, :, None] >= col_best[:, None, :]
+            ) & un_col
+            winner = jnp.min(
+                jnp.where(cand, row_ids_m, s), axis=1
+            )                                          # (B, S) per col
+            contested = winner < s
+            won = cand & (row_ids_m == winner[:, None, :])
+            won_row = jnp.any(won, axis=2)             # (B, S)
+            new_col = jnp.max(jnp.where(won, col_ids, -1), axis=2)
+
+            prev_owner = jnp.where(contested, c2r, -1)  # (B, S) cols
+            evicted = jnp.any(
+                row_ids_m == prev_owner[:, None, :], axis=2
+            )                                          # (B, S) rows
+            r2c = jnp.where(evicted, -1, r2c)
+            r2c = jnp.where(won_row, new_col, r2c)
+            c2r = jnp.where(contested, winner, c2r)
+            prices_ref[:, :] = jnp.where(contested, col_best, prices)
+            r2c_ref[:, :] = r2c
+            c2r_ref[:, :] = c2r
+            n_un = jnp.sum((r2c < 0).astype(jnp.int32))
+            return it + 1, n_un
+
+        def cond(carry):
+            it, n_un = carry
+            return jnp.logical_and(it < max_iters, n_un > 0)
+
+        n_un0 = jnp.sum((r2c_ref[:, :] < 0).astype(jnp.int32))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), n_un0))
+        return 0
+
+    jax.lax.fori_loop(0, n_phases, one_phase, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "n_phases", "phase_factor", "interpret"),
+)
+def masked_assignment_pallas_batched(
+    cost: jnp.ndarray,        # (B, N, M)
+    row_mask: jnp.ndarray,    # (B, N)
+    col_mask: jnp.ndarray,    # (B, M)
+    thresh,
+    max_iters: int = 4096,
+    n_phases: int = 6,
+    phase_factor: float = 4.0,
+    interpret: bool = False,
+):
+    """Batched masked_assignment: one kernel, B lockstep solves.
+    Returns (r2c (B, N), c2r (B, M))."""
+    bsz, n, m = cost.shape
+    s = _round_up(n + m, 128)
+    thresh = jnp.asarray(thresh, jnp.float32)
+    valid = row_mask[:, :, None] & col_mask[:, None, :]
+    c = jnp.minimum(cost.astype(jnp.float32), thresh + 1.0)
+    c = jnp.where(valid, c, thresh + 1.0)
+
+    w = jnp.full((bsz, s, s), _NEG, jnp.float32)
+    w = w.at[:, :n, :m].set(-c)
+    diag_n = jnp.arange(n)
+    diag_m = jnp.arange(m)
+    w = w.at[:, diag_n, m + diag_n].set(-thresh / 2.0)
+    w = w.at[:, n + diag_m, diag_m].set(-thresh / 2.0)
+    jitter = (
+        (jnp.arange(m, dtype=jnp.float32)[:, None] * 37.0
+         + jnp.arange(n, dtype=jnp.float32)[None, :]) % 97.0
+    ) * (1e-6 / 97.0)
+    w = w.at[:, n:n + m, m:m + n].set(-jitter[None])
+    pad = jnp.arange(s)
+    pad_mask = pad >= n + m
+    w = jnp.where(
+        (pad_mask[:, None] & (pad[None, :] == pad[:, None]))[None],
+        1.0, w,
+    )
+
+    scale = thresh + 1.0
+    sched = jnp.maximum(
+        scale / jnp.power(
+            jnp.float32(phase_factor),
+            jnp.arange(1, n_phases + 1, dtype=jnp.float32),
+        ),
+        2e-4,
+    )
+    nm = jnp.asarray([n, m], jnp.int32)
+    cap = jnp.asarray([2.0 * scale], jnp.float32)
+
+    r2c_p, c2r_p = pl.pallas_call(
+        functools.partial(_auction_kernel_batched, max_iters=max_iters),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, s), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, s), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((bsz, s), jnp.float32)],
+        interpret=interpret,
+    )(w, sched, nm, cap)
+
+    r2c_ext = r2c_p[:, :n]
+    flat = (
+        jnp.clip(r2c_ext, 0, m - 1)
+        + jnp.arange(n)[None, :] * m
+        + jnp.arange(bsz)[:, None] * (n * m)
+    )
+    gate = jnp.take(c.reshape(-1), flat.reshape(-1)).reshape(bsz, n)
+    row_to_col = jnp.where(
+        (r2c_ext < m) & row_mask & (gate <= thresh), r2c_ext, -1
+    )
+    col_to_row = jax.vmap(
+        lambda rc: jnp.full((m,), -1, jnp.int32).at[
+            jnp.where(rc >= 0, rc, m)
+        ].set(
+            jnp.where(rc >= 0, jnp.arange(n, dtype=jnp.int32), -1),
+            mode="drop",
+        )
+    )(row_to_col)
+    return row_to_col, col_to_row
