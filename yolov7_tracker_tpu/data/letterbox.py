@@ -65,11 +65,13 @@ def letterbox_host(img: np.ndarray, new_shape=(640, 640), stride: int = 32,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_hw", "src_hw", "bgr_to_rgb", "dtype")
+    jax.jit,
+    static_argnames=("out_hw", "src_hw", "unpad_hw", "bgr_to_rgb", "dtype"),
 )
 def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
-                      out_hw: Tuple[int, int], bgr_to_rgb: bool = True,
-                      dtype=jnp.float32):
+                      out_hw: Tuple[int, int],
+                      unpad_hw: Tuple[int, int] | None = None,
+                      bgr_to_rgb: bool = True, dtype=jnp.float32):
     """Fused on-device preprocessing for a (B, H, W, 3) uint8 batch.
 
     Bilinear-resizes to the letterbox rectangle for a *fixed* source size
@@ -78,8 +80,22 @@ def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
     Returns NHWC (B, outH, outW, 3) in `dtype` (bf16 halves the resize's
     HBM traffic; detection deltas are far below score tolerance) plus the
     (ratio, (dw, dh)) needed to invert boxes.
+
+    ``out_hw`` is the FINAL canvas (already stride-padded by the caller);
+    the image is placed symmetrically in it — no `% stride` is re-applied
+    here (the old stride=32 re-modulo mis-placed the image for stride-64
+    P6 models whose caller pad exceeded 32). Pass ``unpad_hw`` (the exact
+    resize target, e.g. from ``letterbox_params``) to reproduce the host
+    letterbox's rounding bit-for-bit; if omitted it is derived from
+    ``out_hw`` with auto=False.
     """
-    r, (uw, uh), (dw, dh) = letterbox_params(src_hw, out_hw, stride=32)
+    if unpad_hw is None:
+        r, (uw, uh), _ = letterbox_params(src_hw, out_hw, auto=False)
+    else:
+        uh, uw = unpad_hw
+        r = min(uh / src_hw[0], uw / src_hw[1])
+    dw = (out_hw[1] - uw) / 2
+    dh = (out_hw[0] - uh) / 2
     x = frames.astype(dtype)
     x = jax.image.resize(
         x, (frames.shape[0], uh, uw, 3), method="linear", antialias=False

@@ -113,7 +113,8 @@ class TrackingPipeline:
         @jax.jit
         def detect(variables, frames_u8):
             imgs, _ = letterbox.device_preprocess(
-                frames_u8, src_hw, (out_h, out_w), dtype=compute_dtype
+                frames_u8, src_hw, (out_h, out_w), unpad_hw=(uh, uw),
+                dtype=compute_dtype,
             )
             pred, _ = self.model.apply(variables, imgs, training=False)
             pred = pred.astype(jnp.float32)
