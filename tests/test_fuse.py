@@ -1,9 +1,12 @@
 """Conv+BN / RepConv fusion parity: fused model output == unfused."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 
 def test_fused_matches_unfused():

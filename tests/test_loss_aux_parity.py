@@ -10,9 +10,12 @@ import pytest
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not os.path.isdir(REF), reason="no reference repo"
-)
+),
+]
 
 HYP = {
     "box": 0.05, "cls": 0.3, "obj": 0.7, "cls_pw": 1.0, "obj_pw": 1.0,

@@ -8,9 +8,12 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not os.path.isdir(REF), reason="no reference repo"
-)
+),
+]
 
 
 def _ref_metrics():

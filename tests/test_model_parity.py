@@ -17,9 +17,12 @@ import pytest
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference repo not available"
-)
+),
+]
 
 
 def _stub_missing_modules():

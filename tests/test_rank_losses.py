@@ -11,9 +11,12 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not os.path.isdir(REF), reason="no reference repo"
-)
+),
+]
 
 
 def _ref_losses():

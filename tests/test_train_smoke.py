@@ -10,6 +10,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # three multi-minute XLA train-step compiles
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):

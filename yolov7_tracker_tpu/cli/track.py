@@ -55,7 +55,9 @@ def parse_args(argv=None):
                         "(defaults: botsort=orb, strongsort=ecc)")
     p.add_argument("--detect_per_frame", type=int, default=1)
     p.add_argument("--capacity", type=int, default=256)
-    p.add_argument("--det_capacity", type=int, default=128)
+    # >= the NMS max_det (300) so ByteTrack's low-score second stage never
+    # silently loses detections in crowded scenes (the reference is uncapped)
+    p.add_argument("--det_capacity", type=int, default=300)
     p.add_argument("--config_dir", type=str,
                    default=os.path.join(os.path.dirname(__file__), "..",
                                         "configs"))

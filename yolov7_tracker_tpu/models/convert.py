@@ -184,10 +184,11 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
 
 
 def ensemble_variables(variables_list):
-    """Ensemble via parameter averaging (the inference-side analogue of
-    models/experimental.py Ensemble, which averages decoded outputs; for
-    converted checkpoints of identical topology, weight-space averaging
-    serves the same multi-checkpoint deployment need in one graph).
+    """Parameter averaging for SAME-RUN checkpoints only (EMA/SWA-style
+    snapshots in one loss basin). For independently-trained checkpoints
+    weight averaging is NOT equivalent to the reference Ensemble and can
+    produce degenerate predictions — use models.yolo.ensemble_apply,
+    which combines decoded outputs (models/experimental.py:68-81).
     Returns averaged {'params', 'batch_stats'}."""
     import jax
 

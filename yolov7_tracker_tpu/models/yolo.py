@@ -285,3 +285,28 @@ def build_model(spec: ModelSpec, rng: Optional[jax.Array] = None,
         "batch_stats": variables.get("batch_stats", {}),
     }
     return model, variables
+
+
+def ensemble_apply(members, x, mode: str = "nms"):
+    """Output-space ensemble (models/experimental.py:68-81
+    Ensemble.forward, built by attempt_load with a weights list).
+
+    Runs every (model, variables) member on the same input and combines
+    the decoded (B, N, no) predictions:
+      * 'nms'  — concatenate along the candidate axis and let NMS merge
+        (the reference default);
+      * 'mean' / 'max' — elementwise reduce across members (the
+        commented-out reference variants; members must share topology).
+    Feed the result to ops.nms exactly like a single model's output.
+    Unlike weight averaging this is valid for independently-trained
+    checkpoints.
+    """
+    ys = [m.apply(v, x, training=False)[0] for m, v in members]
+    if mode == "nms":
+        return jnp.concatenate(ys, axis=1)
+    stacked = jnp.stack(ys)
+    if mode == "mean":
+        return jnp.mean(stacked, axis=0)
+    if mode == "max":
+        return jnp.max(stacked, axis=0)
+    raise ValueError(f"unknown ensemble mode {mode!r}")

@@ -18,7 +18,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 # non-.so filename keeps pkgutil from mistaking the shared lib for
-# an importable CPython extension module
+# an importable CPython extension module. The binary is never committed:
+# it is compiled from lapjv.cpp on first use (and recompiled whenever the
+# source is newer), so what runs is always what's in the repo's sources.
 _SO = os.path.join(_HERE, "lapjv_c.bin")
 _LIB = None
 
@@ -39,7 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.isfile(_SO) and not _build():
+    src = os.path.join(_HERE, "lapjv.cpp")
+    stale = (
+        not os.path.isfile(_SO)
+        or os.path.getmtime(_SO) < os.path.getmtime(src)
+    )
+    if stale and not _build():
         return None
     lib = ctypes.CDLL(_SO)
     lib.lapjv_cost_limit.argtypes = [

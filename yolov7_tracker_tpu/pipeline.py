@@ -80,6 +80,17 @@ class TrackingPipeline:
             }
         self.variables = variables
         self.step, self.tcfg = build_tracker(tcfg)
+        if tcfg.det_capacity < pcfg.max_det:
+            import warnings
+
+            warnings.warn(
+                f"det_capacity={tcfg.det_capacity} < max_det={pcfg.max_det}:"
+                " frames with more NMS survivors keep only the top-scoring"
+                f" {tcfg.det_capacity}, dropping exactly the low-confidence"
+                " detections ByteTrack's second stage uses. Raise"
+                " det_capacity (CLI default is 300) for crowded scenes.",
+                stacklevel=2,
+            )
         self._detect_cache = {}
         self._gmc = None
         if pcfg.gmc_method != "none":

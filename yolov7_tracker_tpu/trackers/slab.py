@@ -232,7 +232,13 @@ def apply_matches(
     det_idx = jnp.clip(row_to_col, 0, dets.tlbr.shape[0] - 1)
     det_tlwh = dets.tlwh[det_idx]
     meas = kalman.measurement_from_tlwh(fmt, det_tlwh)
-    conf = dets.score[det_idx] if kalman.SPECS[fmt].nsa else None
+    conf = None
+    if kalman.SPECS[fmt].nsa:
+        # STrack.update passes the det score as NSA confidence, but
+        # re_activate (Lost->Tracked) calls kalman.update WITHOUT it —
+        # default 0.0, i.e. unscaled measurement noise (basetrack.py:
+        # 283-285 vs 318-320, kalman_filter.py:617-634).
+        conf = jnp.where(slab.state == TRACKED, dets.score[det_idx], 0.0)
     new_mean, new_cov = kalman.update(fmt, slab.mean, slab.cov, meas, conf)
 
     was_tracked = slab.state == TRACKED
