@@ -302,3 +302,96 @@ def test_label_cache_roundtrip(tiny_dataset):
     ds3 = YoloDataset(tiny_dataset, img_size=96, max_labels=16)
     assert len(glob.glob(os.path.join(tiny_dataset,
                                       ".labels_*.npz"))) >= 2
+
+
+def test_gradient_accumulation_semantics():
+    """True gradient accumulation (train.py:110-111,341-345,369-374):
+    params/EMA move ONLY when ni % accumulate == 0, the boundary update
+    equals one optimizer step on the SUM of the pending micro-grads, and
+    the warmup-interpolated accumulate starts at 1 (fresh state steps on
+    its first batch)."""
+    from jax.sharding import Mesh
+
+    from yolov7_tracker_tpu.models import zoo
+    from yolov7_tracker_tpu.parallel.train_step import (
+        OptConfig, accumulate_schedule, make_optimizer, make_train_state,
+        make_train_step,
+    )
+
+    spec = zoo.get_spec("yolov7-tiny", nc=2)
+    # ratio 4 -> accumulate = 4 after warmup
+    cfg = OptConfig(epochs=4, steps_per_epoch=2000, batch_size=2,
+                    nominal_batch=8)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    state = make_train_state(spec, img_size=32, opt_cfg=cfg,
+                             rng=jax.random.PRNGKey(0))
+    step = make_train_step(spec, mesh, img_size=32, opt_cfg=cfg)
+
+    sched = accumulate_schedule(cfg)
+    assert float(sched(jnp.int32(0))) == 1.0
+    assert float(sched(jnp.int32(10**6))) == 4.0
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    targets = jnp.tile(jnp.asarray([[0, 0.5, 0.5, 0.3, 0.4]],
+                                   jnp.float32)[None], (2, 1, 1))
+    tmask = jnp.ones((2, 1), bool)
+
+    # ---- post-warmup: start at ni0 with ni0 % 4 == 1 -------------------
+    ni0 = 20001
+    state = state._replace(step=jnp.int32(ni0))
+    p0 = jax.tree.map(lambda x: np.asarray(x), state.params)
+    opt0 = jax.tree.map(lambda x: np.asarray(x), state.opt_state)
+    ema0 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+
+    snaps = []
+    for i in range(4):
+        state, metrics = step(state, imgs, targets, tmask)
+        snaps.append((
+            np.asarray(jax.tree.leaves(state.params)[0]).copy(),
+            jax.tree.map(lambda x: np.asarray(x).copy(), state.grad_acc),
+            int(state.ema_count),
+            np.asarray(jax.tree.leaves(state.ema_params)[0]).copy(),
+        ))
+    l0 = jax.tree.leaves(p0)[0]
+    # micro steps ni0..ni0+2 (ni % 4 != 0): params and EMA frozen
+    for i in range(3):
+        np.testing.assert_array_equal(snaps[i][0], l0)
+        np.testing.assert_array_equal(snaps[i][3], ema0)
+        assert snaps[i][2] == 0
+    # identical batches: grad_acc after 2 steps == 2x after 1 step
+    g1 = jax.tree.leaves(snaps[0][1])[0]
+    g2 = jax.tree.leaves(snaps[1][1])[0]
+    np.testing.assert_allclose(g2, 2 * g1, rtol=1e-4, atol=1e-7)
+
+    # boundary (ni0+3 ≡ 0 mod 4): params moved, equal to one optimizer
+    # step on the 4-batch gradient sum; grad_acc reset; EMA counted once
+    assert not np.array_equal(snaps[3][0], l0)
+    assert snaps[3][2] == 1
+    assert all(float(np.abs(x).max()) == 0.0
+               for x in jax.tree.leaves(snaps[3][1]))
+    tx = make_optimizer(cfg)
+    # snaps[0][1] is the single-batch grad g; the 4-batch sum is 4g
+    acc4 = jax.tree.map(lambda g: jnp.asarray(4.0 * g), snaps[0][1])
+    upd, _ = tx.update(acc4, jax.tree.map(jnp.asarray, opt0),
+                       jax.tree.map(jnp.asarray, p0),
+                       step=jnp.int32(ni0 + 3))
+    import optax
+
+    expect = optax.apply_updates(jax.tree.map(jnp.asarray, p0), upd)
+    np.testing.assert_allclose(
+        snaps[3][0], np.asarray(jax.tree.leaves(expect)[0]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # ---- warmup: accumulate == 1 at ni=0 -> first batch steps ----------
+    fresh = make_train_state(spec, img_size=32, opt_cfg=cfg,
+                             rng=jax.random.PRNGKey(1))
+    pf = [np.asarray(x).copy() for x in jax.tree.leaves(fresh.params)]
+    fresh, _ = step(fresh, imgs, targets, tmask)
+    moved = any(
+        not np.array_equal(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(fresh.params), pf)
+    )
+    assert moved, "first warmup batch (accumulate=1) must step"
+    assert int(fresh.ema_count) == 1

@@ -30,7 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--max_labels", type=int, default=128)
     p.add_argument("--ckpt_dir", type=str, default="./runs/train")
     p.add_argument("--resume", type=str, default="")
-    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="epochs between val mAP evals; 0 disables")
     p.add_argument("--n_devices", type=int, default=0,
                    help="0 = all local devices")
     p.add_argument("--image_weights", action="store_true",
@@ -169,7 +170,8 @@ def main(argv=None):
             run_dir, state, int(state.step),
             {"epoch": epoch, "loss": m["loss"]},
         )
-        if data_cfg.get("val") and (epoch + 1) % opts.eval_every == 0:
+        if (data_cfg.get("val") and opts.eval_every > 0
+                and (epoch + 1) % opts.eval_every == 0):
             from .test import evaluate_map
 
             res = evaluate_map(

@@ -52,7 +52,10 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     ema_params: Any
-    step: jnp.ndarray
+    step: jnp.ndarray            # integrated-batch counter ni
+    grad_acc: Any = None         # pending gradient sum (None when
+                                 # nominal/batch ratio <= 1: no accumulation)
+    ema_count: Any = None        # optimizer/EMA update counter (int32)
 
 
 def _warmup_steps(cfg: OptConfig) -> float:
@@ -116,26 +119,65 @@ def _group_labels(params):
     return jax.tree_util.tree_map_with_path(label_fn, params)
 
 
+def accumulate_schedule(cfg: OptConfig):
+    """The reference's integrated-batch count (train.py:110-111,341-345):
+    accumulate = max(round(nbs/bs), 1) nominally, warmup-interpolated from
+    1 over the first nw integrated batches ni. Returns k(ni) as f32."""
+    ratio = max(cfg.nominal_batch / cfg.batch_size, 1.0)
+    nw = _warmup_steps(cfg)
+
+    def schedule(ni):
+        interp = 1.0 + (ratio - 1.0) * jnp.clip(
+            ni.astype(jnp.float32) / nw, 0.0, 1.0
+        )
+        return jnp.maximum(jnp.round(interp), 1.0)
+
+    return schedule
+
+
 def make_optimizer(cfg: OptConfig):
+    """SGD + Nesterov momentum with the reference's parameter groups
+    (train.py:115-196): weight decay only on conv/dense kernels (pg1),
+    bias group (pg2) warms up from warmup_bias_lr, everything else from 0;
+    momentum ramps warmup_momentum -> momentum.
+
+    Returned as a GradientTransformationExtraArgs whose update takes
+    ``step=ni`` (the integrated-batch counter): the reference evaluates
+    every schedule at ni regardless of how many optimizer steps have
+    happened, which matters once gradient accumulation makes optimizer
+    steps sparser than batches.
+    """
     # decay scaled like the reference: wd *= batch*accumulate/nbs
     wd = cfg.weight_decay * cfg.batch_size * max(
         round(cfg.nominal_batch / cfg.batch_size), 1
     ) / cfg.nominal_batch
     mom = momentum_schedule(cfg)
+    lr_bias = one_cycle_lr(cfg, cfg.warmup_bias_lr)
+    lr_rest = one_cycle_lr(cfg, 0.0)
 
-    def sgd(warmup_from):
-        return optax.inject_hyperparams(optax.sgd)(
-            learning_rate=one_cycle_lr(cfg, warmup_from),
-            momentum=mom, nesterov=True,
-        )
+    def init(params):
+        return jax.tree.map(jnp.zeros_like, params)
 
-    return optax.chain(
-        optax.add_decayed_weights(wd, mask=_decay_mask),
-        optax.multi_transform(
-            {"bias": sgd(cfg.warmup_bias_lr), "rest": sgd(0.0)},
-            _group_labels,
-        ),
-    )
+    def update(grads, state, params=None, *, step=0, **extra):
+        m = mom(step)
+        lb, lr = lr_bias(step), lr_rest(step)
+
+        def leaf(path, g, buf, p):
+            name = _leaf_name(path)
+            if name == "kernel":
+                g = g + wd * p          # torch SGD couples wd pre-momentum
+            new_buf = m * buf + g
+            d = g + m * new_buf         # nesterov
+            return -(lb if name == "bias" else lr) * d, new_buf
+
+        pairs = jax.tree_util.tree_map_with_path(leaf, grads, state, params)
+        updates = jax.tree.map(lambda t: t[0], pairs,
+                               is_leaf=lambda t: isinstance(t, tuple))
+        new_state = jax.tree.map(lambda t: t[1], pairs,
+                                 is_leaf=lambda t: isinstance(t, tuple))
+        return updates, new_state
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def make_train_state(spec: ModelSpec, img_size: int = 640,
@@ -145,6 +187,7 @@ def make_train_state(spec: ModelSpec, img_size: int = 640,
         spec, rng=rng, img_size=img_size, init="random"
     )
     tx = make_optimizer(opt_cfg)
+    accumulating = round(opt_cfg.nominal_batch / opt_cfg.batch_size) > 1
     return TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
@@ -153,6 +196,11 @@ def make_train_state(spec: ModelSpec, img_size: int = 640,
         # donation ("donate the same buffer twice") in the jitted step
         ema_params=jax.tree.map(lambda x: x + 0, variables["params"]),
         step=jnp.int32(0),
+        grad_acc=(
+            jax.tree.map(jnp.zeros_like, variables["params"])
+            if accumulating else None
+        ),
+        ema_count=jnp.int32(0),
     )
 
 
@@ -197,24 +245,65 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
             )
         return loss, (metrics, updates["batch_stats"])
 
-    def step_fn(state: TrainState, imgs, targets, tmask):
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, imgs, targets, tmask)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    accumulating = round(opt_cfg.nominal_batch / opt_cfg.batch_size) > 1
+    acc_sched = accumulate_schedule(opt_cfg)
+
+    def apply_update(state: TrainState, grads):
+        """Optimizer step + EMA (the ni % accumulate == 0 branch,
+        train.py:369-374). EMA ramp counts optimizer updates, not
+        batches (ModelEMA.update, utils/torch_utils.py:269-303)."""
+        ni = state.step
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, step=ni
+        )
         params = optax.apply_updates(state.params, updates)
-        # EMA with the reference's ramp: d = decay*(1 - exp(-updates/2000))
-        # (utils/torch_utils.py:269-303)
+        n_upd = (state.ema_count if state.ema_count is not None
+                 else state.step) + 1
         d = opt_cfg.ema_decay * (
-            1.0 - jnp.exp(-(state.step + 1).astype(jnp.float32) / 2000.0)
+            1.0 - jnp.exp(-n_upd.astype(jnp.float32) / 2000.0)
         )
         ema = jax.tree.map(
             lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
             state.ema_params, params,
         )
-        new_state = TrainState(
-            params=params, batch_stats=new_stats, opt_state=opt_state,
-            ema_params=ema, step=state.step + 1,
+        return state._replace(
+            params=params, opt_state=opt_state, ema_params=ema,
+            ema_count=n_upd,
+        )
+
+    def step_fn(state: TrainState, imgs, targets, tmask):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, imgs, targets, tmask)
+        if not accumulating:
+            # nominal/batch ratio <= 1: every batch is an optimizer step
+            state = apply_update(state, grads)
+        else:
+            # true gradient accumulation to the nominal batch (train.py:
+            # 341-345,369-374): sum micro-batch grads (the loss is already
+            # a per-batch SUM: compute_loss returns loss*bs, so summed
+            # micro-grads == one big-batch backward), step the optimizer
+            # when ni % accumulate == 0 with the warmup-interpolated
+            # accumulate, and carry the pending sum otherwise.
+            acc = jax.tree.map(jnp.add, state.grad_acc, grads)
+            ni = state.step
+            k = acc_sched(ni)
+            apply_now = jnp.mod(ni.astype(jnp.float32), k) == 0.0
+
+            def do_apply(st):
+                st = apply_update(st, acc)
+                return st._replace(
+                    grad_acc=jax.tree.map(jnp.zeros_like, acc)
+                )
+
+            def no_apply(st):
+                return st._replace(grad_acc=acc)
+
+            state = jax.lax.cond(
+                apply_now, do_apply, no_apply, state._replace(grad_acc=None)
+            )
+        new_state = state._replace(
+            batch_stats=new_stats, step=state.step + 1
         )
         return new_state, metrics
 
