@@ -1,10 +1,18 @@
 #!/usr/bin/env python
 """End-to-end tracking throughput benchmark (driver entry).
 
-Measures the headline metric from BASELINE.md: end-to-end ByteTrack fps
-on 1088-px frames — detector (YOLOv7-w6, bf16, batched) + fixed-shape
-NMS + coordinate rescale + on-device tracker association — on whatever
-accelerator JAX exposes (the driver runs this on one real TPU chip).
+Headline metric (BASELINE.md): end-to-end ByteTrack fps on 1088-px
+frames. The timed loop is PIPELINED and real: raw 1080p uint8 frames on
+the host -> double-buffered H2D -> one fused device call per batch
+(letterbox preprocess + YOLOv7-w6 bf16 forward + fixed-shape NMS +
+coordinate rescale + tracker lax.scan, detector output feeding the
+tracker on device) -> async D2H -> host result emit. This mirrors the
+reference's whole-loop timing (tracker/track.py:138-179) where every
+frame round-trips host->GPU->python tracker.
+
+The detector runs sharpened random weights (no trained checkpoint on
+this box) tuned to emit a realistic detection load; the per-frame
+detection count is reported in `detail`.
 
 Reference baseline: ByteTrack 14.32 fps on an A100 (README.md:62).
 
@@ -23,6 +31,44 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def build_pipeline(model, img, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.models import yolo, zoo
+    from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    spec = zoo.get_spec(model, nc=80)
+    _, variables = yolo.build_model(spec, img_size=256, init="random")
+
+    # sharpen the detection heads: random-init scores cluster near the
+    # bias prior, yielding ~0 NMS survivors; scaling the head convs
+    # spreads scores so the tracker sees a realistic detection load.
+    sharpen = float(os.environ.get("BENCH_SHARPEN", "8.0"))
+    obj_boost = float(os.environ.get("BENCH_OBJ_BOOST", "5.0"))
+    params = dict(variables["params"])
+    for k, v in params.items():
+        if not k.startswith("head_m"):
+            continue
+        v = dict(v)
+        v["kernel"] = v["kernel"] * sharpen
+        # raise the objectness logit over the one-object-per-image prior
+        # (init_head_biases) so scores spread across [0, 1]
+        b = v["bias"].reshape(spec.na, spec.no)
+        b = b.at[:, 4].add(obj_boost)       # objectness
+        b = b.at[:, 5:].add(obj_boost)      # class logits
+        v["bias"] = b.reshape(-1)
+        params[k] = v
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    pcfg = PipelineConfig(model=model, nc=80, img_size=img,
+                          detector_batch=batch)
+    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                         capacity=128, det_capacity=64)
+    return TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec)
+
+
 def main():
     import jax
 
@@ -38,8 +84,7 @@ def main():
     except Exception as e:  # cache is best-effort
         log(f"compilation cache unavailable: {e}")
 
-    from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
-    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+    import jax.numpy as jnp
 
     model = os.environ.get("BENCH_MODEL", "yolov7-w6")
     img = int(os.environ.get("BENCH_IMG", "1088"))
@@ -48,105 +93,138 @@ def main():
     # b20 3.42, b24 2.99, b32 3.77 — b16/b24 tie within noise; 16 kept
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     src_hw = (1080, 1920)  # MOT17/VisDrone-like camera resolution
+    n_batches = n_frames // batch
 
-    pcfg = PipelineConfig(model=model, nc=80, img_size=img,
-                          detector_batch=batch)
-    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
-                         capacity=128, det_capacity=64)
-    pipe = TrackingPipeline(pcfg, tcfg)
+    pipe = build_pipeline(model, img, batch)
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (batch,) + src_hw + (3,), np.uint8)
-    # pre-stage on device: a production loop double-buffers decode->device
-    # copies behind compute; h2d here is ~50ms per 25MB batch and would
-    # otherwise serialize with compute through the tunnel.
-    frames = jax.device_put(frames)
+    host_frames = [
+        rng.integers(0, 255, (batch,) + src_hw + (3,), np.uint8)
+        for _ in range(2)  # alternate buffers so H2D can't dedup/cache
+    ]
+    warps = jnp.tile(
+        jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1)
+    )
 
-    # synthetic detection stream (random-init weights produce ~0 dets at
-    # conf .01, which would make association unrealistically cheap — feed
-    # the tracker a realistic ~48 dets/frame load instead)
-    import jax.numpy as jnp
+    # -- warmup / compile the fused step
+    log(f"compiling fused step ({model} @ {img}, batch {batch})...")
+    t0 = time.time()
+    slab0 = pipe.init_tracker()
+    dev_frames = jax.device_put(host_frames[0])
+    slab, outs = pipe.process_batch(slab0, dev_frames, warps)
+    jax.block_until_ready(outs)
+    log(f"fused step compiled+ran in {time.time()-t0:.1f}s")
+    n_tracks = float(np.asarray(outs.valid.sum(-1).mean()))
+    _, dscore, _, dcounts = pipe.detect_batch(dev_frames)
+    dscore = np.asarray(dscore)
+    n_dets = float(np.asarray(dcounts).mean())
+    n_hi = float((dscore > pipe.tcfg.conf_thresh).sum(-1).mean())
+    log(f"det load: {n_dets:.0f} NMS survivors/frame, "
+        f"{n_hi:.0f} above tracker conf, {n_tracks:.0f} tracked")
+
+    def emit(outs_host):
+        # reference emit: per-frame (ids, tlwhs, classes) python lists
+        res = []
+        valid = outs_host.valid
+        for b in range(valid.shape[0]):
+            v = valid[b]
+            res.append((outs_host.track_id[b][v].tolist(),
+                        outs_host.tlwh[b][v],
+                        outs_host.cls[b][v].astype(int).tolist()))
+        return res
+
+    # ---- timed 1: compute-only (frames device-resident) ----------------
+    slab = pipe.init_tracker()
+    t0 = time.time()
+    for _ in range(n_batches):
+        slab, outs = pipe.process_batch(slab, dev_frames, warps)
+    jax.block_until_ready(outs)
+    compute_time = time.time() - t0
+    compute_fps = n_frames / compute_time
+
+    # ---- timed 2: pipelined end-to-end ---------------------------------
+    # host uint8 -> async H2D (double-buffered) -> fused device step ->
+    # async D2H -> host emit; every stage overlaps the next batch's work.
+    slab = pipe.init_tracker()
+    results = []
+    t0 = time.time()
+    cur = jax.device_put(host_frames[0])
+    prev_outs = None
+    for i in range(n_batches):
+        nxt = (jax.device_put(host_frames[(i + 1) % 2])
+               if i + 1 < n_batches else None)          # async H2D
+        slab, outs = pipe.process_batch(slab, cur, warps)  # async dispatch
+        jax.tree.map(lambda x: x.copy_to_host_async(), outs)
+        if prev_outs is not None:
+            results.extend(emit(jax.tree.map(np.asarray, prev_outs)))
+        prev_outs = outs
+        cur = nxt
+    results.extend(emit(jax.tree.map(np.asarray, prev_outs)))
+    pipelined_time = time.time() - t0
+    pipelined_fps = n_frames / pipelined_time
+    assert len(results) == n_frames
+
+    # ---- detail timings -------------------------------------------------
+    # detector-only (staged input, no tracker)
+    out = pipe.detect_batch(dev_frames)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n_batches):
+        out = pipe.detect_batch(dev_frames)
+    jax.block_until_ready(out)
+    det_ms = (time.time() - t0) / n_frames * 1e3
+
+    # H2D bandwidth through this host link
+    t0 = time.time()
+    for i in range(8):
+        jax.block_until_ready(jax.device_put(host_frames[i % 2]))
+    h2d_ms = (time.time() - t0) / 8 / batch * 1e3
+
+    # sequence-parallel aggregate: NSEQ independent sequences vmapped
+    nseq = int(os.environ.get("BENCH_NSEQ", "16"))
+    d = pipe.tcfg.det_capacity
     from yolov7_tracker_tpu.trackers import slab as S
 
-    def synth_dets(key, t):
-        d = tcfg.det_capacity
-        k1, k2, k3 = jax.random.split(key, 3)
-        xy = jax.random.uniform(k1, (t, d, 2), minval=0, maxval=1800)
-        wh = jax.random.uniform(k2, (t, d, 2), minval=20, maxval=120)
-        score = jax.random.uniform(k3, (t, d), minval=0.1, maxval=0.99)
-        tlbr = jnp.concatenate([xy, xy + wh], axis=-1)
-        valid = jnp.arange(d)[None, :] < 48
-        return S.DetSlab(
-            tlbr=tlbr, score=score,
-            cls=jnp.zeros((t, d)), valid=jnp.tile(valid, (t, 1)),
-            feature=jnp.zeros((t, d, 0), jnp.float32),
-            warp=jnp.tile(S.IDENTITY_WARP, (t, 1, 1)),
-        )
-
-    det_stream = synth_dets(jax.random.PRNGKey(0), n_frames)
-
-    # -- warmup / compile
-    log(f"compiling detector ({model} @ {img}, batch {batch})...")
-    t0 = time.time()
-    out = pipe.detect_batch(frames)
-    jax.block_until_ready(out)
-    log(f"detector compiled+ran in {time.time()-t0:.1f}s")
-    slab = pipe.init_tracker()
-    log("compiling tracker scan...")
-    t0 = time.time()
-    slab2, outs = pipe.track_scan(slab, det_stream)
-    jax.block_until_ready(outs)
-    log(f"tracker scan compiled+ran in {time.time()-t0:.1f}s")
-
-    # -- timed: detector over n_frames
-    t0 = time.time()
-    n_batches = n_frames // batch
-    for _ in range(n_batches):
-        out = pipe.detect_batch(frames)
-    jax.block_until_ready(out)
-    det_time = time.time() - t0
-
-    # -- timed: tracker scan over n_frames
-    t0 = time.time()
-    slab2, outs = pipe.track_scan(slab, det_stream)
-    jax.block_until_ready(outs)
-    trk_time = time.time() - t0
-
-    # -- sequence-parallel tracking: NSEQ independent sequences vmapped
-    nseq = int(os.environ.get("BENCH_NSEQ", "16"))
-    multi_stream = jax.tree.map(
-        lambda x: jnp.stack([x] * nseq, axis=1), det_stream
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    xy = jax.random.uniform(k1, (n_frames, nseq, d, 2), minval=0, maxval=1800)
+    wh = jax.random.uniform(k2, (n_frames, nseq, d, 2), minval=20, maxval=120)
+    det_streams = S.DetSlab(
+        tlbr=jnp.concatenate([xy, xy + wh], -1),
+        score=jax.random.uniform(k3, (n_frames, nseq, d), minval=0.1,
+                                 maxval=0.99),
+        cls=jnp.zeros((n_frames, nseq, d)),
+        valid=jnp.tile((jnp.arange(d) < 48)[None, None], (n_frames, nseq, 1)),
+        feature=jnp.zeros((n_frames, nseq, d, 0), jnp.float32),
+        warp=jnp.tile(S.IDENTITY_WARP, (n_frames, nseq, 1, 1)),
     )
     slabs = jax.tree.map(
-        lambda x: jnp.stack([x] * nseq, axis=0), pipe.init_tracker()
+        lambda x: jnp.stack([x] * nseq, 0), pipe.init_tracker()
     )
-    _, mouts = pipe.track_scan_multi(slabs, multi_stream)
+    _, mouts = pipe.track_scan_multi(slabs, det_streams)
     jax.block_until_ready(mouts)
     t0 = time.time()
-    _, mouts = pipe.track_scan_multi(slabs, multi_stream)
+    _, mouts = pipe.track_scan_multi(slabs, det_streams)
     jax.block_until_ready(mouts)
-    trk_multi_time = time.time() - t0
-    trk_ms_eq = trk_multi_time / (n_frames * nseq) * 1e3
+    trk_ms_seqpar = (time.time() - t0) / (n_frames * nseq) * 1e3
 
-    total = det_time + trk_time
-    fps = n_frames / total
-    # aggregate throughput estimate with sequence-parallel association:
-    # detector batches across sequences the same way
-    fps_multi = n_frames / (
-        det_time + trk_multi_time / nseq
-    )
     baseline = 14.32  # reference ByteTrack fps, A100 (README.md:62)
     print(json.dumps({
-        "metric": f"e2e_bytetrack_fps_{model}_{img}px",
-        "value": round(fps_multi, 2),
+        "metric": f"e2e_pipelined_bytetrack_fps_{model}_{img}px",
+        "value": round(pipelined_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps_multi / baseline, 2),
+        "vs_baseline": round(pipelined_fps / baseline, 2),
         "detail": {
-            "detector_ms_per_frame": round(det_time / n_frames * 1e3, 2),
-            "tracker_ms_per_frame": round(trk_time / n_frames * 1e3, 2),
-            "tracker_ms_per_frame_seqpar": round(trk_ms_eq, 3),
-            "single_seq_fps": round(fps, 2),
+            "compute_only_fps": round(compute_fps, 2),
+            "detector_ms_per_frame": round(det_ms, 2),
+            "tracker_ms_per_frame": round(
+                compute_time / n_frames * 1e3 - det_ms, 2),
+            "h2d_ms_per_frame": round(h2d_ms, 2),
+            "dets_per_frame": round(n_dets, 1),
+            "dets_above_track_conf": round(n_hi, 1),
+            "tracks_per_frame": round(n_tracks, 1),
+            "tracker_ms_per_frame_seqpar": round(trk_ms_seqpar, 3),
             "n_parallel_seqs": nseq,
+            "batch": batch,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -31,9 +31,11 @@ def _synthetic_gt(seed=0, T=60, n_obj=6, H=600, W=800):
 @pytest.mark.parametrize(
     "tracker",
     ["bytetrack", "sort", "botsort", "c_bioutracker", "uavmot", "deepsort",
-     "strongsort"],
+     "strongsort", "deepmot"],
 )
 def test_perfect_detections_near_perfect_mot(tracker, tmp_path):
+    import os
+
     from yolov7_tracker_tpu.eval import evaluator
     from yolov7_tracker_tpu.trackers import slab as S
     from yolov7_tracker_tpu.trackers.registry import build_tracker
@@ -41,9 +43,16 @@ def test_perfect_detections_near_perfect_mot(tracker, tmp_path):
     frames = _synthetic_gt()
     kfmt = {"botsort": "botsort", "strongsort": "strongsort",
             "c_bioutracker": "none"}.get(tracker, "default")
+    extra = {}
+    if tracker == "deepmot":
+        # run the REAL DHN path with the committed trained weights
+        # (tracker/deepmot.py:221-233); trained by train/dhn_train.py
+        extra = {"dhn_weights": os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "weights", "dhn_h32.msgpack"), "dhn_hidden": 32}
     cfg = S.TrackerConfig(tracker=tracker, kalman_format=kfmt,
                           capacity=32, det_capacity=16,
-                          conf_thresh=0.6)
+                          conf_thresh=0.6, **extra)
     step, cfg = build_tracker(cfg)
     slab = S.init_slab(cfg)
     step = jax.jit(step)

@@ -37,12 +37,15 @@ def parse_args(argv=None):
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--img_size", type=int, default=1280)
     p.add_argument("--reid_model_path", type=str, default="")
-    p.add_argument("--dhn_path", type=str, default="")
+    p.add_argument("--dhn_path", type=str, default="",
+                   help="DeepMOT: trained DHN msgpack "
+                        "(train with -m yolov7_tracker_tpu.train.dhn_train)")
     p.add_argument("--conf_thresh", type=float, default=0.2)
     p.add_argument("--nms_thresh", type=float, default=0.7)
     p.add_argument("--iou_thresh", type=float, default=0.5)
     p.add_argument("--track_buffer", type=int, default=30)
     p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--dhn_hidden", type=int, default=256)
     p.add_argument("--kalman_format", type=str, default="default")
     p.add_argument("--min_area", type=float, default=150)
     p.add_argument("--save_images", action="store_true")
@@ -108,7 +111,8 @@ def main(argv=None):
         conf_thresh=opts.conf_thresh, iou_thresh=opts.iou_thresh,
         track_buffer=opts.track_buffer, capacity=opts.capacity,
         det_capacity=opts.det_capacity, gamma=opts.gamma,
-        min_area=opts.min_area,
+        min_area=opts.min_area, dhn_weights=opts.dhn_path,
+        dhn_hidden=opts.dhn_hidden,
     )
     # --model accepts a zoo name OR any reference-format cfg yaml — the
     # analogue of the reference's track_yolov5/track_yolov8 entries

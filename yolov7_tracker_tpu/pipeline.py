@@ -205,6 +205,50 @@ class TrackingPipeline:
         return self._scan_multi_fn(slabs, det_streams)
 
     # ------------------------------------------------------------------
+    # fused batch step: detect + slab-ify + tracker scan in ONE call
+    # ------------------------------------------------------------------
+
+    def _process_batch_fn(self, src_hw: Tuple[int, int]):
+        """One jitted (variables, slab, frames_u8 (B,H,W,3), warps (B,3,3))
+        -> (slab, per-frame outputs) call: detector batch on the MXU, then
+        lax.scan of the tracker over the batch's detections. The detector
+        output feeds the tracker on device — nothing crosses the host
+        between stages (vs the reference's per-frame det_results.cpu(),
+        track.py:138-179)."""
+        key = ("proc", src_hw)
+        if key in self._detect_cache:
+            return self._detect_cache[key]
+        detect = self._detect_fn(src_hw)
+        d = self.tcfg.det_capacity
+
+        def body(slab, det):
+            slab, out = self.step(slab, det)
+            return slab, out
+
+        @jax.jit
+        def process(variables, slab, frames_u8, warps):
+            boxes, score, cls, counts = detect(variables, frames_u8)
+            det_slabs = jax.vmap(self.dets_to_slab)(
+                boxes[:, :d], score[:, :d], cls[:, :d], counts
+            )
+            det_slabs = det_slabs._replace(warp=warps)
+            return jax.lax.scan(body, slab, det_slabs)
+
+        self._detect_cache[key] = process
+        return process
+
+    def process_batch(self, slab: S.TrackSlab, frames_u8, warps=None):
+        """Detect + track a batch of frames in a single device call."""
+        src_hw = tuple(np.asarray(frames_u8).shape[1:3])
+        if warps is None:
+            warps = jnp.tile(
+                S.IDENTITY_WARP, (np.asarray(frames_u8).shape[0], 1, 1)
+            )
+        return self._process_batch_fn(src_hw)(
+            self.variables, slab, frames_u8, warps
+        )
+
+    # ------------------------------------------------------------------
     # fused single-frame step (lowest latency streaming)
     # ------------------------------------------------------------------
 
@@ -253,7 +297,6 @@ class TrackingPipeline:
         frame_id = 0
         batch = []
         warps = []
-        d = self.tcfg.det_capacity
         k_det = max(1, self.pcfg.detect_per_frame)
 
         def emit(out, frame_id):
@@ -269,13 +312,8 @@ class TrackingPipeline:
 
         def flush(batch, warps, slab, frame_id):
             arr = np.stack(batch)
-            boxes, score, cls, counts = self.detect_batch(arr)
-            det_slabs = jax.vmap(self.dets_to_slab)(
-                boxes[:, :d], score[:, :d], cls[:, :d], counts
-            )
             wstack = jnp.asarray(np.stack(warps), jnp.float32)
-            det_slabs = det_slabs._replace(warp=wstack)
-            slab, outs = self.track_scan(slab, det_slabs)
+            slab, outs = self.process_batch(slab, arr, wstack)
             outs = jax.tree.map(np.asarray, outs)
             for b in range(arr.shape[0]):
                 frame_id += 1

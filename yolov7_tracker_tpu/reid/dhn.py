@@ -62,16 +62,21 @@ class BiGRU(nn.Module):
 
 
 class DHN(nn.Module):
-    """Cost matrix (H, W) -> soft assignment scores (H, W) in [0, 1]."""
+    """Cost matrix (H, W) -> soft assignment scores (H, W) in [0, 1].
+
+    ``hidden`` defaults to the reference architecture's 256; smaller
+    values give a cheap DHN for tests / latency-bound deployments."""
+
+    hidden: int = HIDDEN
 
     @nn.compact
     def __call__(self, d):  # d: (H, W)
         h, w = d.shape
         row_seq = d.reshape(h * w, 1)
-        row_out = BiGRU(name="lstm_row")(row_seq)          # (H*W, 512)
+        row_out = BiGRU(self.hidden, name="lstm_row")(row_seq)  # (H*W, 2h)
         grid = row_out.reshape(h, w, -1)
         col_seq = jnp.transpose(grid, (1, 0, 2)).reshape(w * h, -1)
-        col_out = BiGRU(name="lstm_col")(col_seq)          # (W*H, 512)
+        col_out = BiGRU(self.hidden, name="lstm_col")(col_seq)  # (W*H, 2h)
         feats = jnp.transpose(
             col_out.reshape(w, h, -1), (1, 0, 2)
         ).reshape(h * w, -1)

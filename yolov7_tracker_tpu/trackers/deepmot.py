@@ -63,7 +63,9 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
     cost = ecu_iou_distance(slab, dets, fmt, img_hw)
     if dhn_variables is not None:
         comp, rperm, cperm = dhn_mod.compact_cost(cost, pmask, high)
-        scores = dhn_mod.DHN().apply(dhn_variables, comp)
+        scores = dhn_mod.DHN(hidden=cfg.dhn_hidden).apply(
+            dhn_variables, comp
+        )
         cost = 1.0 - dhn_mod.uncompact(scores, rperm, cperm)
     r2c, c2r = masked_assignment(cost, pmask, high, 0.9)
     was_tracked = slab.state == S.TRACKED

@@ -64,7 +64,14 @@ def build_tracker(cfg: S.TrackerConfig) -> Tuple[Callable, S.TrackerConfig]:
     for k, v in overrides.items():
         if getattr(cfg, k) == getattr(S.TrackerConfig(), k):
             cfg = dataclasses.replace(cfg, **{k: v})
-    step = functools.partial(fn, cfg=cfg)
+    kw = {}
+    if cfg.tracker == "deepmot" and cfg.dhn_weights:
+        # load trained DHN variables once at build time; the step closes
+        # over them (tracker/deepmot.py:221-233 runs DHN per frame)
+        from ..utils.checkpoint import load_variables
+
+        kw["dhn_variables"] = load_variables(cfg.dhn_weights)
+    step = functools.partial(fn, cfg=cfg, **kw)
     return jax.jit(step), cfg
 
 

@@ -86,6 +86,8 @@ class TrackerConfig:
     extra_dim: int = 0           # per-tracker extra state columns
     gamma: float = 0.1           # IoU/appearance blend (bytetrack.py:13)
     min_area: float = 150.0      # output area filter (track.py opts.min_area)
+    dhn_weights: str = ""        # DeepMOT: msgpack path of trained DHN
+    dhn_hidden: int = 256        # DHN GRU width (reference arch: 256)
 
     @property
     def max_time_lost(self) -> int:

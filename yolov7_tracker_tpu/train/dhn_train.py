@@ -51,7 +51,8 @@ def weighted_focal_bce(pred, target, gamma: float = 2.0):
 
 
 def train_dhn(steps: int = 2000, h: int = 16, w: int = 16,
-              lr: float = 3e-4, seed: int = 0, log_every: int = 100):
+              lr: float = 3e-4, seed: int = 0, log_every: int = 100,
+              hidden: int = 256):
     """Train DHN on synthetic Hungarian problems; returns variables."""
     import jax
     import jax.numpy as jnp
@@ -59,7 +60,7 @@ def train_dhn(steps: int = 2000, h: int = 16, w: int = 16,
 
     from ..reid.dhn import DHN
 
-    model = DHN()
+    model = DHN(hidden=hidden)
     rng = np.random.default_rng(seed)
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((h, w)))
     tx = optax.adam(lr)
@@ -90,9 +91,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--hidden", type=int, default=256,
+                   help="GRU width; reference arch is 256, small values "
+                        "train fast for tests")
     p.add_argument("--out", type=str, default="dhn.msgpack")
     opts = p.parse_args(argv)
-    variables = train_dhn(opts.steps, opts.size, opts.size, opts.lr)
+    variables = train_dhn(opts.steps, opts.size, opts.size, opts.lr,
+                          hidden=opts.hidden)
     from ..utils import checkpoint
 
     checkpoint.save_variables(opts.out, variables)
