@@ -46,7 +46,14 @@ def build_pipeline(model, img, batch):
     # bias prior, yielding ~0 NMS survivors; scaling the head convs
     # spreads scores so the tracker sees a realistic detection load.
     sharpen = float(os.environ.get("BENCH_SHARPEN", "8.0"))
-    obj_boost = float(os.environ.get("BENCH_OBJ_BOOST", "5.0"))
+    obj_boost = float(os.environ.get("BENCH_OBJ_BOOST", "6.0"))
+    # per-class bias jitter: without it the post-NMS score distribution is
+    # a single tight cluster that sits entirely above or entirely below the
+    # tracker's init threshold (conf+0.1) depending on obj_boost — jitter
+    # spreads the class logits so some detections always clear it and the
+    # tracker carries a real track population through the timed loop.
+    jitter = float(os.environ.get("BENCH_CLS_JITTER", "3.0"))
+    jit_rng = np.random.default_rng(1)
     params = dict(variables["params"])
     for k, v in params.items():
         if not k.startswith("head_m"):
@@ -57,7 +64,8 @@ def build_pipeline(model, img, batch):
         # (init_head_biases) so scores spread across [0, 1]
         b = v["bias"].reshape(spec.na, spec.no)
         b = b.at[:, 4].add(obj_boost)       # objectness
-        b = b.at[:, 5:].add(obj_boost)      # class logits
+        cls_jit = jit_rng.uniform(-jitter, jitter, (spec.na, spec.no - 5))
+        b = b.at[:, 5:].add(obj_boost + cls_jit)   # class logits
         v["bias"] = b.reshape(-1)
         params[k] = v
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
@@ -77,6 +85,9 @@ def main():
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
     )
+    # namespace by backend: CPU AOT entries written on one host machine
+    # fail (or SIGILL) when loaded on another with different CPU features
+    cache_dir = f"{cache_dir}-{jax.default_backend()}"
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -98,10 +109,12 @@ def main():
     pipe = build_pipeline(model, img, batch)
 
     rng = np.random.default_rng(0)
-    host_frames = [
-        rng.integers(0, 255, (batch,) + src_hw + (3,), np.uint8)
-        for _ in range(2)  # alternate buffers so H2D can't dedup/cache
-    ]
+    # two distinct buffers (so H2D can't dedup/cache) that are an 8-px
+    # shift of each other: consecutive batches see nearly the same scene,
+    # so detections re-associate frame-to-frame and the tracker carries a
+    # persistent track population instead of churning new ids.
+    f0 = rng.integers(0, 255, (batch,) + src_hw + (3,), np.uint8)
+    host_frames = [f0, np.roll(f0, 8, axis=2)]
     warps = jnp.tile(
         jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1)
     )
@@ -121,6 +134,12 @@ def main():
     n_hi = float((dscore > pipe.tcfg.conf_thresh).sum(-1).mean())
     log(f"det load: {n_dets:.0f} NMS survivors/frame, "
         f"{n_hi:.0f} above tracker conf, {n_tracks:.0f} tracked")
+    # a tracker carrying zero tracks does no real association work — the
+    # fps would be measuring an idle tracker. Fail loudly instead.
+    assert n_tracks >= 1.0, (
+        f"tracker carries {n_tracks} tracks — detection load mistuned "
+        "(adjust BENCH_OBJ_BOOST/BENCH_CLS_JITTER)"
+    )
 
     def emit(outs_host):
         # reference emit: per-frame (ids, tlwhs, classes) python lists
@@ -180,32 +199,26 @@ def main():
         jax.block_until_ready(jax.device_put(host_frames[i % 2]))
     h2d_ms = (time.time() - t0) / 8 / batch * 1e3
 
-    # sequence-parallel aggregate: NSEQ independent sequences vmapped
+    # sequence-parallel aggregate, measured in a FRESH subprocess: with
+    # the w6 pipeline resident, the remote-attached TPU runtime flakes
+    # with an opaque INVALID_ARGUMENT on the seq-par scan (the same
+    # computation runs fine in a clean process). The metric only needs
+    # the tracker step, not the detector, so isolation is free.
     nseq = int(os.environ.get("BENCH_NSEQ", "16"))
-    d = pipe.tcfg.det_capacity
-    from yolov7_tracker_tpu.trackers import slab as S
+    trk_ms_seqpar = None
+    try:
+        import subprocess
 
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    xy = jax.random.uniform(k1, (n_frames, nseq, d, 2), minval=0, maxval=1800)
-    wh = jax.random.uniform(k2, (n_frames, nseq, d, 2), minval=20, maxval=120)
-    det_streams = S.DetSlab(
-        tlbr=jnp.concatenate([xy, xy + wh], -1),
-        score=jax.random.uniform(k3, (n_frames, nseq, d), minval=0.1,
-                                 maxval=0.99),
-        cls=jnp.zeros((n_frames, nseq, d)),
-        valid=jnp.tile((jnp.arange(d) < 48)[None, None], (n_frames, nseq, 1)),
-        feature=jnp.zeros((n_frames, nseq, d, 0), jnp.float32),
-        warp=jnp.tile(S.IDENTITY_WARP, (n_frames, nseq, 1, 1)),
-    )
-    slabs = jax.tree.map(
-        lambda x: jnp.stack([x] * nseq, 0), pipe.init_tracker()
-    )
-    _, mouts = pipe.track_scan_multi(slabs, det_streams)
-    jax.block_until_ready(mouts)
-    t0 = time.time()
-    _, mouts = pipe.track_scan_multi(slabs, det_streams)
-    jax.block_until_ready(mouts)
-    trk_ms_seqpar = (time.time() - t0) / (n_frames * nseq) * 1e3
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--seqpar"],
+            capture_output=True, text=True, timeout=600,
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                trk_ms_seqpar = json.loads(line)["ms_per_frame"]
+    except Exception as e:
+        log(f"seqpar subprocess failed: {e}")
 
     baseline = 14.32  # reference ByteTrack fps, A100 (README.md:62)
     print(json.dumps({
@@ -222,7 +235,9 @@ def main():
             "dets_per_frame": round(n_dets, 1),
             "dets_above_track_conf": round(n_hi, 1),
             "tracks_per_frame": round(n_tracks, 1),
-            "tracker_ms_per_frame_seqpar": round(trk_ms_seqpar, 3),
+            "tracker_ms_per_frame_seqpar": (
+                round(trk_ms_seqpar, 3) if trk_ms_seqpar is not None
+                else None),
             "n_parallel_seqs": nseq,
             "batch": batch,
             "device": str(jax.devices()[0]),
@@ -230,5 +245,60 @@ def main():
     }))
 
 
+def seqpar_main():
+    """Standalone sequence-parallel tracker measurement (clean process):
+    NSEQ independent sequences vmapped over the ByteTrack slab step,
+    lax.scan over frames — the per-frame tracker cost when sequences
+    amortize the association solver's lockstep iterations."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.trackers import build_tracker
+    from yolov7_tracker_tpu.trackers import slab as S
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    nseq = int(os.environ.get("BENCH_NSEQ", "16"))
+    sp_frames = int(os.environ.get("BENCH_SEQPAR_FRAMES", "256"))
+    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                         capacity=128, det_capacity=64)
+    step, tcfg = build_tracker(tcfg)
+    d = tcfg.det_capacity
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    xy = jax.random.uniform(k1, (sp_frames, nseq, d, 2), minval=0,
+                            maxval=1800)
+    wh = jax.random.uniform(k2, (sp_frames, nseq, d, 2), minval=20,
+                            maxval=120)
+    det_streams = S.DetSlab(
+        tlbr=jnp.concatenate([xy, xy + wh], -1),
+        score=jax.random.uniform(k3, (sp_frames, nseq, d), minval=0.1,
+                                 maxval=0.99),
+        cls=jnp.zeros((sp_frames, nseq, d)),
+        valid=jnp.tile((jnp.arange(d) < 48)[None, None],
+                       (sp_frames, nseq, 1)),
+        feature=jnp.zeros((sp_frames, nseq, d, 0), jnp.float32),
+        warp=jnp.tile(S.IDENTITY_WARP, (sp_frames, nseq, 1, 1)),
+    )
+    slabs = jax.tree.map(
+        lambda x: jnp.stack([x] * nseq, 0), S.init_slab(tcfg)
+    )
+    vstep = jax.vmap(step)
+
+    @jax.jit
+    def scan(s, dets):
+        return jax.lax.scan(lambda c, dd: vstep(c, dd), s, dets)
+
+    _, outs = scan(slabs, det_streams)
+    jax.block_until_ready(outs.valid)
+    t0 = time.time()
+    _, outs = scan(slabs, det_streams)
+    jax.block_until_ready(outs.valid)
+    ms = (time.time() - t0) / (sp_frames * nseq) * 1e3
+    print(json.dumps({"ms_per_frame": round(ms, 4), "n_seqs": nseq,
+                      "frames": sp_frames}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--seqpar" in sys.argv:
+        seqpar_main()
+    else:
+        main()

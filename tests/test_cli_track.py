@@ -169,3 +169,68 @@ def test_stream_frames_and_demo_stream_loop(mot_dataset, tmp_path):
     for fr in frames[:3]:
         slab, out = pipe.step_frame(slab, fr)
     assert out.valid.shape[0] == 32
+
+
+def test_track_cli_external_detections(mot_dataset, tmp_path):
+    """--detections: track from externally-supplied detection txts (the
+    detector-agnostic seam behind track_yolov5/track_yolov8). Perfect
+    detections derived from gt must produce near-perfect MOTA/IDF1
+    through the full CLI -> txt -> TrackEval stack."""
+    import csv
+
+    root, seq_info = mot_dataset
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    for seq in seq_info:
+        gt = np.loadtxt(
+            os.path.join(root, "train", seq, "gt", "gt.txt"),
+            delimiter=",",
+        )
+        rows = []
+        for f, _tid, x, y, w, h, *_ in gt:
+            rows.append(f"{int(f)},-1,{x:.1f},{y:.1f},{w:.1f},{h:.1f},"
+                        f"0.95,0")
+        (det_dir / f"{seq}.txt").write_text("\n".join(rows) + "\n")
+
+    cfg = {
+        "DATASET_ROOT": root,
+        "CATEGORY_NAMES": ["pedestrian"],
+        "CATEGORY_DICT": {0: "pedestrian"},
+        "TRACK_EVAL": {
+            "GT_FOLDER": os.path.join(root, "train"),
+            "GT_LOC_FORMAT": "{gt_folder}/{seq}/gt/gt.txt",
+            "SEQ_INFO": {k: v for k, v in seq_info.items()},
+        },
+    }
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "synth.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from yolov7_tracker_tpu.cli import track
+
+    folder = track.main([
+        "--dataset", "synth",
+        "--config_dir", str(cfg_dir),
+        "--tracker", "bytetrack",
+        "--model", "yolov7-tiny",
+        "--nc", "1",
+        "--split", "train",
+        "--conf_thresh", "0.5",
+        "--capacity", "32",
+        "--det_capacity", "16",
+        "--min_area", "10",
+        "--detections", str(det_dir),
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    for seq in seq_info:
+        txt = os.path.join(folder, seq + ".txt")
+        assert os.path.isfile(txt)
+        assert len(open(txt).read().strip().splitlines()) > 0
+    with open(os.path.join(folder, "pedestrian_summary.csv")) as f:
+        rows = list(csv.DictReader(f))
+    comb = [r for r in rows if r["seq"] == "COMBINED"] or rows
+    mota = float(comb[0]["MOTA"])
+    idf1 = float(comb[0]["IDF1"])
+    assert mota > 0.9, (mota, comb[0])
+    assert idf1 > 0.9, (idf1, comb[0])

@@ -72,6 +72,12 @@ def parse_args(argv=None):
     p.add_argument("--gsi", action="store_true",
                    help="Gaussian-smoothed interpolation post-processing "
                         "(StrongSORT++ GSI)")
+    p.add_argument("--detections", type=str, default="",
+                   help="directory of per-sequence MOT-format detection "
+                        "txts (<seq>.txt: frame,id,x,y,w,h,score[,cls]); "
+                        "tracks from these instead of running a detector "
+                        "— the detector-agnostic seam behind the "
+                        "reference's track_yolov5/track_yolov8 entries")
     return p.parse_args(argv)
 
 
@@ -155,11 +161,24 @@ def main(argv=None):
     for spec_seq in seqs:
         timer = Timer()
         timer.tic()
-        results = pipe.run_sequence(
-            frame
-            for batch, _ in seqmod.iter_frames(spec_seq, 1)
-            for frame in batch
-        )
+        if opts.detections:
+            from ..data.detections import load_mot_detections
+
+            det_path = os.path.join(opts.detections,
+                                    f"{spec_seq.name}.txt")
+            if not os.path.isfile(det_path):
+                print(f"{spec_seq.name}: no detections at {det_path}, "
+                      "skipping")
+                continue
+            results = pipe.run_sequence_detections(
+                load_mot_detections(det_path), len(spec_seq)
+            )
+        else:
+            results = pipe.run_sequence(
+                frame
+                for batch, _ in seqmod.iter_frames(spec_seq, 1)
+                for frame in batch
+            )
         dt = timer.toc(average=False)
         fps = len(spec_seq) / max(dt, 1e-9)
         seq_fps.append(fps)

@@ -10,7 +10,7 @@ momentum 0.1) for checkpoint parity.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ def activation(name: str) -> Callable:
 
 
 class ConvBnAct(nn.Module):
-    """Conv (no bias, pad k//2) + BatchNorm + activation.
+    """Conv (no bias, pad k//2 or explicit p) + BatchNorm + activation.
 
     fused=True uses a single biased conv (BN folded into the kernel by
     models/fuse.fuse_variables) — the inference analogue of the
@@ -54,12 +54,14 @@ class ConvBnAct(nn.Module):
     g: int = 1
     act: str = "silu"
     fused: bool = False
+    p: Optional[int] = None  # explicit pad (yolov5's 6x6/s2/p2 stem)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = nn.Conv(
             self.c2, (self.k, self.k), strides=self.s,
-            padding=self.k // 2, feature_group_count=self.g,
+            padding=self.k // 2 if self.p is None else self.p,
+            feature_group_count=self.g,
             use_bias=self.fused, name="conv",
         )(x)
         if not self.fused:
@@ -313,4 +315,102 @@ class Stem(nn.Module):
         b = max_pool(x, 2, 2, 0)
         return ConvBnAct(self.c2, 1, 1, fused=f, name="cv4")(
             jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5 / YOLOv8 family blocks — the detector families behind the
+# reference's track_yolov5.py / track_yolov8.py entries (which import
+# ultralytics as a black box; these are clean-room re-implementations of
+# the published architectures so the same tracking loop runs on them).
+# ---------------------------------------------------------------------------
+
+
+class C3(nn.Module):
+    """YOLOv5 CSP bottleneck with 3 convs: two 1x1 branches, n darknet
+    bottlenecks (1x1 -> 3x3, e=1.0) on the first, 1x1 fuse on the concat."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        for j in range(self.n):
+            y1 = Bottleneck(c_, 1, self.shortcut, e=1.0, fused=f,
+                            name=f"m{j}")(y1, training)
+        y2 = ConvBnAct(c_, 1, 1, fused=f, name="cv2")(x, training)
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), training
+        )
+
+
+class BottleneckV8(nn.Module):
+    """YOLOv8 bottleneck: 3x3 -> 3x3 with optional residual (the C2f
+    inner block; kernel pair (3, 3), expansion 1.0)."""
+
+    c2: int
+    shortcut: bool = True
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c1 = x.shape[-1]
+        y = ConvBnAct(self.c2, 3, 1, fused=f, name="cv1")(x, training)
+        y = ConvBnAct(self.c2, 3, 1, fused=f, name="cv2")(y, training)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class C2f(nn.Module):
+    """YOLOv8 'fast' CSP: one 1x1 producing 2c channels split in two,
+    n BottleneckV8 stages each appending their output, 1x1 fuse over
+    the (2 + n) * c concat."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c = int(self.c2 * self.e)
+        y = ConvBnAct(2 * c, 1, 1, fused=f, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        for j in range(self.n):
+            ys.append(
+                BottleneckV8(c, self.shortcut, fused=f,
+                             name=f"m{j}")(ys[-1], training)
+            )
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv2")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+
+
+class SPPF(nn.Module):
+    """Fast SPP (yolov5 v6+/yolov8): three chained k=5 same-size
+    maxpools, concat of all four stages — receptive-field-equivalent to
+    SPP(5, 9, 13) at a third of the pooling cost."""
+
+    c2: int
+    k: int = 5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = x.shape[-1] // 2
+        x = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        y1 = max_pool(x, self.k, 1, self.k // 2)
+        y2 = max_pool(y1, self.k, 1, self.k // 2)
+        y3 = max_pool(y2, self.k, 1, self.k // 2)
+        return ConvBnAct(self.c2, 1, 1, fused=f, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), training
         )

@@ -110,6 +110,17 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
         elif l.kind == "SPP":
             for cv in ("cv1", "cv2"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "SPPF":
+            for cv in ("cv1", "cv2"):
+                conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind in ("C3", "C2f"):
+            outer = ("cv1", "cv2", "cv3") if l.kind == "C3" else (
+                "cv1", "cv2")
+            for cv in outer:
+                conv_bn((cv,), f"{pre}.{cv}", name)
+            for j in range(l.args[0]):
+                for cv in ("cv1", "cv2"):
+                    conv_bn((f"m{j}", cv), f"{pre}.m.{j}.{cv}", name)
         elif l.kind == "Stem":
             for cv in ("cv1", "cv2", "cv3", "cv4"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
@@ -161,6 +172,20 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                         sd[f"{pre}.rbr_identity.running_mean"])
                     put(stats, (name, "rbr_identity", "var"),
                         sd[f"{pre}.rbr_identity.running_var"])
+        elif l.kind == "DetectV8":
+            # decoupled anchor-free head: cv2 box branch (2 conv+bn then
+            # a biased 1x1 of 4*reg_max), cv3 class branch (same shape
+            # ending in nc); the fixed DFL expectation conv is a constant
+            # arange and lives in the decode, not the params
+            for br in ("cv2", "cv3"):
+                for hi in range(nl):
+                    for j in (0, 1):
+                        conv_bn((), f"{pre}.{br}.{hi}.{j}",
+                                f"head_{br}_{hi}_{j}")
+                    dst = f"head_{br}_{hi}_2"
+                    put(params, (dst, "kernel"),
+                        _k(sd[f"{pre}.{br}.{hi}.2.weight"]))
+                    put(params, (dst, "bias"), sd[f"{pre}.{br}.{hi}.2.bias"])
         elif l.kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
             n_heads = len(spec.head_from)
             for hi in range(n_heads):

@@ -30,7 +30,13 @@ SUPPORTED = {
     "BottleneckCSPA", "BottleneckCSPB", "BottleneckCSPC",
     "ResCSPA", "ResCSPB", "ResCSPC",
     "ResXCSPA", "ResXCSPB", "ResXCSPC",
+    # yolov5 / yolov8 families (the reference's track_yolov5/track_yolov8
+    # entries swap in these detectors via ultralytics; here they are
+    # first-class spec citizens so the same compiled pipeline runs them)
+    "C3", "C2f", "SPPF", "DetectV8",
 }
+
+REG_MAX = 16  # DFL bins per box side (yolov8 head)
 
 # CSP variant table: (split topology, inner block, inner shortcut,
 # inner groups, inner expansion) — models/common.py:307-404 defaults as
@@ -85,6 +91,9 @@ class ModelSpec:
             # classes + (x, y, obj) + two (bin_count+1) sigmoid-bin heads
             # (models/yolo.py:167-175)
             return self.nc + 3 + 2 * (BIN_COUNT + 1)
+        if self.head_kind == "DetectV8":
+            # anchor-free: 4 DFL distributions + class logits, no obj
+            return self.nc + 4 * REG_MAX
         return self.nc + 5
 
     def anchors_per_level(self):
@@ -170,9 +179,14 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             if isinstance(k, (list, tuple)):  # e.g. [512, [1, 1]]
                 k = k[0]
             s = args[2] if len(args) > 2 else 1
+            # explicit pad; reference yamls write the literal token None,
+            # which yaml parses as the *string* "None" (autopad)
+            p = args[3] if len(args) > 3 else None
+            if not isinstance(p, int):
+                p = None
             g = args[4] if len(args) > 4 else 1
             act = _parse_act(args[5]) if len(args) > 5 else "silu"
-            norm_args = (k, s, g, act)
+            norm_args = (k, s, g, act, p)
             out_ch, out_scale = c2, in_scale * s
         elif kind == "RepConv":
             c2 = args[0]
@@ -195,6 +209,17 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             c2 = make_divisible(args[0] * gw, 8)
             shortcut = bool(args[1]) if len(args) > 1 else True
             norm_args = (n, shortcut)  # sequential repeats, residual flag
+            out_ch, out_scale = c2, in_scale
+        elif kind in ("C3", "C2f"):
+            c2 = make_divisible(args[0] * gw, 8)
+            shortcut = (bool(args[1]) if len(args) > 1
+                        else kind == "C3")  # C3 defaults True, C2f False
+            norm_args = (n, shortcut)
+            out_ch, out_scale = c2, in_scale
+        elif kind == "SPPF":
+            c2 = make_divisible(args[0] * gw, 8)
+            k = args[1] if len(args) > 1 else 5
+            norm_args = (k,)
             out_ch, out_scale = c2, in_scale
         elif kind in CSP_KINDS:
             c2 = make_divisible(args[0] * gw, 8)
@@ -234,7 +259,8 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             factor = args[1]
             norm_args = (factor,)
             out_ch, out_scale = in_ch, in_scale // factor
-        elif kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
+        elif kind in ("Detect", "IDetect", "IAuxDetect", "IBin",
+                      "DetectV8"):
             head = (kind, absfrm, i)
             norm_args = ()
             out_ch, out_scale = 0, in_scale

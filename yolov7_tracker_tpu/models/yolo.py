@@ -38,9 +38,10 @@ class YoloV7(nn.Module):
         mods = {}
         for l in self.spec.layers:
             if l.kind == "Conv":
-                k, s, g, act = l.args
+                k, s, g, act = l.args[:4]
+                p = l.args[4] if len(l.args) > 4 else None
                 mods[str(l.index)] = blocks.ConvBnAct(
-                    l.c_out, k, s, g, act, fused=self.fused,
+                    l.c_out, k, s, g, act, fused=self.fused, p=p,
                     name=f"layer{l.index}",
                 )
             elif l.kind == "RepConv":
@@ -78,16 +79,62 @@ class YoloV7(nn.Module):
                 mods[str(l.index)] = blocks.Stem(
                     l.c_out, fused=self.fused, name=f"layer{l.index}"
                 )
+            elif l.kind == "C3":
+                mods[str(l.index)] = blocks.C3(
+                    l.c_out, n=l.args[0], shortcut=l.args[1],
+                    fused=self.fused, name=f"layer{l.index}",
+                )
+            elif l.kind == "C2f":
+                mods[str(l.index)] = blocks.C2f(
+                    l.c_out, n=l.args[0], shortcut=l.args[1],
+                    fused=self.fused, name=f"layer{l.index}",
+                )
+            elif l.kind == "SPPF":
+                mods[str(l.index)] = blocks.SPPF(
+                    l.c_out, k=l.args[0], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
         self._mods = mods
         spec = self.spec
         head_idx = spec.layers[-1].index
         nl, na, no = spec.nl, spec.na, spec.no
         n_heads = len(spec.head_from)
-        self._head_convs = [
-            nn.Conv(na * no, (1, 1), use_bias=True,
-                    name=f"head_m{('2' if i >= nl else '')}_{i % nl}")
-            for i in range(n_heads)
-        ]
+        if spec.head_kind == "DetectV8":
+            # decoupled anchor-free head: per level, a box branch ending
+            # in 4*REG_MAX DFL logits and a class branch ending in nc
+            # logits (clean-room yolov8 Detect)
+            reg_max = spec_mod.REG_MAX
+            head_ch = [spec.layers[x].c_out for x in spec.head_from]
+            c2_ = max(16, head_ch[0] // 4, reg_max * 4)
+            c3_ = max(head_ch[0], min(spec.nc, 100))
+            self._v8_box = [
+                [
+                    blocks.ConvBnAct(c2_, 3, 1, fused=self.fused,
+                                     name=f"head_cv2_{i}_0"),
+                    blocks.ConvBnAct(c2_, 3, 1, fused=self.fused,
+                                     name=f"head_cv2_{i}_1"),
+                    nn.Conv(4 * reg_max, (1, 1), use_bias=True,
+                            name=f"head_cv2_{i}_2"),
+                ]
+                for i in range(nl)
+            ]
+            self._v8_cls = [
+                [
+                    blocks.ConvBnAct(c3_, 3, 1, fused=self.fused,
+                                     name=f"head_cv3_{i}_0"),
+                    blocks.ConvBnAct(c3_, 3, 1, fused=self.fused,
+                                     name=f"head_cv3_{i}_1"),
+                    nn.Conv(spec.nc, (1, 1), use_bias=True,
+                            name=f"head_cv3_{i}_2"),
+                ]
+                for i in range(nl)
+            ]
+        else:
+            self._head_convs = [
+                nn.Conv(na * no, (1, 1), use_bias=True,
+                        name=f"head_m{('2' if i >= nl else '')}_{i % nl}")
+                for i in range(n_heads)
+            ]
         if spec.head_kind in ("IDetect", "IAuxDetect", "IBin"):
             self._ia = [
                 ImplicitA(name=f"head_ia_{i}") for i in range(nl)
@@ -109,7 +156,8 @@ class YoloV7(nn.Module):
         y = x
         head_inputs: List[Any] = []
         for l in spec.layers:
-            if l.kind in ("Detect", "IDetect", "IAuxDetect", "IBin"):
+            if l.kind in ("Detect", "IDetect", "IAuxDetect", "IBin",
+                          "DetectV8"):
                 head_inputs = [
                     saved[i] if i in saved else y for i in l.frm
                 ]
@@ -147,6 +195,8 @@ class YoloV7(nn.Module):
 
     def _detect(self, head_inputs, training: bool):
         spec = self.spec
+        if spec.head_kind == "DetectV8":
+            return self._detect_v8(head_inputs, training)
         nl, na, no = spec.nl, spec.na, spec.no
         anchors = jnp.asarray(spec.anchors_per_level())  # (nl, na, 2) px
         raw: List[Any] = []
@@ -195,6 +245,54 @@ class YoloV7(nn.Module):
             return raw
         return jnp.concatenate(decoded, axis=1), raw[:nl]
 
+    def _detect_v8(self, head_inputs, training: bool):
+        """Anchor-free DFL decode (clean-room yolov8 Detect).
+
+        Per level: box branch -> 4*REG_MAX logits, softmax over the
+        REG_MAX bins, expectation = ltrb cell distances from the cell
+        center (x+0.5, y+0.5); class branch -> nc sigmoid scores. The
+        decoded output keeps the (xywh, obj=1, cls...) layout so
+        ops.nms consumes it unchanged (conf = 1 * cls, exactly
+        ultralytics' class-score confidence)."""
+        spec = self.spec
+        reg_max = spec_mod.REG_MAX
+        bins = jnp.arange(reg_max, dtype=jnp.float32)
+        raw: List[Any] = []
+        decoded: List[Any] = []
+        for i, feat in enumerate(head_inputs):
+            d = feat
+            for m in self._v8_box[i][:2]:
+                d = m(d, training)
+            d = self._v8_box[i][2](d)              # (B, ny, nx, 4*reg_max)
+            c = feat
+            for m in self._v8_cls[i][:2]:
+                c = m(c, training)
+            c = self._v8_cls[i][2](c)              # (B, ny, nx, nc)
+            b, ny, nx, _ = d.shape
+            raw.append(
+                jnp.concatenate([d, c], axis=-1)
+                .reshape(b, ny, nx, 1, spec.no)
+            )
+            if training:
+                continue
+            stride = float(spec.strides[i])
+            dist = jax.nn.softmax(
+                d.reshape(b, ny, nx, 4, reg_max), axis=-1
+            ) @ bins                               # (B, ny, nx, 4) ltrb
+            gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+            gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+            ax = jnp.stack([gx, gy], axis=-1) + 0.5  # cell centers
+            lt, rb = dist[..., :2], dist[..., 2:]
+            xy = (ax + (rb - lt) / 2.0) * stride
+            wh = (lt + rb) * stride
+            score = jax.nn.sigmoid(c)
+            obj = jnp.ones((b, ny, nx, 1), score.dtype)
+            out = jnp.concatenate([xy, wh, obj, score], axis=-1)
+            decoded.append(out.reshape(b, ny * nx, 5 + spec.nc))
+        if training:
+            return raw
+        return jnp.concatenate(decoded, axis=1), raw
+
 
 class ImplicitA(nn.Module):
     """Learned additive embedding (models/common.py:433-443)."""
@@ -226,6 +324,23 @@ def init_head_biases(params, spec: ModelSpec, cf=None):
     """Detection-head bias init (models/yolo.py:353-368): obj bias
     log(8 / (640/stride)^2), cls bias log(0.6 / (nc - 0.99))."""
     if spec.head_kind == "IBin":  # bin layout has no plain obj/cls slots
+        return params
+    if spec.head_kind == "DetectV8":
+        # v8 bias_init: box branch 1.0, cls branch log(5/nc/(640/s)^2)
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        for i, s in enumerate(spec.strides):
+            box = params["params"][f"head_cv2_{i}_2"]
+            params["params"][f"head_cv2_{i}_2"] = {
+                **box, "bias": jnp.ones_like(box["bias"]),
+            }
+            cls = params["params"][f"head_cv3_{i}_2"]
+            params["params"][f"head_cv3_{i}_2"] = {
+                **cls,
+                "bias": jnp.full_like(
+                    cls["bias"],
+                    math.log(5.0 / spec.nc / (640.0 / float(s)) ** 2),
+                ),
+            }
         return params
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     nl, na, nc = spec.nl, spec.na, spec.nc

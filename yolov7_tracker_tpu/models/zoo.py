@@ -499,6 +499,78 @@ ANCHORS_P5_V3 = [
     [116, 90, 156, 198, 373, 326],
 ]
 
+# anchor-free families carry a dummy 1-anchor set (na=1); the DetectV8
+# decode never reads it
+ANCHORS_FREE = [[1.0, 1.0], [1.0, 1.0], [1.0, 1.0]]
+
+
+def yolov5_rows():
+    """YOLOv5 v6.0+ topology (clean-room; the published C3/SPPF network
+    behind the reference's track_yolov5.py entry). Channels/depths here
+    are the base 'l' scale — per-model depth/width multiples are applied
+    by the parser from the _ZOO table."""
+    r = Rows()
+    r.add(-1, "Conv", [64, 6, 2, 2])       # 0 P1/2 (6x6 s2 p2 stem)
+    r.add(-1, "Conv", [128, 3, 2])         # 1 P2/4
+    r.add(-1, "C3", [128], n=3)
+    r.add(-1, "Conv", [256, 3, 2])         # 3 P3/8
+    b_p3 = r.add(-1, "C3", [256], n=6)
+    r.add(-1, "Conv", [512, 3, 2])         # 5 P4/16
+    b_p4 = r.add(-1, "C3", [512], n=9)
+    r.add(-1, "Conv", [1024, 3, 2])        # 7 P5/32
+    r.add(-1, "C3", [1024], n=3)
+    r.add(-1, "SPPF", [1024, 5])           # 9
+    n_p5 = r.add(-1, "Conv", [512, 1, 1])  # 10
+    r.up()
+    r.concat([-1, b_p4])
+    r.add(-1, "C3", [512, False], n=3)
+    n_p4 = r.add(-1, "Conv", [256, 1, 1])  # 14
+    r.up()
+    r.concat([-1, b_p3])
+    out_p3 = r.add(-1, "C3", [256, False], n=3)   # 17
+    r.add(-1, "Conv", [256, 3, 2])
+    r.concat([-1, n_p4])
+    out_p4 = r.add(-1, "C3", [512, False], n=3)   # 20
+    r.add(-1, "Conv", [512, 3, 2])
+    r.concat([-1, n_p5])
+    out_p5 = r.add(-1, "C3", [1024, False], n=3)  # 23
+    r.add([out_p3, out_p4, out_p5], "Detect", ["nc", "anchors"])
+    return r.rows
+
+
+def _yolov8_rows(max_ch: int):
+    """YOLOv8 topology (clean-room; the published C2f/SPPF anchor-free
+    network behind the reference's track_yolov8.py entry). max_ch is the
+    per-scale channel ceiling applied before the width multiple."""
+    def c(x):
+        return min(x, max_ch)
+
+    r = Rows()
+    r.add(-1, "Conv", [c(64), 3, 2])          # 0 P1/2
+    r.add(-1, "Conv", [c(128), 3, 2])         # 1 P2/4
+    r.add(-1, "C2f", [c(128), True], n=3)
+    r.add(-1, "Conv", [c(256), 3, 2])         # 3 P3/8
+    b_p3 = r.add(-1, "C2f", [c(256), True], n=6)
+    r.add(-1, "Conv", [c(512), 3, 2])         # 5 P4/16
+    b_p4 = r.add(-1, "C2f", [c(512), True], n=6)
+    r.add(-1, "Conv", [c(1024), 3, 2])        # 7 P5/32
+    r.add(-1, "C2f", [c(1024), True], n=3)
+    b_p5 = r.add(-1, "SPPF", [c(1024), 5])    # 9
+    r.up()
+    r.concat([-1, b_p4])
+    h_p4 = r.add(-1, "C2f", [c(512)], n=3)    # 12
+    r.up()
+    r.concat([-1, b_p3])
+    out_p3 = r.add(-1, "C2f", [c(256)], n=3)  # 15
+    r.add(-1, "Conv", [c(256), 3, 2])
+    r.concat([-1, h_p4])
+    out_p4 = r.add(-1, "C2f", [c(512)], n=3)  # 18
+    r.add(-1, "Conv", [c(512), 3, 2])
+    r.concat([-1, b_p5])
+    out_p5 = r.add(-1, "C2f", [c(1024)], n=3)  # 21
+    r.add([out_p3, out_p4, out_p5], "DetectV8", ["nc"])
+    return r.rows
+
 
 _ZOO = {
     "yolov7-tiny": (yolov7_tiny_rows, ANCHORS_P5_TINY, 1.0, 1.0),
@@ -512,6 +584,19 @@ _ZOO = {
     "yolov7-e6": (yolov7_e6_rows, ANCHORS_P6, 1.0, 1.0),
     "yolov7-d6": (yolov7_d6_rows, ANCHORS_P6, 1.0, 1.0),
     "yolov7-e6e": (yolov7_e6e_rows, ANCHORS_P6, 1.0, 1.0),
+    # yolov5 family (anchor-based, C3/SPPF): depth/width multiples per
+    # the published n/s/m/l/x scales
+    "yolov5n": (yolov5_rows, ANCHORS_P5_TINY, 0.33, 0.25),
+    "yolov5s": (yolov5_rows, ANCHORS_P5_TINY, 0.33, 0.50),
+    "yolov5m": (yolov5_rows, ANCHORS_P5_TINY, 0.67, 0.75),
+    "yolov5l": (yolov5_rows, ANCHORS_P5_TINY, 1.0, 1.0),
+    "yolov5x": (yolov5_rows, ANCHORS_P5_TINY, 1.33, 1.25),
+    # yolov8 family (anchor-free, C2f/DFL): (depth, width, max_channels)
+    "yolov8n": (lambda: _yolov8_rows(1024), ANCHORS_FREE, 0.33, 0.25),
+    "yolov8s": (lambda: _yolov8_rows(1024), ANCHORS_FREE, 0.33, 0.50),
+    "yolov8m": (lambda: _yolov8_rows(768), ANCHORS_FREE, 0.67, 0.75),
+    "yolov8l": (lambda: _yolov8_rows(512), ANCHORS_FREE, 1.0, 1.0),
+    "yolov8x": (lambda: _yolov8_rows(512), ANCHORS_FREE, 1.0, 1.25),
 }
 
 

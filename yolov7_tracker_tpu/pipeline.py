@@ -281,6 +281,68 @@ class TrackingPipeline:
         )
 
     # ------------------------------------------------------------------
+    # external detections (pluggable-detector seam, data level)
+    # ------------------------------------------------------------------
+
+    def run_sequence_detections(self, dets_by_frame, n_frames: int,
+                                chunk: int = 64):
+        """Track a sequence from externally-supplied detections — the
+        detector-agnostic analogue of the reference's track_yolov5/v8
+        entries (any backend's output drops in; data/detections.py).
+
+        dets_by_frame: {frame (1-based): (N, 6) [x1,y1,x2,y2,score,cls]}.
+        Returns per-frame results [(frame_id, ids, tlwhs, clses)].
+        """
+        d = self.tcfg.det_capacity
+        fd = self.tcfg.feature_dim
+        slab = S.init_slab(self.tcfg)
+        results = []
+
+        def emit(out, frame_id):
+            valid = np.asarray(out.valid)
+            results.append(
+                (
+                    frame_id,
+                    np.asarray(out.track_id)[valid].tolist(),
+                    list(np.asarray(out.tlwh)[valid]),
+                    np.asarray(out.cls)[valid].astype(int).tolist(),
+                )
+            )
+
+        for start in range(1, n_frames + 1, chunk):
+            t = min(chunk, n_frames + 1 - start)
+            tlbr = np.zeros((t, d, 4), np.float32)
+            score = np.zeros((t, d), np.float32)
+            cls = np.zeros((t, d), np.float32)
+            valid = np.zeros((t, d), bool)
+            for j in range(t):
+                rows = dets_by_frame.get(start + j)
+                if rows is None or len(rows) == 0:
+                    continue
+                rows = np.asarray(rows, np.float32)
+                if rows.shape[0] > d:
+                    # keep top-scoring d (mirrors dets_to_slab capacity)
+                    rows = rows[np.argsort(-rows[:, 4])[:d]]
+                n = rows.shape[0]
+                tlbr[j, :n] = rows[:, :4]
+                score[j, :n] = rows[:, 4]
+                cls[j, :n] = rows[:, 5]
+                valid[j, :n] = True
+            det_slabs = S.DetSlab(
+                tlbr=jnp.asarray(tlbr),
+                score=jnp.asarray(score),
+                cls=jnp.asarray(cls),
+                valid=jnp.asarray(valid),
+                feature=jnp.zeros((t, d, fd), jnp.float32),
+                warp=jnp.tile(S.IDENTITY_WARP, (t, 1, 1)),
+            )
+            slab, outs = self.track_scan(slab, det_slabs)
+            outs = jax.tree.map(np.asarray, outs)
+            for j in range(t):
+                emit(jax.tree.map(lambda x: x[j], outs), start + j)
+        return results
+
+    # ------------------------------------------------------------------
     # full sequence
     # ------------------------------------------------------------------
 
