@@ -146,8 +146,21 @@ class OracleDeepSORT(OracleBase):
         return self._finalize(activated, refind, lost, removed)
 
 
+def multi_gmc(tracks, warp):
+    """Reference multi_gmc (botsort.py:250-269): R8x8 = kron(I4, R),
+    mean' = R8 mean + [t, 0...], cov' = R8 cov R8^T."""
+    r2 = np.asarray(warp)[:2, :2]
+    t2 = np.asarray(warp)[:2, 2]
+    r8 = np.kron(np.eye(4), r2)
+    for tr in tracks:
+        tr.mean = r8 @ tr.mean
+        tr.mean[:2] += t2
+        tr.cov = r8 @ tr.cov @ r8.T
+
+
 class OracleBoTSORT(OracleBase):
     fmt = "botsort"
+    warp = None  # per-frame 2x3 camera warp (set by the GMC golden test)
 
     def update(self, dets):
         self.frame_id += 1
@@ -163,6 +176,9 @@ class OracleBoTSORT(OracleBase):
         tracked = [t for t in self.tracked if t.is_activated]
         pool = joint(tracked, self.lost)
         self.multi_predict(pool)
+        if self.warp is not None:  # botsort.py:379-382
+            multi_gmc(pool, self.warp)
+            multi_gmc(unconfirmed, self.warp)
         m0, u_t0, u_d0 = linear_assignment_host(iou_dist(pool, d_high), 0.9)
         for r, c in m0:
             tr, det = pool[r], d_high[c]

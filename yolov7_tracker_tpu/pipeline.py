@@ -281,6 +281,45 @@ class TrackingPipeline:
         )
 
     # ------------------------------------------------------------------
+    # output packing: one D2H transfer instead of one per pytree leaf
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _pack_fn(self):
+        @jax.jit
+        def pack(outs: S.FrameOutput):
+            return jnp.concatenate(
+                [
+                    outs.track_id[..., None].astype(jnp.float32),
+                    outs.tlwh,
+                    outs.score[..., None],
+                    outs.cls[..., None],
+                    outs.valid[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+
+        return pack
+
+    def pack_output(self, outs: S.FrameOutput):
+        """FrameOutput pytree -> one (..., T, 8) device array. Each D2H
+        transfer pays a full round trip on remote-attached runtimes;
+        packing turns FrameOutput's 5 leaves into a single fetch."""
+        return self._pack_fn(outs)
+
+    @staticmethod
+    def unpack_output(arr: np.ndarray) -> S.FrameOutput:
+        """Host-side inverse of pack_output (numpy leaves)."""
+        arr = np.asarray(arr)
+        return S.FrameOutput(
+            track_id=arr[..., 0].astype(np.int32),
+            tlwh=arr[..., 1:5],
+            score=arr[..., 5],
+            cls=arr[..., 6],
+            valid=arr[..., 7] > 0.5,
+        )
+
+    # ------------------------------------------------------------------
     # external detections (pluggable-detector seam, data level)
     # ------------------------------------------------------------------
 
@@ -337,7 +376,7 @@ class TrackingPipeline:
                 warp=jnp.tile(S.IDENTITY_WARP, (t, 1, 1)),
             )
             slab, outs = self.track_scan(slab, det_slabs)
-            outs = jax.tree.map(np.asarray, outs)
+            outs = self.unpack_output(self.pack_output(outs))
             for j in range(t):
                 emit(jax.tree.map(lambda x: x[j], outs), start + j)
         return results
@@ -376,7 +415,7 @@ class TrackingPipeline:
             arr = np.stack(batch)
             wstack = jnp.asarray(np.stack(warps), jnp.float32)
             slab, outs = self.process_batch(slab, arr, wstack)
-            outs = jax.tree.map(np.asarray, outs)
+            outs = self.unpack_output(self.pack_output(outs))
             for b in range(arr.shape[0]):
                 frame_id += 1
                 emit(jax.tree.map(lambda x: x[b], outs), frame_id)

@@ -106,7 +106,8 @@ class GMC:
             jnp.asarray(gray, jnp.float32),
         )
         self.prev_gray = gray
-        warp = np.asarray(params, np.float32).reshape(2, 3)
+        # np.array (copy): asarray on a jax buffer is a read-only view
+        warp = np.array(params, np.float32).reshape(2, 3)
         warp[:, 2] *= self.downscale
         if not np.isfinite(warp).all():
             return IDENTITY.copy()
@@ -114,25 +115,26 @@ class GMC:
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def ecc_affine(ref: jnp.ndarray, cur: jnp.ndarray, iters: int = 30):
-    """Estimate the euclidean-ish affine aligning ref->cur by Gauss-Newton
-    on the normalized-correlation objective (ECC), fully on device.
+def ecc_affine(ref: jnp.ndarray, cur: jnp.ndarray, iters: int = 50):
+    """ECC alignment ref->cur fully on device — replaces
+    cv2.findTransformECC (botsort.py:98-103, MOTION_EUCLIDEAN).
 
-    Uses a 4-parameter similarity warp [s cos a, -s sin a, tx; s sin a,
-    s cos a, ty] like estimateAffinePartial2D / MOTION_EUCLIDEAN, solved
-    by iterating first-order updates with bilinear resampling.
+    Forward-additive ECC iteration (Evangelidis & Psarakis, PAMI 2008)
+    over a 4-parameter similarity warp [1+a, -b, tx; b, 1+a, ty]: per
+    step, bilinear-resample the current image and its gradients at the
+    warped grid, build the N x 4 steepest-descent matrix G, and apply
+    the ECC update dp = H^-1 G^T (lambda * t - w) with the paper's
+    correlation-optimal lambda — golden-tested against cv2's
+    implementation on rotation+scale+translation warps (tests/test_gmc).
     """
     hgt, wid = ref.shape
     ys = jnp.arange(hgt, dtype=jnp.float32)
     xs = jnp.arange(wid, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
 
-    def norm(im):
-        m = jnp.mean(im)
-        s = jnp.std(im) + 1e-6
-        return (im - m) / s
-
-    refn = norm(ref)
+    # gradient images of cur (central differences)
+    cx = (jnp.roll(cur, -1, 1) - jnp.roll(cur, 1, 1)) * 0.5
+    cy = (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 0)) * 0.5
 
     def sample(img, x, y):
         x = jnp.clip(x, 0.0, wid - 1.001)
@@ -148,22 +150,42 @@ def ecc_affine(ref: jnp.ndarray, cur: jnp.ndarray, iters: int = 30):
         return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
                 + (v10 * (1 - fx) + v11 * fx) * fy)
 
-    def objective(p):
+    eye4 = jnp.eye(4)
+
+    def body(i, p):
         a, b, tx, ty = p
         x = (1 + a) * gx - b * gy + tx
         y = b * gx + (1 + a) * gy + ty
-        warped = sample(cur, x, y)
-        wn = norm(warped)
-        return -jnp.mean(refn * wn)  # negative correlation
-
-    grad_fn = jax.grad(objective)
-
-    def body(i, p):
-        g = grad_fn(p)
-        # sign-gradient with geometric step decay: robust across the very
-        # different parameter scales (a/b ~1e-3 per step, t ~1px per step)
-        step = jnp.array([8e-4, 8e-4, 0.8, 0.8]) * (0.96 ** i)
-        return p - jnp.sign(g) * step
+        w = sample(cur, x, y)
+        ix = sample(cx, x, y)
+        iy = sample(cy, x, y)
+        inb = ((x >= 1.0) & (x <= wid - 2.0)
+               & (y >= 1.0) & (y <= hgt - 2.0))
+        m = inb.astype(jnp.float32)
+        n = m.sum() + 1e-6
+        wz = (w - (w * m).sum() / n) * m
+        tz = (ref - (ref * m).sum() / n) * m
+        # steepest-descent images for p = (a, b, tx, ty)
+        g1 = (ix * gx + iy * gy) * m
+        g2 = (-ix * gy + iy * gx) * m
+        g3 = ix * m
+        g4 = iy * m
+        G = jnp.stack(
+            [g1.ravel(), g2.ravel(), g3.ravel(), g4.ravel()], axis=-1
+        )
+        wf, tf = wz.ravel(), tz.ravel()
+        H = G.T @ G + 1e-6 * eye4
+        Gw = G.T @ wf
+        Gt = G.T @ tf
+        HiGw = jnp.linalg.solve(H, Gw)
+        num = wf @ wf - Gw @ HiGw
+        den = tf @ wf - Gt @ HiGw
+        lam = num / jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
+        err = lam * tf - wf
+        dp = jnp.linalg.solve(H, G.T @ err)
+        # guard: a diverging step (e.g. textureless frame) is clamped
+        dp = jnp.clip(dp, -10.0, 10.0)
+        return p + dp
 
     p = jax.lax.fori_loop(0, iters, body, jnp.zeros(4))
     a, b, tx, ty = p
