@@ -55,10 +55,15 @@ def eval_sequence(seq: str, gt_path: str, result_path: str,
                   classes: Sequence[str],
                   metric_names: Sequence[str] = DEFAULT_METRICS,
                   ) -> Dict[str, Dict]:
-    raw = D.load_raw_seq(seq, gt_path, result_path, num_timesteps)
+    kitti = benchmark == "KITTI"
+    if kitti:
+        raw = D.load_kitti_seq(seq, gt_path, result_path, num_timesteps)
+    else:
+        raw = D.load_raw_seq(seq, gt_path, result_path, num_timesteps)
     out = {}
     for cls in classes:
-        pre = D.preprocess_sequence(raw, benchmark, cls)
+        pre = (D.preprocess_kitti(raw, cls) if kitti
+               else D.preprocess_sequence(raw, benchmark, cls))
         res = {}
         for name in metric_names:
             res.update(METRIC_FNS[name](pre))

@@ -115,10 +115,19 @@ def clear(data: Dict, threshold: float = 0.5) -> Dict:
     if data["num_tracker_dets"] == 0:
         res["CLR_FN"] = data["num_gt_dets"]
         res["ML"] = data["num_gt_ids"]
-        return _clear_finalize(res)
+        out = _clear_finalize(res)
+        out["MLR"] = 1.0  # trackeval clear.py:47-49 sets MLR directly
+        return out
     if data["num_gt_dets"] == 0:
         res["CLR_FP"] = data["num_tracker_dets"]
-        return _clear_finalize(res)
+        # trackeval clear.py:51-54 short-circuits WITHOUT the final-field
+        # formulas: every derived field stays 0 (MOTA is 0, not -FP) and
+        # MLR is set to 1.0
+        out = _clear_finalize(res)
+        for k in ("MODA", "MOTA", "sMOTA", "MOTAL", "FP_per_frame"):
+            out[k] = 0.0
+        out["MLR"] = 1.0
+        return out
 
     n_gt = data["num_gt_ids"]
     gt_count = np.zeros(n_gt)
