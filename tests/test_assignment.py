@@ -151,6 +151,47 @@ def test_pallas_auction_interpret_matches_host():
             assert int(np.asarray(c2r)[j]) == i
 
 
+def test_pallas_auction_v2_interpret_matches_host():
+    """The private-dummy rectangular kernel (the TPU default backend,
+    ops/assignment.py solve_assignment): same matching as the scipy host
+    reference on association-shaped AND adversarial dense matrices."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.ops.assignment import linear_assignment_host
+    from yolov7_tracker_tpu.ops.pallas_auction import (
+        masked_assignment_pallas_v2,
+    )
+
+    rng = np.random.default_rng(0)
+    T, D = 24, 16
+    for case in range(4):
+        nt, nd = rng.integers(4, T), rng.integers(4, D)
+        if case < 3:  # association-shaped: sparse high-IoU diagonal
+            iou = rng.uniform(0, 0.3, (T, D)).astype(np.float32)
+            for k in range(min(nt, nd) - 1):
+                iou[k, k] = rng.uniform(0.5, 0.95)
+            cost = 1.0 - iou
+        else:  # adversarial dense
+            cost = rng.uniform(0, 1, (T, D)).astype(np.float32)
+        rm = np.arange(T) < nt
+        cm = np.arange(D) < nd
+        r2c, c2r = masked_assignment_pallas_v2(
+            jnp.asarray(cost), jnp.asarray(rm), jnp.asarray(cm), 0.8,
+            n_phases=5, interpret=True,
+        )
+        r2c = np.asarray(r2c)
+        m0, _, _ = linear_assignment_host(cost[:nt, :nd], 0.8)
+        got = {(i, int(r2c[i])) for i in range(T) if r2c[i] >= 0}
+        want = {(int(a), int(b)) for a, b in m0}
+        gc = sum(cost[i, j] for i, j in got)
+        rc = sum(cost[i, j] for i, j in want)
+        assert len(got) == len(want), (case, got, want)
+        # objective optimality within the n*eps_final bound (ties may swap)
+        assert abs(gc - rc) < 1e-2, (case, gc, rc)
+        for i, j in got:
+            assert int(np.asarray(c2r)[j]) == i
+
+
 def test_pallas_auction_batched_interpret():
     """Batched lockstep kernel semantics (interpret mode): same matching
     as the scipy host reference on each problem in the batch."""

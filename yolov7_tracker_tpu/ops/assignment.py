@@ -55,9 +55,9 @@ def solve_assignment(cost, row_mask, col_mask, thresh,
     import jax
 
     if jax.default_backend() == "tpu":
-        from .pallas_auction import masked_assignment_pallas
+        from .pallas_auction import masked_assignment_pallas_v2
 
-        return masked_assignment_pallas(
+        return masked_assignment_pallas_v2(
             cost, row_mask, col_mask, thresh, n_phases=n_phases
         )
     return masked_assignment(
