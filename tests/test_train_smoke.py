@@ -225,6 +225,8 @@ def test_train_cli_multiscale(tiny_dataset, tmp_path):
         "--multi_scale", "--image_weights",
     ])
     assert os.path.isfile(os.path.join(run_dir, "last.msgpack"))
+    # first-epoch train-batch mosaics (plot_images, train.py:388-391)
+    assert os.path.isfile(os.path.join(run_dir, "train_batch0.jpg"))
 
 
 def test_warmup_group_schedules():

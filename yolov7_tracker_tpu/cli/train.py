@@ -140,7 +140,15 @@ def main(argv=None):
         losses = []
         batch_iter = (dataset.quad_batches(max(opts.batch // 4, 1))
                       if opts.quad else dataset.batches(opts.batch))
-        for imgs, tgts, masks in batch_iter:
+        for bi, (imgs, tgts, masks) in enumerate(batch_iter):
+            if epoch == 0 and bi < 3:  # train-batch mosaics
+                from ..utils.logging import plot_train_batch
+
+                plot_train_batch(
+                    imgs, tgts, masks,
+                    os.path.join(run_dir, f"train_batch{bi}.jpg"),
+                    names=data_cfg.get("names", ()),
+                )
             size = scale_rng.choice(scales) if not opts.quad \
                 else imgs.shape[1]
             if size != imgs.shape[1]:

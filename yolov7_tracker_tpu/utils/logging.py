@@ -128,3 +128,49 @@ def plot_confusion_matrix(matrix, out_png: str, names=()):
     fig.savefig(out_png, dpi=200, bbox_inches="tight")
     plt.close(fig)
     return out_png
+
+
+def plot_train_batch(imgs, targets, masks, fname: str, names=(),
+                     max_subplots: int = 16, thickness: int = 2):
+    """Train-batch mosaic with label boxes (utils/plots.py plot_images,
+    called for the first batches at train.py:388-391).
+
+    imgs: (B, H, W, 3) uint8 BGR or float [0, 1];
+    targets: (B, L, 5) [cls, cx, cy, w, h] normalized; masks: (B, L).
+    """
+    import math
+
+    import cv2
+    import numpy as np
+
+    imgs = np.asarray(imgs)
+    if imgs.dtype != np.uint8:
+        imgs = (imgs * 255).clip(0, 255).astype(np.uint8)
+    bs = min(imgs.shape[0], max_subplots)
+    h, w = imgs.shape[1:3]
+    ns = int(math.ceil(bs ** 0.5))
+    mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+    targets = np.asarray(targets)
+    masks = np.asarray(masks)
+    for i in range(bs):
+        r, c = divmod(i, ns)
+        tile = imgs[i].copy()
+        for t in range(targets.shape[1]):
+            if not masks[i, t]:
+                continue
+            cls_id, cx, cy, bw, bh = targets[i, t]
+            x1 = int((cx - bw / 2) * w)
+            y1 = int((cy - bh / 2) * h)
+            x2 = int((cx + bw / 2) * w)
+            y2 = int((cy + bh / 2) * h)
+            color = [int(x) for x in np.random.default_rng(
+                int(cls_id) + 7).integers(60, 255, 3)]
+            cv2.rectangle(tile, (x1, y1), (x2, y2), color, thickness)
+            label = (names[int(cls_id)] if int(cls_id) < len(names)
+                     else str(int(cls_id)))
+            cv2.putText(tile, label, (x1, max(y1 - 3, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1)
+        mosaic[r * h:(r + 1) * h, c * w:(c + 1) * w] = tile
+    os.makedirs(os.path.dirname(os.path.abspath(fname)), exist_ok=True)
+    cv2.imwrite(fname, mosaic)
+    return fname
