@@ -1,0 +1,377 @@
+"""BDD100K / HeadTracking (HT) / PersonPath22 reader goldens vs the
+vendored TrackEval dataset classes (tracker/trackeval/datasets/
+{bdd100k,head_tracking_challenge,person_path_22}.py used as oracles,
+same pattern as test_kitti_reader)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_TE = "/root/reference/tracker"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_TE), reason="reference trackeval not available"
+)
+
+
+def _import_trackeval():
+    for name, val in (("float", np.float64), ("int", np.int_),
+                      ("bool", np.bool_)):
+        if not hasattr(np, name):
+            setattr(np, name, val)
+    import types
+
+    if "pycocotools" not in sys.modules:
+        m = types.ModuleType("pycocotools")
+        m.mask = types.ModuleType("pycocotools.mask")
+        sys.modules["pycocotools"] = m
+        sys.modules["pycocotools.mask"] = m.mask
+    if REF_TE not in sys.path:
+        sys.path.insert(0, REF_TE)
+    import trackeval  # noqa
+
+    return trackeval
+
+
+def _compare_preprocessed(got, want, frames, label=""):
+    assert got["num_gt_ids"] == want["num_gt_ids"], label
+    assert got["num_tracker_ids"] == want["num_tracker_ids"], label
+    assert got["num_gt_dets"] == want["num_gt_dets"], label
+    assert got["num_tracker_dets"] == want["num_tracker_dets"], label
+    for t in range(frames):
+        np.testing.assert_array_equal(
+            got["gt_ids"][t], want["gt_ids"][t], err_msg=f"{label} t{t}")
+        np.testing.assert_array_equal(
+            got["tracker_ids"][t], want["tracker_ids"][t],
+            err_msg=f"{label} t{t}")
+        np.testing.assert_allclose(
+            np.asarray(got["similarity_scores"][t], float),
+            np.asarray(want["similarity_scores"][t], float),
+            atol=1e-12, err_msg=f"{label} t{t}")
+
+
+def _check_metrics(got, want):
+    from trackeval.metrics import CLEAR, HOTA
+
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    want_c = CLEAR({"PRINT_CONFIG": False}).eval_sequence(want)
+    got_c = M.clear(got)
+    for k in ("MOTA", "IDSW", "CLR_FP", "CLR_FN"):
+        np.testing.assert_allclose(got_c[k], want_c[k], err_msg=k)
+    want_h = HOTA().eval_sequence(want)
+    got_h = M.hota(got)
+    np.testing.assert_allclose(got_h["HOTA"], want_h["HOTA"], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# BDD100K
+# ---------------------------------------------------------------------------
+
+BDD_CATS = ["pedestrian", "rider", "car", "bus", "truck", "train",
+            "motorcycle", "bicycle"]
+
+
+def synth_bdd(root, seq="b1c9c847-3bda4659", frames=20, seed=0):
+    """Tiny BDD100K-layout dataset: per-seq gt/tracker jsons with mixed
+    categories, a Crowd-attribute gt box, a distractor-category gt box,
+    and tracker noise/misses/clutter near the ignore region."""
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    n = 8
+    cats = [BDD_CATS[i % len(BDD_CATS)] for i in range(n)]
+    base = rng.uniform(50, 900, (n, 2))
+    vel = rng.uniform(-4, 4, (n, 2))
+    hw = rng.uniform(40, 120, (n, 2))
+
+    gt_frames, trk_frames = [], []
+    for t in range(frames):
+        g_labels, t_labels = [], []
+        for i in range(n):
+            x1, y1 = base[i] + vel[i] * t
+            x2, y2 = x1 + hw[i][0], y1 + hw[i][1]
+            g_labels.append({
+                "id": str(i), "category": cats[i],
+                "box2d": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+                "attributes": {"Crowd": False},
+            })
+            if rng.uniform() < 0.15:
+                continue
+            nx, ny = rng.normal(0, 2.0, 2)
+            t_labels.append({
+                "id": str(100 + i), "category": cats[i],
+                "box2d": {"x1": x1 + nx, "y1": y1 + ny,
+                          "x2": x2 + nx, "y2": y2 + ny},
+            })
+        # crowd-ignore gt region + distractor-category gt
+        g_labels.append({
+            "id": "90", "category": "car",
+            "box2d": {"x1": 1000.0, "y1": 300.0, "x2": 1150.0, "y2": 420.0},
+            "attributes": {"Crowd": True},
+        })
+        g_labels.append({
+            "id": "91", "category": "other vehicle",
+            "box2d": {"x1": 600.0, "y1": 600.0, "x2": 700.0, "y2": 680.0},
+        })
+        if rng.uniform() < 0.5:  # clutter inside the crowd region
+            t_labels.append({
+                "id": "999", "category": "car",
+                "box2d": {"x1": 1010.0, "y1": 310.0, "x2": 1140.0,
+                          "y2": 410.0},
+            })
+        gt_frames.append({"index": t, "labels": g_labels,
+                          "videoName": seq, "name": f"{seq}-{t:07d}.jpg"})
+        trk_frames.append({"index": t, "labels": t_labels,
+                           "videoName": seq, "name": f"{seq}-{t:07d}.jpg"})
+    with open(os.path.join(gt_dir, seq + ".json"), "w") as f:
+        json.dump(gt_frames, f)
+    with open(os.path.join(trk_dir, seq + ".json"), "w") as f:
+        json.dump(trk_frames, f)
+    return seq, frames
+
+
+def test_bdd100k_preproc_golden(tmp_path):
+    _import_trackeval()
+    from trackeval.datasets import BDD100K
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_bdd(root)
+
+    ds = BDD100K({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+
+    raw = R.load_bdd100k_seq(
+        seq,
+        os.path.join(root, "gt", seq + ".json"),
+        os.path.join(root, "trackers", "ours", "data", seq + ".json"),
+    )
+    assert raw.num_timesteps == frames
+    for cls in ("pedestrian", "car", "bicycle", "train"):
+        want = ds.get_preprocessed_seq_data(raw_ref, cls)
+        got = R.preprocess_bdd100k(raw, cls)
+        _compare_preprocessed(got, want, frames, label=f"bdd/{cls}")
+        _check_metrics(got, want)
+
+
+def test_bdd100k_evaluator_end_to_end(tmp_path):
+    from yolov7_tracker_tpu.eval import evaluator
+
+    root = str(tmp_path)
+    seq, frames = synth_bdd(root, seed=1)
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {seq: frames},
+        benchmark="BDD100K",
+        classes=["pedestrian", "car"],
+        gt_loc_format="{gt_folder}/{seq}.json",
+        output_folder=os.path.join(root, "out"),
+    )
+    for cls in ("pedestrian", "car"):
+        res = table[cls]["COMBINED_SEQ"]
+        assert np.isfinite(res["MOTA"])
+        assert res["CLR_TP"] > 0
+
+
+# ---------------------------------------------------------------------------
+# HeadTracking Challenge (HT)
+# ---------------------------------------------------------------------------
+
+
+def synth_ht(root, seq="HT-02", frames=25, seed=0):
+    """Tiny HT-layout dataset: gt with class/visibility/conf columns
+    (some invisible, some distractor-class, some zero-marked), tracker
+    txt with noise/misses."""
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt", seq, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    n = 8
+    cls = [1, 1, 1, 2, 4, 1, 1, 3]      # mixed pedestrian/distractors
+    vis = rng.uniform(0.3, 1.0, n)
+    vis[5] = 0.0                          # invisible pedestrian
+    conf = np.ones(n)
+    conf[6] = 0.0                         # zero-marked pedestrian
+    base = rng.uniform(30, 500, (n, 2))
+    vel = rng.uniform(-2, 2, (n, 2))
+    hw = rng.uniform(15, 40, (n, 2))
+
+    gt_rows, trk_rows = [], []
+    for t in range(1, frames + 1):
+        for i in range(n):
+            x, y = base[i] + vel[i] * t
+            w, h = hw[i]
+            gt_rows.append(
+                f"{t},{i + 1},{x:.2f},{y:.2f},{w:.2f},{h:.2f},"
+                f"{int(conf[i])},{cls[i]},{vis[i]:.3f}")
+            if rng.uniform() < 0.12:
+                continue
+            nx, ny = rng.normal(0, 1.0, 2)
+            trk_rows.append(
+                f"{t},{50 + i},{x + nx:.2f},{y + ny:.2f},{w:.2f},{h:.2f},"
+                f"{rng.uniform(0.5, 1.0):.3f},-1,-1")
+    with open(os.path.join(gt_dir, "gt.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    with open(os.path.join(root, "gt", seq, "seqinfo.ini"), "w") as f:
+        f.write(f"[Sequence]\nname={seq}\nseqLength={frames}\n")
+    with open(os.path.join(trk_dir, seq + ".txt"), "w") as f:
+        f.write("\n".join(trk_rows) + "\n")
+    return seq, frames
+
+
+def test_ht_preproc_golden(tmp_path):
+    _import_trackeval()
+    from trackeval.datasets import HeadTrackingChallenge
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_ht(root)
+
+    ds = HeadTrackingChallenge({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "BENCHMARK": "HT",
+        "SEQ_INFO": {seq: frames},
+        "SKIP_SPLIT_FOL": True,
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+    want = ds.get_preprocessed_seq_data(raw_ref, "pedestrian")
+
+    raw = R.load_ht_seq(
+        seq,
+        os.path.join(root, "gt", seq, "gt", "gt.txt"),
+        os.path.join(root, "trackers", "ours", "data", seq + ".txt"),
+        frames,
+    )
+    got = R.preprocess_ht(raw, "pedestrian")
+    _compare_preprocessed(got, want, frames, label="ht")
+    _check_metrics(got, want)
+
+
+def test_ht_evaluator_end_to_end(tmp_path):
+    from yolov7_tracker_tpu.eval import evaluator
+
+    root = str(tmp_path)
+    seq, frames = synth_ht(root, seed=1)
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {seq: frames},
+        benchmark="HT",
+        output_folder=os.path.join(root, "out"),
+    )
+    res = table["pedestrian"]["COMBINED_SEQ"]
+    assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0
+
+
+# ---------------------------------------------------------------------------
+# PersonPath22
+# ---------------------------------------------------------------------------
+
+
+def synth_pp22(root, seq="uid_vid_00008", frames=25, seed=0):
+    """Tiny PersonPath22-layout dataset: MOT txt gt with crowd (class
+    13) ignore rows, distractor classes, zero-marked rows; tracker txt
+    with noise/misses and clutter fully inside the crowd region."""
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt", seq, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    n = 8
+    cls = [1, 1, 1, 7, 8, 1, 1, 12]     # peds + distractors
+    conf = np.ones(n)
+    conf[6] = 0.0                         # zero-marked
+    base = rng.uniform(30, 700, (n, 2))
+    vel = rng.uniform(-3, 3, (n, 2))
+    hw = rng.uniform(25, 70, (n, 2))
+
+    gt_rows, trk_rows = [], []
+    for t in range(1, frames + 1):
+        for i in range(n):
+            x, y = base[i] + vel[i] * t
+            w, h = hw[i]
+            gt_rows.append(
+                f"{t},{i + 1},{x:.2f},{y:.2f},{w:.2f},{h:.2f},"
+                f"{int(conf[i])},{cls[i]},1")
+            if rng.uniform() < 0.12:
+                continue
+            nx, ny = rng.normal(0, 1.5, 2)
+            trk_rows.append(
+                f"{t},{50 + i},{x + nx:.2f},{y + ny:.2f},{w:.2f},{h:.2f},"
+                f"{rng.uniform(0.5, 1.0):.3f},-1,-1")
+        # crowd ignore region (class 13) + clutter fully inside it
+        gt_rows.append(f"{t},900,800.00,500.00,150.00,120.00,1,13,1")
+        if rng.uniform() < 0.5:
+            trk_rows.append(
+                f"{t},99,810.00,510.00,100.00,90.00,0.9,-1,-1")
+    with open(os.path.join(gt_dir, "gt.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    with open(os.path.join(root, "gt", seq, "seqinfo.ini"), "w") as f:
+        f.write(f"[Sequence]\nname={seq}\nseqLength={frames}\n")
+    with open(os.path.join(trk_dir, seq + ".txt"), "w") as f:
+        f.write("\n".join(trk_rows) + "\n")
+    return seq, frames
+
+
+def test_pp22_preproc_golden(tmp_path):
+    _import_trackeval()
+    from trackeval.datasets import PersonPath22
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_pp22(root)
+
+    ds = PersonPath22({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SEQ_INFO": {seq: frames},
+        "SKIP_SPLIT_FOL": True,
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+    want = ds.get_preprocessed_seq_data(raw_ref, "pedestrian")
+
+    raw = R.load_personpath_seq(
+        seq,
+        os.path.join(root, "gt", seq, "gt", "gt.txt"),
+        os.path.join(root, "trackers", "ours", "data", seq + ".txt"),
+        frames,
+    )
+    got = R.preprocess_personpath(raw, "pedestrian")
+    _compare_preprocessed(got, want, frames, label="pp22")
+    _check_metrics(got, want)
+
+
+def test_pp22_evaluator_end_to_end(tmp_path):
+    from yolov7_tracker_tpu.eval import evaluator
+
+    root = str(tmp_path)
+    seq, frames = synth_pp22(root, seed=1)
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {seq: frames},
+        benchmark="PersonPath22",
+        output_folder=os.path.join(root, "out"),
+    )
+    res = table["pedestrian"]["COMBINED_SEQ"]
+    assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0

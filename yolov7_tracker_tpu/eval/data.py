@@ -60,6 +60,30 @@ BENCHMARKS = {
         "eval_classes": ["car", "pedestrian"],
         "distractors": [],
     },
+    # the following use their own readers in eval/readers.py; entries
+    # here supply eval_classes for the evaluator dispatch
+    "BDD100K": {
+        "classes": {
+            "pedestrian": 1, "rider": 2, "other person": 3, "car": 4,
+            "bus": 5, "truck": 6, "train": 7, "trailer": 8,
+            "other vehicle": 9, "motorcycle": 10, "bicycle": 11,
+        },
+        "eval_classes": ["pedestrian", "rider", "car", "bus", "truck",
+                         "train", "motorcycle", "bicycle"],
+        "distractors": ["other person", "trailer", "other vehicle"],
+    },
+    "HT": {
+        "classes": {"pedestrian": 1, "static": 2, "ignore": 3,
+                    "person_on_vehicle": 4},
+        "eval_classes": ["pedestrian"],
+        "distractors": ["static", "ignore", "person_on_vehicle"],
+    },
+    "PersonPath22": {
+        "classes": MOT_CLASSES,
+        "eval_classes": ["pedestrian"],
+        "distractors": ["person_on_vehicle", "static_person", "distractor",
+                        "reflection"],
+    },
 }
 
 

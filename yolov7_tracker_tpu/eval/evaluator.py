@@ -36,6 +36,22 @@ METRIC_FNS = {
 DEFAULT_METRICS = ("hota", "clear", "identity", "count")
 
 
+def _reader_registry():
+    """Benchmark -> (loader, per-class preprocessor) for benchmarks with
+    their own file formats; MOT/VisDrone use the default MOT-txt path."""
+    from . import readers as R
+
+    return {
+        "KITTI": (D.load_kitti_seq, D.preprocess_kitti),
+        "BDD100K": (R.load_bdd100k_seq, R.preprocess_bdd100k),
+        "HT": (R.load_ht_seq, R.preprocess_ht),
+        "PersonPath22": (R.load_personpath_seq, R.preprocess_personpath),
+    }
+
+
+_READERS = _reader_registry()
+
+
 def _empty_result(metric_names: Sequence[str] = DEFAULT_METRICS):
     """All-zero metric dict used when a sequence errors out."""
     empty = {
@@ -55,14 +71,14 @@ def eval_sequence(seq: str, gt_path: str, result_path: str,
                   classes: Sequence[str],
                   metric_names: Sequence[str] = DEFAULT_METRICS,
                   ) -> Dict[str, Dict]:
-    kitti = benchmark == "KITTI"
-    if kitti:
-        raw = D.load_kitti_seq(seq, gt_path, result_path, num_timesteps)
+    load, pre_fn = _READERS.get(benchmark, (None, None))
+    if load is not None:
+        raw = load(seq, gt_path, result_path, num_timesteps)
     else:
         raw = D.load_raw_seq(seq, gt_path, result_path, num_timesteps)
     out = {}
     for cls in classes:
-        pre = (D.preprocess_kitti(raw, cls) if kitti
+        pre = (pre_fn(raw, cls) if pre_fn is not None
                else D.preprocess_sequence(raw, benchmark, cls))
         res = {}
         for name in metric_names:
@@ -81,23 +97,28 @@ def evaluate_benchmark(
     num_parallel: int = 0,
     output_folder: Optional[str] = None,
     metric_names: Sequence[str] = DEFAULT_METRICS,
+    result_ext: Optional[str] = None,
 ):
-    """Evaluate result txts against gt.
+    """Evaluate result files against gt.
 
     Args:
       seqs: {seq_name: num_timesteps}.
       num_parallel: >1 enables a process pool over sequences
         (trackeval eval.py:82-103).
+      result_ext: result-file extension; default ".txt" except for
+        json-format benchmarks (BDD100K).
 
     Returns {cls: {seq: res, 'COMBINED_SEQ': res}} plus a class-averaged
     summary under 'cls_comb_cls_av' when multiple classes.
     """
     classes = list(classes or D.BENCHMARKS[benchmark]["eval_classes"])
+    if result_ext is None:
+        result_ext = ".json" if benchmark == "BDD100K" else ".txt"
     jobs = [
         (
             seq,
             gt_loc_format.format(gt_folder=gt_folder, seq=seq),
-            os.path.join(results_folder, seq + ".txt"),
+            os.path.join(results_folder, seq + result_ext),
             n,
             benchmark,
             classes,

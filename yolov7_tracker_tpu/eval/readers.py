@@ -1,0 +1,418 @@
+"""Additional TrackEval benchmark readers: BDD100K, Head Tracking
+Challenge (HT), PersonPath22.
+
+Each reader mirrors the corresponding vendored-TrackEval dataset class
+(tracker/trackeval/datasets/{bdd100k,head_tracking_challenge,
+person_path_22}.py) in a load + per-class-preprocess pair, the same
+shape as `eval.data` uses for MOT/VisDrone/KITTI. Outputs are the
+metric-input dicts that `eval.metrics` consumes. Golden-tested against
+the vendored TrackEval on synthetic fixtures (tests/test_readers.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from .data import (EPS, MOT_CLASSES, iou_tlwh, load_raw_seq,
+                   seq_length_from_seqinfo)
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def iou_xyxy_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of x0y0x1y1 boxes (trackeval _calculate_box_ious,
+    box_format='x0y0x1y1')."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    iw = np.maximum(
+        0, np.minimum(a[:, None, 2], b[None, :, 2])
+        - np.maximum(a[:, None, 0], b[None, :, 0]))
+    ih = np.maximum(
+        0, np.minimum(a[:, None, 3], b[None, :, 3])
+        - np.maximum(a[:, None, 1], b[None, :, 1]))
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = np.maximum(area_a[:, None] + area_b[None, :] - inter, EPS)
+    return inter / union
+
+
+def ioa_boxes(a: np.ndarray, b: np.ndarray, fmt: str) -> np.ndarray:
+    """Intersection over area-of-a (trackeval do_ioa=True)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    if fmt == "xywh":
+        a = np.concatenate([a[:, :2], a[:, :2] + a[:, 2:4]], axis=1)
+        b = np.concatenate([b[:, :2], b[:, :2] + b[:, 2:4]], axis=1)
+    iw = np.maximum(
+        0, np.minimum(a[:, None, 2], b[None, :, 2])
+        - np.maximum(a[:, None, 0], b[None, :, 0]))
+    ih = np.maximum(
+        0, np.minimum(a[:, None, 3], b[None, :, 3])
+        - np.maximum(a[:, None, 1], b[None, :, 1]))
+    inter = iw * ih
+    area_a = np.maximum((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]), EPS)
+    return inter / area_a[:, None]
+
+
+def _relabel(out: Dict, num_timesteps: int) -> Dict:
+    """Contiguous id relabeling + overview stats (trackeval tail of every
+    get_preprocessed_seq_data)."""
+    uniq_gt, uniq_trk = set(), set()
+    n_gt = n_trk = 0
+    for t in range(num_timesteps):
+        uniq_gt.update(np.asarray(out["gt_ids"][t]).tolist())
+        uniq_trk.update(np.asarray(out["tracker_ids"][t]).tolist())
+        n_gt += len(out["gt_ids"][t])
+        n_trk += len(out["tracker_ids"][t])
+    gmap = {v: i for i, v in enumerate(sorted(uniq_gt))}
+    tmap = {v: i for i, v in enumerate(sorted(uniq_trk))}
+    for t in range(num_timesteps):
+        out["gt_ids"][t] = np.asarray(
+            [gmap[v] for v in out["gt_ids"][t]], int)
+        out["tracker_ids"][t] = np.asarray(
+            [tmap[v] for v in out["tracker_ids"][t]], int)
+    out.update(num_timesteps=num_timesteps, num_gt_ids=len(gmap),
+               num_tracker_ids=len(tmap), num_gt_dets=n_gt,
+               num_tracker_dets=n_trk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BDD100K (trackeval/datasets/bdd100k.py)
+# ---------------------------------------------------------------------------
+
+BDD_CLASSES = {
+    "pedestrian": 1, "rider": 2, "other person": 3, "car": 4, "bus": 5,
+    "truck": 6, "train": 7, "trailer": 8, "other vehicle": 9,
+    "motorcycle": 10, "bicycle": 11,
+}
+BDD_EVAL_CLASSES = ["pedestrian", "rider", "car", "bus", "truck", "train",
+                    "motorcycle", "bicycle"]
+BDD_DISTRACTORS = ["other person", "trailer", "other vehicle"]
+# reference super-category roll-up (bdd100k.py:60-62)
+BDD_SUPER_CATEGORIES = {
+    "HUMAN": ["pedestrian", "rider"],
+    "VEHICLE": ["car", "truck", "bus", "train"],
+    "BIKE": ["motorcycle", "bicycle"],
+}
+
+
+@dataclass
+class BddRawSeq:
+    seq: str
+    num_timesteps: int
+    gt_ids: List[np.ndarray]
+    gt_dets: List[np.ndarray]           # x0y0x1y1
+    gt_classes: List[np.ndarray]
+    gt_crowd_ignore: List[np.ndarray]   # x0y0x1y1
+    tracker_ids: List[np.ndarray]
+    tracker_dets: List[np.ndarray]      # x0y0x1y1
+    tracker_classes: List[np.ndarray]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def _bdd_parse(path: str, is_gt: bool):
+    """One BDD100K per-sequence json -> per-frame arrays
+    (bdd100k.py:103-182: frames sorted by 'index'; gt labels of a
+    distractor category or with the Crowd attribute become crowd-ignore
+    regions)."""
+    with open(path) as f:
+        frames = sorted(json.load(f), key=lambda x: x["index"])
+    ids, dets, classes, ignores = [], [], [], []
+    for fr in frames:
+        keep, ign = [], []
+        for ann in fr.get("labels", []):
+            if is_gt and (ann["category"] in BDD_DISTRACTORS
+                          or ann.get("attributes", {}).get("Crowd")):
+                ign.append(ann)
+            else:
+                keep.append(ann)
+        def box(a):
+            b = a["box2d"]
+            return [b["x1"], b["y1"], b["x2"], b["y2"]]
+        dets.append(np.asarray([box(a) for a in keep], float).reshape(-1, 4))
+        ids.append(np.asarray([a["id"] for a in keep], float).astype(int))
+        classes.append(np.asarray(
+            [BDD_CLASSES[a["category"]] for a in keep], int))
+        ignores.append(np.asarray(
+            [box(a) for a in ign], float).reshape(-1, 4))
+    return ids, dets, classes, ignores
+
+
+def load_bdd100k_seq(seq: str, gt_path: str, result_path: str,
+                     num_timesteps: int = 0) -> BddRawSeq:
+    g_ids, g_dets, g_cls, g_ign = _bdd_parse(gt_path, True)
+    t_ids, t_dets, t_cls, _ = _bdd_parse(result_path, False)
+    n = len(g_ids)
+    if len(t_ids) != n:
+        raise ValueError(
+            f"gt/tracker timestep mismatch for {seq}: {n} vs {len(t_ids)}")
+    sim = [iou_xyxy_raw(g, t) for g, t in zip(g_dets, t_dets)]
+    return BddRawSeq(seq=seq, num_timesteps=n, gt_ids=g_ids, gt_dets=g_dets,
+                     gt_classes=g_cls, gt_crowd_ignore=g_ign,
+                     tracker_ids=t_ids, tracker_dets=t_dets,
+                     tracker_classes=t_cls, similarity=sim)
+
+
+def preprocess_bdd100k(raw: BddRawSeq, cls: str) -> Dict:
+    """bdd100k.py:185-297: class masks both sides, Hungarian match at
+    0.5, unmatched tracker dets >50% inside a crowd-ignore region
+    removed; no gt removal."""
+    cls_id = BDD_CLASSES[cls]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "similarity_scores": []}
+    for t in range(raw.num_timesteps):
+        gm = raw.gt_classes[t] == cls_id
+        tm = raw.tracker_classes[t] == cls_id
+        gt_ids, gt_dets = raw.gt_ids[t][gm], raw.gt_dets[t][gm]
+        trk_ids, trk_dets = raw.tracker_ids[t][tm], raw.tracker_dets[t][tm]
+        sim = raw.similarity[t][gm][:, tm]
+
+        unmatched = np.arange(len(trk_ids))
+        if len(gt_ids) and len(trk_ids):
+            scores = sim.copy()
+            scores[scores < 0.5 - EPS] = 0
+            rows, cols = linear_sum_assignment(-scores)
+            ok = scores[rows, cols] > EPS
+            unmatched = np.delete(unmatched, cols[ok], axis=0)
+        ioa = ioa_boxes(trk_dets[unmatched], raw.gt_crowd_ignore[t],
+                        fmt="x0y0x1y1")
+        in_crowd = np.any(ioa > 0.5 + EPS, axis=1)
+        to_remove = unmatched[in_crowd]
+
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(np.delete(trk_dets, to_remove, axis=0))
+        out["similarity_scores"].append(np.delete(sim, to_remove, axis=1))
+        out["gt_ids"].append(gt_ids)
+        out["gt_dets"].append(gt_dets)
+    out = _relabel(out, raw.num_timesteps)
+    out.update(seq=raw.seq, cls=cls)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Head Tracking Challenge (trackeval/datasets/head_tracking_challenge.py,
+# benchmark 'HT')
+# ---------------------------------------------------------------------------
+
+HT_CLASSES = {"pedestrian": 1, "static": 2, "ignore": 3,
+              "person_on_vehicle": 4}
+HT_DISTRACTORS = ["static", "ignore", "person_on_vehicle"]
+
+
+@dataclass
+class HtRawSeq:
+    seq: str
+    num_timesteps: int
+    gt_ids: List[np.ndarray]
+    gt_dets: List[np.ndarray]           # tlwh
+    gt_classes: List[np.ndarray]
+    gt_zero_marked: List[np.ndarray]
+    gt_conf: List[np.ndarray]
+    gt_visibility: List[np.ndarray]
+    tracker_ids: List[np.ndarray]
+    tracker_dets: List[np.ndarray]      # tlwh
+    tracker_confidences: List[np.ndarray]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def _read_ht_gt(path: str, num_timesteps: int):
+    """HT gt rows: frame,id,x,y,w,h,conf,class,visibility
+    (head_tracking_challenge.py:225-266: zero_marked=int(col6),
+    gt_conf=float(col6), visibility=col8)."""
+    per_frame: Dict[int, List[List[float]]] = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.replace(";", ",").split(",")
+                if len(parts) < 9:
+                    parts = line.split()
+                if len(parts) < 9:
+                    continue
+                row = [float(x) for x in parts[:9]]
+                per_frame.setdefault(int(row[0]), []).append(row)
+    ids, dets, classes, zero, conf, vis = [], [], [], [], [], []
+    for t in range(1, num_timesteps + 1):
+        rows = np.asarray(per_frame.get(t, []), np.float64).reshape(-1, 9)
+        ids.append(rows[:, 1].astype(int))
+        dets.append(rows[:, 2:6])
+        zero.append(rows[:, 6].astype(int))
+        conf.append(rows[:, 6].astype(float))
+        classes.append(rows[:, 7].astype(int))
+        vis.append(rows[:, 8].astype(float))
+    return ids, dets, classes, zero, conf, vis
+
+
+def load_ht_seq(seq: str, gt_path: str, result_path: str,
+                num_timesteps: int) -> HtRawSeq:
+    g_ids, g_dets, g_cls, g_zero, g_conf, g_vis = _read_ht_gt(
+        gt_path, num_timesteps)
+    mot = load_raw_seq(seq, os.devnull, result_path, num_timesteps)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, mot.tracker_dets)]
+    return HtRawSeq(
+        seq=seq, num_timesteps=num_timesteps, gt_ids=g_ids, gt_dets=g_dets,
+        gt_classes=g_cls, gt_zero_marked=g_zero, gt_conf=g_conf,
+        gt_visibility=g_vis, tracker_ids=mot.tracker_ids,
+        tracker_dets=mot.tracker_dets,
+        tracker_confidences=mot.tracker_confidences, similarity=sim)
+
+
+def preprocess_ht(raw: HtRawSeq, cls: str = "pedestrian") -> Dict:
+    """head_tracking_challenge.py:294-442: Hungarian match at 0.4;
+    tracker dets matched to non-pedestrian OR invisible gt removed
+    (the reference's 3-arg np.logical_or uses its third argument as the
+    `out` buffer, so the low-confidence term does NOT join the OR —
+    reproduced bug-for-bug); gt kept iff zero_marked!=0 & class==cls &
+    visibility>0 & conf>0."""
+    cls_id = HT_CLASSES[cls]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "tracker_confidences": [],
+           "similarity_scores": []}
+    for t in range(raw.num_timesteps):
+        gt_ids, gt_dets = raw.gt_ids[t], raw.gt_dets[t]
+        gt_classes, vis = raw.gt_classes[t], raw.gt_visibility[t]
+        gt_conf, zero = raw.gt_conf[t], raw.gt_zero_marked[t]
+        trk_ids, trk_dets = raw.tracker_ids[t], raw.tracker_dets[t]
+        trk_conf = raw.tracker_confidences[t]
+        sim = raw.similarity[t]
+
+        to_remove = np.array([], int)
+        if len(gt_ids) and len(trk_ids):
+            scores = sim.copy()
+            scores[scores < 0.4 - EPS] = 0
+            rows, cols = linear_sum_assignment(-scores)
+            ok = scores[rows, cols] > EPS
+            rows, cols = rows[ok], cols[ok]
+            is_distractor = np.logical_not(np.isin(gt_classes[rows], cls_id))
+            is_invisible = vis[rows] < EPS
+            to_remove = cols[is_invisible | is_distractor]
+
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(np.delete(trk_dets, to_remove, axis=0))
+        out["tracker_confidences"].append(
+            np.delete(trk_conf, to_remove, axis=0))
+        sim = np.delete(sim, to_remove, axis=1)
+
+        keep = (zero != 0) & (gt_classes == cls_id) & (vis > 0.0) \
+            & (gt_conf > 0.0)
+        out["gt_ids"].append(gt_ids[keep])
+        out["gt_dets"].append(gt_dets[keep])
+        out["similarity_scores"].append(sim[keep])
+    out = _relabel(out, raw.num_timesteps)
+    out.update(seq=raw.seq, cls=cls)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PersonPath22 (trackeval/datasets/person_path_22.py)
+# ---------------------------------------------------------------------------
+
+PP22_DISTRACTORS = ["person_on_vehicle", "static_person", "distractor",
+                    "reflection"]
+
+
+@dataclass
+class Pp22RawSeq:
+    seq: str
+    num_timesteps: int
+    gt_ids: List[np.ndarray]
+    gt_dets: List[np.ndarray]           # tlwh
+    gt_classes: List[np.ndarray]
+    gt_zero_marked: List[np.ndarray]
+    gt_crowd_ignore: List[np.ndarray]   # tlwh
+    tracker_ids: List[np.ndarray]
+    tracker_dets: List[np.ndarray]
+    tracker_confidences: List[np.ndarray]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def load_personpath_seq(seq: str, gt_path: str, result_path: str,
+                        num_timesteps: int) -> Pp22RawSeq:
+    """person_path_22.py:174-290: MOT txt where gt rows of class 13
+    (crowd) split off as crowd-ignore regions."""
+    per_frame: Dict[int, List[List[float]]] = {}
+    ign_frame: Dict[int, List[List[float]]] = {}
+    if os.path.isfile(gt_path):
+        with open(gt_path) as f:
+            for line in f:
+                parts = line.replace(";", ",").split(",")
+                if len(parts) < 8:
+                    parts = line.split()
+                if len(parts) < 8:
+                    continue
+                row = [float(x) for x in parts[:9]] \
+                    + [0.0] * max(0, 9 - len(parts))
+                dst = (ign_frame if int(row[7]) == 13 else per_frame)
+                dst.setdefault(int(row[0]), []).append(row)
+    g_ids, g_dets, g_cls, g_zero, g_ign = [], [], [], [], []
+    for t in range(1, num_timesteps + 1):
+        rows = np.asarray(per_frame.get(t, []), np.float64).reshape(-1, 9)
+        g_ids.append(rows[:, 1].astype(int))
+        g_dets.append(rows[:, 2:6])
+        g_cls.append(rows[:, 7].astype(int))
+        g_zero.append(rows[:, 6].astype(int))
+        irows = np.asarray(ign_frame.get(t, []), np.float64).reshape(-1, 9)
+        g_ign.append(irows[:, 2:6])
+    mot = load_raw_seq(seq, os.devnull, result_path, num_timesteps)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, mot.tracker_dets)]
+    return Pp22RawSeq(
+        seq=seq, num_timesteps=num_timesteps, gt_ids=g_ids, gt_dets=g_dets,
+        gt_classes=g_cls, gt_zero_marked=g_zero, gt_crowd_ignore=g_ign,
+        tracker_ids=mot.tracker_ids, tracker_dets=mot.tracker_dets,
+        tracker_confidences=mot.tracker_confidences, similarity=sim)
+
+
+def preprocess_personpath(raw: Pp22RawSeq, cls: str = "pedestrian") -> Dict:
+    """person_path_22.py:293-448: Hungarian at 0.5, distractor-matched
+    tracker dets removed, plus ANY tracker det >95% inside a crowd-ignore
+    region (not just unmatched ones); gt kept iff zero_marked!=0 &
+    class==pedestrian."""
+    cls_id = MOT_CLASSES[cls]
+    distractors = [MOT_CLASSES[d] for d in PP22_DISTRACTORS]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "tracker_confidences": [],
+           "similarity_scores": []}
+    for t in range(raw.num_timesteps):
+        gt_ids, gt_dets = raw.gt_ids[t], raw.gt_dets[t]
+        gt_classes, zero = raw.gt_classes[t], raw.gt_zero_marked[t]
+        ignore = raw.gt_crowd_ignore[t]
+        trk_ids, trk_dets = raw.tracker_ids[t], raw.tracker_dets[t]
+        trk_conf = raw.tracker_confidences[t]
+        sim = raw.similarity[t]
+
+        to_remove = np.array([], int)
+        if (len(gt_ids) or len(ignore)) and len(trk_ids):
+            scores = sim.copy()
+            scores[scores < 0.5 - EPS] = 0
+            rows, cols = linear_sum_assignment(-scores)
+            ok = scores[rows, cols] > EPS
+            rows, cols = rows[ok], cols[ok]
+            is_distractor = np.isin(gt_classes[rows], distractors)
+            to_remove = cols[is_distractor]
+            ioa = ioa_boxes(trk_dets, ignore, fmt="xywh")
+            in_crowd = np.any(ioa > 0.95 + EPS, axis=1)
+            to_remove = np.unique(np.concatenate(
+                [to_remove, np.where(in_crowd)[0]]))
+
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(np.delete(trk_dets, to_remove, axis=0))
+        out["tracker_confidences"].append(
+            np.delete(trk_conf, to_remove, axis=0))
+        sim = np.delete(sim, to_remove, axis=1)
+
+        keep = (zero != 0) & (gt_classes == cls_id)
+        out["gt_ids"].append(gt_ids[keep])
+        out["gt_dets"].append(gt_dets[keep])
+        out["similarity_scores"].append(sim[keep])
+    out = _relabel(out, raw.num_timesteps)
+    out.update(seq=raw.seq, cls=cls)
+    return out
