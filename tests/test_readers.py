@@ -375,3 +375,177 @@ def test_pp22_evaluator_end_to_end(tmp_path):
     )
     res = table["pedestrian"]["COMBINED_SEQ"]
     assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0
+
+
+# ---------------------------------------------------------------------------
+# MOTS Challenge / KITTI MOTS
+# ---------------------------------------------------------------------------
+
+
+def _install_pycoco_shim():
+    """Back the pycocotools stub with our RLE codec so the vendored MOTS
+    readers can run as logic oracles. The codec itself is validated
+    independently in tests/test_rle.py (hand-derived strings + dense
+    round-trips), so this tests the reader flow, not codec-vs-codec."""
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    _import_trackeval()
+    m = sys.modules["pycocotools.mask"]
+    m.merge = RL.merge
+    m.area = RL.area
+    m.iou = RL.iou
+    m.encode = None  # not used by the MOTS readers (is_encoded=True)
+    m.decode = RL.decode
+
+
+def _rect_mask(h, w, y0, y1, x0, x1):
+    mask = np.zeros((h, w), np.uint8)
+    mask[max(0, int(y0)):max(0, int(y1)), max(0, int(x0)):max(0, int(x1))] = 1
+    return mask
+
+
+def synth_mots(root, seq="MOTS20-02", frames=20, seed=0,
+               classes=(2, 2, 2, 2, 1, 1), frame_base=1):
+    """Tiny MOTS-layout dataset: disjoint rectangle masks per object
+    (the reference raises on overlapping masks), an ignore region
+    (class 10), tracker masks with jitter/misses and clutter inside the
+    ignore region."""
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt", seq, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    H, W = 120, 400
+    n = len(classes)
+    # disjoint x-lanes per object; ignore region in the last lane
+    lanes = np.linspace(0, W - 50, n + 1)
+    gt_rows, trk_rows = [], []
+    for t in range(frame_base, frames + frame_base):
+        for i in range(n):
+            y0 = 10 + 3 * np.sin(t / 3 + i)
+            x0 = lanes[i] + (t % 5)
+            m = _rect_mask(H, W, y0, y0 + 40, x0, x0 + 30)
+            enc = RL.encode(m)["counts"].decode()
+            gt_rows.append(f"{t} {1000 * classes[i] + i} {classes[i]} "
+                           f"{H} {W} {enc}")
+            if rng.uniform() < 0.15:
+                continue
+            dy, dx = rng.integers(-3, 4, 2)
+            m2 = _rect_mask(H, W, y0 + dy, y0 + 40 + dy, x0 + dx,
+                            x0 + 28 + dx)
+            enc2 = RL.encode(m2)["counts"].decode()
+            trk_rows.append(f"{t} {50 + i} {classes[i]} {H} {W} {enc2}")
+        # ignore region (class 10) + clutter mostly inside it
+        mi = _rect_mask(H, W, 60, 110, lanes[-1], lanes[-1] + 45)
+        gt_rows.append(f"{t} 10000 10 {H} {W} "
+                       f"{RL.encode(mi)['counts'].decode()}")
+        if rng.uniform() < 0.5:
+            mc = _rect_mask(H, W, 65, 100, lanes[-1] + 5, lanes[-1] + 40)
+            trk_rows.append(f"{t} 99 2 {H} {W} "
+                            f"{RL.encode(mc)['counts'].decode()}")
+    with open(os.path.join(gt_dir, "gt.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    with open(os.path.join(root, "gt", seq, "seqinfo.ini"), "w") as f:
+        f.write(f"[Sequence]\nname={seq}\nseqLength={frames}\n")
+    with open(os.path.join(trk_dir, seq + ".txt"), "w") as f:
+        f.write("\n".join(trk_rows) + "\n")
+    return seq, frames
+
+
+def _compare_mots(got, want, frames, label=""):
+    assert got["num_gt_ids"] == want["num_gt_ids"], label
+    assert got["num_tracker_ids"] == want["num_tracker_ids"], label
+    assert got["num_gt_dets"] == want["num_gt_dets"], label
+    assert got["num_tracker_dets"] == want["num_tracker_dets"], label
+    for t in range(frames):
+        np.testing.assert_array_equal(
+            got["gt_ids"][t], want["gt_ids"][t], err_msg=f"{label} t{t}")
+        np.testing.assert_array_equal(
+            got["tracker_ids"][t], want["tracker_ids"][t],
+            err_msg=f"{label} t{t}")
+        np.testing.assert_allclose(
+            np.asarray(got["similarity_scores"][t], float),
+            np.asarray(want["similarity_scores"][t], float),
+            atol=1e-12, err_msg=f"{label} t{t}")
+
+
+def test_mots_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from trackeval.datasets import MOTSChallenge
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_mots(root, classes=(2, 2, 2, 2, 2, 2))
+
+    ds = MOTSChallenge({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SEQ_INFO": {seq: frames},
+        "SKIP_SPLIT_FOL": True,
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+    want = ds.get_preprocessed_seq_data(raw_ref, "pedestrian")
+
+    raw = R.load_mots_seq(
+        seq,
+        os.path.join(root, "gt", seq, "gt", "gt.txt"),
+        os.path.join(root, "trackers", "ours", "data", seq + ".txt"),
+        frames,
+    )
+    got = R.preprocess_mots(raw, "pedestrian")
+    _compare_mots(got, want, frames, label="mots")
+    _check_metrics(got, want)
+
+
+def test_kitti_mots_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from trackeval.datasets import KittiMOTS
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_mots(root, seq="0002", seed=2,
+                             classes=(1, 1, 1, 2, 2, 2), frame_base=0)
+
+    ds = KittiMOTS({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SEQ_INFO": {seq: frames},
+        "SKIP_SPLIT_FOL": True,
+        "PRINT_CONFIG": False,
+        "GT_LOC_FORMAT": "{gt_folder}/{seq}/gt/gt.txt",
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+
+    raw = R.load_kitti_mots_seq(
+        seq,
+        os.path.join(root, "gt", seq, "gt", "gt.txt"),
+        os.path.join(root, "trackers", "ours", "data", seq + ".txt"),
+        frames,
+    )
+    for cls in ("car", "pedestrian"):
+        want = ds.get_preprocessed_seq_data(raw_ref, cls)
+        got = R.preprocess_kitti_mots(raw, cls)
+        _compare_mots(got, want, frames, label=f"kitti_mots/{cls}")
+        _check_metrics(got, want)
+
+
+def test_mots_evaluator_end_to_end(tmp_path):
+    from yolov7_tracker_tpu.eval import evaluator
+
+    root = str(tmp_path)
+    seq, frames = synth_mots(root, seed=3, classes=(2, 2, 2, 2, 2, 2))
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {seq: frames},
+        benchmark="MOTS",
+        output_folder=os.path.join(root, "out"),
+    )
+    res = table["pedestrian"]["COMBINED_SEQ"]
+    assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0

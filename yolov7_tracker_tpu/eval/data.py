@@ -84,6 +84,16 @@ BENCHMARKS = {
         "distractors": ["person_on_vehicle", "static_person", "distractor",
                         "reflection"],
     },
+    "MOTS": {
+        "classes": {"pedestrian": 2, "ignore": 10},
+        "eval_classes": ["pedestrian"],
+        "distractors": [],
+    },
+    "KittiMOTS": {
+        "classes": {"car": 1, "pedestrian": 2, "ignore": 10},
+        "eval_classes": ["car", "pedestrian"],
+        "distractors": [],
+    },
 }
 
 

@@ -46,6 +46,8 @@ def _reader_registry():
         "BDD100K": (R.load_bdd100k_seq, R.preprocess_bdd100k),
         "HT": (R.load_ht_seq, R.preprocess_ht),
         "PersonPath22": (R.load_personpath_seq, R.preprocess_personpath),
+        "MOTS": (R.load_mots_seq, R.preprocess_mots),
+        "KittiMOTS": (R.load_kitti_mots_seq, R.preprocess_kitti_mots),
     }
 
 

@@ -416,3 +416,132 @@ def preprocess_personpath(raw: Pp22RawSeq, cls: str = "pedestrian") -> Dict:
     out = _relabel(out, raw.num_timesteps)
     out.update(seq=raw.seq, cls=cls)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MOTS Challenge / KITTI MOTS (trackeval/datasets/{mots_challenge,
+# kitti_mots}.py) — mask tracking on COCO-RLE annotations
+# ---------------------------------------------------------------------------
+
+MOTS_CLASSES = {"pedestrian": 2, "ignore": 10}
+KITTI_MOTS_CLASSES = {"car": 1, "pedestrian": 2, "ignore": 10}
+
+
+@dataclass
+class MotsRawSeq:
+    seq: str
+    num_timesteps: int
+    gt_ids: List[np.ndarray]
+    gt_classes: List[np.ndarray]
+    gt_dets: List[list]                # list of RLE dicts per timestep
+    gt_ignore_region: List[dict]       # one merged RLE per timestep
+    tracker_ids: List[np.ndarray]
+    tracker_classes: List[np.ndarray]
+    tracker_dets: List[list]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def _read_mots_txt(path: str, num_timesteps: int, is_gt: bool,
+                   frame_base: int = 1):
+    """MOTS txt rows: `frame id class h w rle` (space-separated,
+    mots_challenge.py:228-246); gt rows of class 10 split off as
+    crowd-ignore masks. MOTS Challenge frames are 1-based, KITTI MOTS
+    0-based (kitti_mots.py:200)."""
+    from . import rle as RL
+
+    per_frame: Dict[int, list] = {}
+    ign_frame: Dict[int, list] = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 6:
+                    continue
+                dst = (ign_frame if is_gt and parts[2] == "10"
+                       else per_frame)
+                dst.setdefault(int(parts[0]), []).append(parts)
+    ids, classes, dets, ignores = [], [], [], []
+    for t in range(frame_base, num_timesteps + frame_base):
+        rows = per_frame.get(t, [])
+        ids.append(np.asarray([int(r[1]) for r in rows], int))
+        classes.append(np.asarray([int(r[2]) for r in rows], int))
+        dets.append([{"size": [int(r[3]), int(r[4])],
+                      "counts": r[5].encode("utf-8")} for r in rows])
+        irows = ign_frame.get(t, [])
+        ignores.append(RL.merge(
+            [{"size": [int(r[3]), int(r[4])],
+              "counts": r[5].encode("utf-8")} for r in irows],
+            intersect=False))
+    return ids, classes, dets, ignores
+
+
+def load_mots_seq(seq: str, gt_path: str, result_path: str,
+                  num_timesteps: int, frame_base: int = 1) -> MotsRawSeq:
+    from . import rle as RL
+
+    g_ids, g_cls, g_dets, g_ign = _read_mots_txt(
+        gt_path, num_timesteps, True, frame_base)
+    t_ids, t_cls, t_dets, _ = _read_mots_txt(
+        result_path, num_timesteps, False, frame_base)
+    sim = [RL.iou(g, t, [False] * len(t)) if len(g) and len(t)
+           else np.zeros((len(g), len(t)))
+           for g, t in zip(g_dets, t_dets)]
+    return MotsRawSeq(
+        seq=seq, num_timesteps=num_timesteps, gt_ids=g_ids,
+        gt_classes=g_cls, gt_dets=g_dets, gt_ignore_region=g_ign,
+        tracker_ids=t_ids, tracker_classes=t_cls, tracker_dets=t_dets,
+        similarity=sim)
+
+
+def preprocess_mots(raw: MotsRawSeq, cls: str = "pedestrian",
+                    class_map: Dict[str, int] = MOTS_CLASSES) -> Dict:
+    """mots_challenge.py:299-404 / kitti_mots.py same flow: class masks
+    both sides, Hungarian at 0.5 (sub-threshold scores set to -10000),
+    unmatched tracker masks >50% inside the merged ignore region
+    removed; all gt kept."""
+    from . import rle as RL
+
+    cls_id = class_map[cls]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "similarity_scores": []}
+    for t in range(raw.num_timesteps):
+        gm = raw.gt_classes[t] == cls_id
+        tm = raw.tracker_classes[t] == cls_id
+        gt_ids = raw.gt_ids[t][gm]
+        gt_dets = [d for d, m in zip(raw.gt_dets[t], gm) if m]
+        trk_ids = raw.tracker_ids[t][tm]
+        trk_dets = [d for d, m in zip(raw.tracker_dets[t], tm) if m]
+        sim = raw.similarity[t][gm][:, tm]
+
+        unmatched = np.arange(len(trk_ids))
+        if len(gt_ids) and len(trk_ids):
+            scores = sim.copy()
+            scores[scores < 0.5 - EPS] = -10000
+            rows, cols = linear_sum_assignment(-scores)
+            ok = scores[rows, cols] > EPS
+            unmatched = np.delete(unmatched, cols[ok], axis=0)
+        um_dets = [trk_dets[i] for i in unmatched]
+        ioa = RL.iou(um_dets, [raw.gt_ignore_region[t]], [True]) \
+            if um_dets else np.zeros((0, 1))
+        in_ignore = np.any(ioa > 0.5 + EPS, axis=1)
+        to_remove = unmatched[in_ignore]
+
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(
+            [d for i, d in enumerate(trk_dets) if i not in set(to_remove)])
+        out["similarity_scores"].append(np.delete(sim, to_remove, axis=1))
+        out["gt_ids"].append(gt_ids)
+        out["gt_dets"].append(gt_dets)
+    out = _relabel(out, raw.num_timesteps)
+    out.update(seq=raw.seq, cls=cls)
+    return out
+
+
+def load_kitti_mots_seq(seq: str, gt_path: str, result_path: str,
+                        num_timesteps: int) -> MotsRawSeq:
+    return load_mots_seq(seq, gt_path, result_path, num_timesteps,
+                         frame_base=0)
+
+
+def preprocess_kitti_mots(raw: MotsRawSeq, cls: str) -> Dict:
+    return preprocess_mots(raw, cls, class_map=KITTI_MOTS_CLASSES)
