@@ -549,3 +549,105 @@ def test_mots_evaluator_end_to_end(tmp_path):
     )
     res = table["pedestrian"]["COMBINED_SEQ"]
     assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0
+
+
+# ---------------------------------------------------------------------------
+# DAVIS
+# ---------------------------------------------------------------------------
+
+
+def synth_davis(root, seq="bear", frames=12, seed=0):
+    """Tiny DAVIS-layout dataset: indexed PNGs with 3 objects (disjoint
+    rectangles), a void (255) border region in the gt, tracker frames
+    with jitter/misses and an extra spurious object."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt", seq)
+    trk_dir = os.path.join(root, "trackers", "ours", "data", seq)
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    H, W = 60, 90
+    for t in range(frames):
+        g = np.zeros((H, W), np.uint8)
+        tr = np.zeros((H, W), np.uint8)
+        for i, oid in enumerate((1, 2, 3)):
+            x0 = 5 + 28 * i + (t % 4)
+            y0 = 8 + 2 * i + int(3 * np.sin(t / 2 + i))
+            g[y0:y0 + 18, x0:x0 + 20] = oid
+            if rng.uniform() < 0.85:
+                dy, dx = rng.integers(-2, 3, 2)
+                tr[y0 + dy:y0 + 16 + dy, x0 + dx:x0 + 19 + dx] = oid
+        g[0:3, :] = 255                      # void strip
+        if rng.uniform() < 0.4:              # spurious tracker object
+            tr[50:58, 2:12] = 7
+        Image.fromarray(g, mode="L").save(
+            os.path.join(gt_dir, f"{t:05d}.png"))
+        Image.fromarray(tr, mode="L").save(
+            os.path.join(trk_dir, f"{t:05d}.png"))
+    return seq, frames
+
+
+def test_davis_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = sys.modules["pycocotools.mask"]
+    m.encode = RL.encode_pycoco  # DAVIS oracle encodes dense stacks
+    from trackeval.datasets import DAVIS
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_davis(root)
+
+    ds = DAVIS({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SEQMAP_FILE": None,
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+    want = ds.get_preprocessed_seq_data(raw_ref, "general")
+
+    raw = R.load_davis_seq(
+        seq,
+        os.path.join(root, "gt", seq),
+        os.path.join(root, "trackers", "ours", "data", seq),
+    )
+    got = R.preprocess_davis(raw)
+    _compare_mots(got, want, frames, label="davis")
+    # voided tracker masks agree RLE-for-RLE
+    for t in range(frames):
+        for a, b in zip(got["tracker_dets"][t], want["tracker_dets"][t]):
+            np.testing.assert_array_equal(RL.decode(a), RL.decode(b))
+    _check_metrics(got, want)
+
+
+def test_davis_jandf_through_evaluator(tmp_path):
+    """DAVIS end-to-end through evaluate_benchmark with the dense J&F
+    metric alongside HOTA."""
+    from yolov7_tracker_tpu.eval import evaluator, readers as R
+
+    root = str(tmp_path)
+    seq, frames = synth_davis(root, seed=2)
+    raw = R.load_davis_seq(
+        seq, os.path.join(root, "gt", seq),
+        os.path.join(root, "trackers", "ours", "data", seq))
+    dense = R.preprocess_davis(raw, dense=True)
+    from yolov7_tracker_tpu.eval import metrics as M
+
+    res = M.jandf(dense)
+    assert np.isfinite(res["J&F"]) and res["J&F"] > 0.3
+
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {seq: frames},
+        benchmark="DAVIS",
+        gt_loc_format="{gt_folder}/{seq}",
+        output_folder=os.path.join(root, "out"),
+    )
+    r = table["general"]["COMBINED_SEQ"]
+    assert np.isfinite(r["MOTA"]) and r["CLR_TP"] > 0

@@ -94,6 +94,11 @@ BENCHMARKS = {
         "eval_classes": ["car", "pedestrian"],
         "distractors": [],
     },
+    "DAVIS": {
+        "classes": {"general": 1},
+        "eval_classes": ["general"],
+        "distractors": [],
+    },
 }
 
 

@@ -48,6 +48,7 @@ def _reader_registry():
         "PersonPath22": (R.load_personpath_seq, R.preprocess_personpath),
         "MOTS": (R.load_mots_seq, R.preprocess_mots),
         "KittiMOTS": (R.load_kitti_mots_seq, R.preprocess_kitti_mots),
+        "DAVIS": (R.load_davis_seq, R.preprocess_davis),
     }
 
 
@@ -115,7 +116,7 @@ def evaluate_benchmark(
     """
     classes = list(classes or D.BENCHMARKS[benchmark]["eval_classes"])
     if result_ext is None:
-        result_ext = ".json" if benchmark == "BDD100K" else ".txt"
+        result_ext = {"BDD100K": ".json", "DAVIS": ""}.get(benchmark, ".txt")
     jobs = [
         (
             seq,

@@ -545,3 +545,118 @@ def load_kitti_mots_seq(seq: str, gt_path: str, result_path: str,
 
 def preprocess_kitti_mots(raw: MotsRawSeq, cls: str) -> Dict:
     return preprocess_mots(raw, cls, class_map=KITTI_MOTS_CLASSES)
+
+
+# ---------------------------------------------------------------------------
+# DAVIS unsupervised (trackeval/datasets/davis.py) — per-frame indexed
+# PNGs, void-pixel handling, J&F-ready dense masks
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DavisRawSeq:
+    seq: str
+    num_timesteps: int
+    mask_shape: tuple
+    num_gt_ids: int
+    num_tracker_ids: int
+    gt_ids: List[np.ndarray]
+    gt_dets: List[list]                # RLE dicts
+    masks_void: List[dict]             # RLE per timestep
+    tracker_ids: List[np.ndarray]
+    tracker_dets: List[list]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def _davis_frames(seq_dir: str):
+    from PIL import Image
+
+    out = []
+    for name in sorted(os.listdir(seq_dir)):
+        out.append(np.array(Image.open(os.path.join(seq_dir, name))))
+    return out
+
+
+def load_davis_seq(seq: str, gt_dir: str, result_dir: str,
+                   num_timesteps: int = 0) -> DavisRawSeq:
+    """davis.py:108-175: ids are the nonzero pixel values of each
+    indexed PNG; gt pixels of value 255 form the void mask (zeroed in
+    the id frame). Similarity is mask IoU on the RAW (un-voided)
+    tracker masks — the reference computes it before the void zeroing."""
+    from . import rle as RL
+
+    g_frames = _davis_frames(gt_dir)
+    t_frames = _davis_frames(result_dir)
+    n = len(g_frames)
+    if num_timesteps and num_timesteps != n:
+        raise ValueError(f"{seq}: {n} gt frames != {num_timesteps}")
+    if len(t_frames) != n:
+        raise ValueError(
+            f"{seq}: tracker frames {len(t_frames)} != gt {n}")
+
+    def split(frame):
+        ids = np.unique(frame)
+        ids = ids[ids != 0]
+        dets = [RL.encode((frame == v).astype(np.uint8)) for v in ids]
+        return ids.astype(int), dets
+
+    gt_ids, gt_dets, voids = [], [], []
+    g_all, t_all = [], []
+    for fr in g_frames:
+        fr = fr.copy()
+        void = fr == 255
+        fr[void] = 0
+        voids.append(RL.encode(void.astype(np.uint8)))
+        ids, dets = split(fr)
+        gt_ids.append(ids)
+        gt_dets.append(dets)
+        g_all += list(ids)
+    trk_ids, trk_dets = [], []
+    for fr in t_frames:
+        ids, dets = split(fr)
+        trk_ids.append(ids)
+        trk_dets.append(dets)
+        t_all += list(ids)
+    sim = [RL.iou(g, t, [False] * len(t)) if len(g) and len(t)
+           else np.zeros((len(g), len(t)))
+           for g, t in zip(gt_dets, trk_dets)]
+    return DavisRawSeq(
+        seq=seq, num_timesteps=n, mask_shape=g_frames[0].shape,
+        num_gt_ids=len(np.unique(g_all)),
+        num_tracker_ids=len(np.unique(t_all)),
+        gt_ids=gt_ids, gt_dets=gt_dets, masks_void=voids,
+        tracker_ids=trk_ids, tracker_dets=trk_dets, similarity=sim)
+
+
+def preprocess_davis(raw: DavisRawSeq, cls: str = "general",
+                     dense: bool = False) -> Dict:
+    """davis.py:186-272: no class split, no det removal; tracker-mask
+    pixels inside the gt void mask are zeroed (similarity stays the raw
+    pre-voiding IoU, as in the reference); contiguous relabel. With
+    dense=True dets decode to (H, W) arrays, the form eval.metrics.jandf
+    consumes."""
+    from . import rle as RL
+
+    out = {"gt_ids": [list(x) for x in raw.gt_ids],
+           "tracker_ids": [list(x) for x in raw.tracker_ids],
+           "gt_dets": [list(x) for x in raw.gt_dets],
+           "tracker_dets": [], "similarity_scores": raw.similarity}
+    for t in range(raw.num_timesteps):
+        dets = list(raw.tracker_dets[t])
+        void = raw.masks_void[t]
+        if RL.area(void) > 0 and dets:
+            ious = RL.iou(dets, [void], [False])
+            vm = RL.decode(void).astype(bool)
+            for r in np.where(ious[:, 0] > 0)[0]:
+                m = RL.decode(dets[r])
+                m[vm] = 0
+                dets[r] = RL.encode(np.asarray(m, order="F"))
+        out["tracker_dets"].append(dets)
+    out = _relabel(out, raw.num_timesteps)
+    if dense:
+        out["gt_dets"] = [[RL.decode(d) for d in dts]
+                          for dts in out["gt_dets"]]
+        out["tracker_dets"] = [[RL.decode(d) for d in dts]
+                               for dts in out["tracker_dets"]]
+    out.update(seq=raw.seq, cls=cls, mask_shape=raw.mask_shape)
+    return out

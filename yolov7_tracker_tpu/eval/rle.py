@@ -13,9 +13,9 @@ annotations in) is implemented here from the format definition:
 
 The run-level operations (area / merge / IoU-IoA) work directly on the
 interval lists without densifying, like pycocotools' C kernels do. The
-dict format {'size': [h, w], 'counts': bytes} round-trips with
-pycocotools exactly (verified against published RLE examples in
-tests/test_rle.py).
+dict format is {'size': [h, w], 'counts': bytes}; tests/test_rle.py
+checks the counts encoding against strings hand-derived from the spec
+and the ops against dense-mask computations.
 """
 
 from __future__ import annotations
@@ -216,3 +216,13 @@ def iou(dts: Sequence[Rle], gts: Sequence[Rle],
                 else d_area[i] + g_area[j] - inter
             out[i, j] = inter / denom if denom > 0 else 0.0
     return out
+
+
+def encode_pycoco(arr: np.ndarray):
+    """pycocotools-shaped encode: a (h, w) mask -> one RLE dict, a
+    (h, w, n) stack -> list of RLE dicts (mask.encode contract, used by
+    the DAVIS reader and the test shim)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        return encode(arr)
+    return [encode(arr[:, :, i]) for i in range(arr.shape[2])]
