@@ -651,3 +651,177 @@ def test_davis_jandf_through_evaluator(tmp_path):
     )
     r = table["general"]["COMBINED_SEQ"]
     assert np.isfinite(r["MOTA"]) and r["CLR_TP"] > 0
+
+
+# ---------------------------------------------------------------------------
+# TAO
+# ---------------------------------------------------------------------------
+
+
+def synth_tao(root, seed=0):
+    """Tiny TAO-layout dataset: 2 videos, sparse annotated frames, a
+    merged category, per-video negative and not-exhaustive categories,
+    a tracker json with scores, a missing video_id, a track id reused
+    across videos, and detections on a non-annotated image."""
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    categories = [
+        {"id": 1, "name": "person"},
+        {"id": 2, "name": "car",
+         "merged": [{"id": 7, "name": "auto"}]},
+        {"id": 3, "name": "dog"},
+        {"id": 4, "name": "cat"},
+    ]
+    videos = [
+        {"id": 10, "name": "val/seq_a", "neg_category_ids": [3],
+         "not_exhaustive_category_ids": []},
+        {"id": 20, "name": "val/seq_b", "neg_category_ids": [],
+         "not_exhaustive_category_ids": [2]},
+    ]
+    images, annotations, tracks = [], [], []
+    img_id = 100
+    ann_id = 1000
+    vid_frames = {}
+    for vid, n_frames in ((10, 6), (20, 5)):
+        ids = []
+        for k in range(n_frames):
+            images.append({"id": img_id, "video_id": vid,
+                           "frame_index": k * 30})
+            ids.append(img_id)
+            img_id += 1
+        vid_frames[vid] = ids
+    # an extra image with no gt annotations (tracker-only dets land here)
+    images.append({"id": 999, "video_id": 10, "frame_index": 500})
+
+    def add_track(vid, tid, cat, base, n0=0, n1=None):
+        tracks.append({"id": tid, "category_id": cat, "video_id": vid})
+        nonlocal_frames = vid_frames[vid][n0:n1]
+        out = []
+        for k, im in enumerate(nonlocal_frames):
+            bbox = [base[0] + 3 * k, base[1] + 2 * k, 40 + (tid % 7),
+                    60 + (tid % 5)]
+            a = {"id": len(annotations) + 1, "image_id": im,
+                 "video_id": vid, "track_id": tid, "category_id": cat,
+                 "bbox": bbox}
+            annotations.append(a)
+            out.append((im, bbox))
+        return out
+
+    gt_boxes = {}
+    gt_boxes[(10, 1)] = add_track(10, 1, 1, (50, 50))
+    gt_boxes[(10, 2)] = add_track(10, 2, 7, (200, 80))   # 'auto' -> car
+    gt_boxes[(10, 3)] = add_track(10, 3, 1, (400, 90), n0=2)
+    gt_boxes[(20, 4)] = add_track(20, 4, 1, (60, 40))
+    gt_boxes[(20, 5)] = add_track(20, 5, 2, (300, 120), n1=4)
+
+    with open(os.path.join(gt_dir, "tao_gt.json"), "w") as f:
+        json.dump({"videos": videos, "images": images,
+                   "annotations": annotations, "tracks": tracks,
+                   "categories": categories}, f)
+
+    trk = []
+    tid_counter = 0
+    for (vid, tid), frames in gt_boxes.items():
+        tid_counter += 1
+        for im, bbox in frames:
+            if rng.uniform() < 0.15:
+                continue
+            nx, ny = rng.normal(0, 2.0, 2)
+            cat = 7 if tid == 2 else (1 if tid in (1, 3, 4) else 2)
+            a = {"image_id": im, "track_id": tid % 3,  # ids clash across vids
+                 "category_id": cat,
+                 "bbox": [bbox[0] + nx, bbox[1] + ny, bbox[2], bbox[3]],
+                 "score": float(rng.uniform(0.4, 1.0)),
+                 "video_id": vid}
+            trk.append(a)
+    # missing video_id on one det + dets on the non-gt image + a neg-cat
+    # det (dog, class 3, negative for video 10) + a spurious person det
+    trk[0] = {k: v for k, v in trk[0].items() if k != "video_id"}
+    trk.append({"image_id": 999, "track_id": 77, "category_id": 1,
+                "bbox": [10, 10, 30, 30], "score": 0.9})
+    trk.append({"image_id": vid_frames[10][1], "track_id": 78,
+                "category_id": 3, "bbox": [700, 300, 40, 40],
+                "score": 0.8, "video_id": 10})
+    trk.append({"image_id": vid_frames[10][2], "track_id": 79,
+                "category_id": 1, "bbox": [800, 400, 40, 40],
+                "score": 0.7, "video_id": 10})
+    with open(os.path.join(trk_dir, "results.json"), "w") as f:
+        json.dump(trk, f)
+    return ["val-seq_a", "val-seq_b"]
+
+
+def test_tao_preproc_golden(tmp_path):
+    _import_trackeval()
+    from trackeval.datasets import TAO
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seqs = synth_tao(root)
+
+    ds = TAO({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "PRINT_CONFIG": False,
+    })
+    gt_json = os.path.join(root, "gt", "tao_gt.json")
+    trk_json = os.path.join(root, "trackers", "ours", "data",
+                            "results.json")
+    for seq in seqs:
+        raw_ref = ds.get_raw_seq_data("ours", seq)
+        raw = R.load_tao_seq(seq, gt_json, trk_json)
+        for cls in ("person", "car"):
+            if cls not in ds.class_list:
+                continue
+            want = ds.get_preprocessed_seq_data(raw_ref, cls)
+            got = R.preprocess_tao(raw, cls)
+            _compare_preprocessed(got, want, raw["num_timesteps"],
+                                  label=f"tao/{seq}/{cls}")
+            # TrackMAP track representations
+            assert got["gt_track_ids"] == want["gt_track_ids"]
+            assert got["dt_track_ids"] == want["dt_track_ids"]
+            np.testing.assert_allclose(
+                got["dt_track_scores"], want["dt_track_scores"])
+            np.testing.assert_allclose(
+                got["gt_track_areas"], want["gt_track_areas"])
+            assert got["gt_track_lengths"] == want["gt_track_lengths"]
+            for a, b in zip(got["dt_tracks"], want["dt_tracks"]):
+                assert set(a.keys()) == set(b.keys())
+                for k in a:
+                    np.testing.assert_allclose(a[k], b[k])
+            _check_metrics(got, want)
+            # TrackMAP downstream agrees
+            from trackeval.metrics import TrackMAP
+
+            from yolov7_tracker_tpu.eval import metrics as M
+
+            tm = TrackMAP({"PRINT_CONFIG": False})
+            want_tm = tm.combine_sequences({0: tm.eval_sequence(want)})
+            got_tm = M.trackmap_combine([M.trackmap_sequence(got)])
+            for lbl in M.TRACKMAP_LABELS:
+                np.testing.assert_allclose(
+                    np.asarray(got_tm["AP_" + lbl]),
+                    np.asarray(want_tm["AP_" + lbl]),
+                    atol=1e-8, err_msg=f"{seq}/{cls}/AP_{lbl}")
+
+
+def test_tao_evaluator_end_to_end(tmp_path):
+    from yolov7_tracker_tpu.eval import evaluator
+
+    root = str(tmp_path)
+    seqs = synth_tao(root, seed=1)
+    table = evaluator.evaluate_benchmark(
+        os.path.join(root, "gt"),
+        os.path.join(root, "trackers", "ours", "data"),
+        {s: 0 for s in seqs},
+        benchmark="TAO",
+        classes=["person"],
+        gt_loc_format="{gt_folder}/tao_gt.json",
+        output_folder=os.path.join(root, "out"),
+    )
+    res = table["person"]["COMBINED_SEQ"]
+    assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0

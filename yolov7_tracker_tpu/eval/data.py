@@ -99,6 +99,9 @@ BENCHMARKS = {
         "eval_classes": ["general"],
         "distractors": [],
     },
+    # TAO eval classes come from the gt json (classes with ground
+    # truth); callers pass classes= explicitly
+    "TAO": {"classes": {}, "eval_classes": [], "distractors": []},
 }
 
 

@@ -49,6 +49,7 @@ def _reader_registry():
         "MOTS": (R.load_mots_seq, R.preprocess_mots),
         "KittiMOTS": (R.load_kitti_mots_seq, R.preprocess_kitti_mots),
         "DAVIS": (R.load_davis_seq, R.preprocess_davis),
+        "TAO": (R.load_tao_seq, R.preprocess_tao),
     }
 
 
@@ -101,6 +102,7 @@ def evaluate_benchmark(
     output_folder: Optional[str] = None,
     metric_names: Sequence[str] = DEFAULT_METRICS,
     result_ext: Optional[str] = None,
+    result_loc_format: Optional[str] = None,
 ):
     """Evaluate result files against gt.
 
@@ -110,6 +112,9 @@ def evaluate_benchmark(
         (trackeval eval.py:82-103).
       result_ext: result-file extension; default ".txt" except for
         json-format benchmarks (BDD100K).
+      result_loc_format: full result-path template with {results_folder}
+        and {seq}; overrides result_ext. TAO defaults to the single
+        shared {results_folder}/results.json.
 
     Returns {cls: {seq: res, 'COMBINED_SEQ': res}} plus a class-averaged
     summary under 'cls_comb_cls_av' when multiple classes.
@@ -117,11 +122,16 @@ def evaluate_benchmark(
     classes = list(classes or D.BENCHMARKS[benchmark]["eval_classes"])
     if result_ext is None:
         result_ext = {"BDD100K": ".json", "DAVIS": ""}.get(benchmark, ".txt")
+    if result_loc_format is None:
+        result_loc_format = ("{results_folder}/results.json"
+                             if benchmark == "TAO"
+                             else "{results_folder}/{seq}" + result_ext)
     jobs = [
         (
             seq,
             gt_loc_format.format(gt_folder=gt_folder, seq=seq),
-            os.path.join(results_folder, seq + result_ext),
+            result_loc_format.format(results_folder=results_folder,
+                                     seq=seq),
             n,
             benchmark,
             classes,

@@ -660,3 +660,296 @@ def preprocess_davis(raw: DavisRawSeq, cls: str = "general",
                                for dts in out["tracker_dets"]]
     out.update(seq=raw.seq, cls=cls, mask_shape=raw.mask_shape)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TAO (trackeval/datasets/tao.py) — dataset-level jsons, per-class eval
+# with negative / not-exhaustively-labeled category handling, TrackMAP
+# track representations
+# ---------------------------------------------------------------------------
+
+
+class TaoData:
+    """Parsed TAO gt + one tracker result json (tao.py:35-133).
+
+    The gt json carries videos/images/annotations/tracks/categories;
+    the tracker json is a flat annotation list. Construction applies the
+    reference's normalization chain: category merging, per-image
+    detection cap (300), missing-video-id fill, cross-video track-id
+    uniquification."""
+
+    def __init__(self, gt_json: str, tracker_json: str,
+                 max_detections: int = 300):
+        with open(gt_json) as f:
+            self.gt = json.load(f)
+        merge_map = {}
+        for cat in self.gt["categories"]:
+            for sub in cat.get("merged", []):
+                merge_map[sub["id"]] = cat["id"]
+
+        def merge_cats(anns):
+            for a in anns:
+                a["category_id"] = merge_map.get(
+                    a["category_id"], a["category_id"])
+
+        merge_cats(self.gt["annotations"])
+        merge_cats(self.gt["tracks"])
+
+        self.images = {im["id"]: im for im in self.gt["images"]}
+        self.seq_ids = {v["name"].replace("/", "-"): v["id"]
+                        for v in self.gt["videos"]}
+        self.seq_lengths = {v["id"]: 0 for v in self.gt["videos"]}
+        for im in self.gt["images"]:
+            self.seq_lengths[im["video_id"]] += 1
+
+        self.gt_tracks, self.gt_images = self._vid_mappings(
+            self.gt["annotations"])
+        # image -> timestep: gt-annotated images sorted by frame_index
+        self.img_to_t = {}
+        for vid in self.seq_ids.values():
+            imgs = sorted((im["id"] for im in self.gt_images[vid]),
+                          key=lambda i: self.images[i]["frame_index"])
+            self.img_to_t[vid] = {img: i for i, img in enumerate(imgs)}
+        self.seq_classes = {
+            v["id"]: {
+                "pos": sorted({t["category_id"]
+                               for t in self.gt_tracks[v["id"]]}),
+                "neg": v.get("neg_category_ids", []),
+                "not_exhaustive": v.get("not_exhaustive_category_ids", []),
+            } for v in self.gt["videos"]}
+        self.class_name_to_id = {c["name"]: c["id"]
+                                 for c in self.gt["categories"]}
+        seen = {c for v in self.gt["videos"]
+                for c in self.seq_classes[v["id"]]["pos"]}
+        # only classes with ground truth are evaluated (tao.py:82-84)
+        self.eval_classes = [c["name"] for c in self.gt["categories"]
+                             if c["id"] in seen]
+
+        with open(tracker_json) as f:
+            trk = json.load(f)
+        if max_detections:
+            by_img: Dict[int, list] = {}
+            for a in trk:
+                by_img.setdefault(a["image_id"], []).append(a)
+            trk = []
+            for anns in by_img.values():
+                if len(anns) > max_detections:
+                    anns = sorted(anns, key=lambda x: x["score"],
+                                  reverse=True)[:max_detections]
+                trk.extend(anns)
+        img_to_vid = {im["id"]: im["video_id"] for im in self.gt["images"]}
+        for a in trk:
+            if "video_id" not in a:
+                a["video_id"] = img_to_vid[a["image_id"]]
+        merge_cats(trk)
+        self._uniquify_track_ids(trk)
+        self.trk_tracks, self.trk_images = self._vid_mappings(trk)
+
+    @staticmethod
+    def _uniquify_track_ids(anns):
+        """tao.py:538-561: a track id reused across videos gets fresh
+        ids per (track, video) pair."""
+        first_vid, clashing = {}, set()
+        max_id = 0
+        for a in anns:
+            t = a["track_id"]
+            first_vid.setdefault(t, a["video_id"])
+            if a["video_id"] != first_vid[t]:
+                clashing.add(t)
+            max_id = max(max_id, t)
+        if clashing:
+            fresh = iter(range(max_id + 1, max_id + 1 + 10 ** 9))
+            remap: Dict[tuple, int] = {}
+            for a in anns:
+                t = a["track_id"]
+                if t in clashing:
+                    key = (t, a["video_id"])
+                    if key not in remap:
+                        remap[key] = next(fresh)
+                    a["track_id"] = remap[key]
+
+    def _vid_mappings(self, anns):
+        vids_to_tracks: Dict[int, list] = {v: [] for v in
+                                           self.seq_lengths}
+        vids_to_imgs: Dict[int, list] = {v: [] for v in self.seq_lengths}
+        track_index: Dict[tuple, dict] = {}
+        img_index: Dict[tuple, dict] = {}
+        for a in anns:
+            a["area"] = a["bbox"][2] * a["bbox"][3]
+            vid = a["video_id"]
+            tkey = (vid, a["track_id"])
+            if tkey not in track_index:
+                track_index[tkey] = {"id": a["track_id"],
+                                     "category_id": a["category_id"],
+                                     "video_id": vid, "annotations": []}
+                vids_to_tracks[vid].append(track_index[tkey])
+            track_index[tkey]["annotations"].append(a)
+            ikey = (vid, a["image_id"])
+            if ikey not in img_index:
+                img_index[ikey] = {"id": a["image_id"], "annotations": []}
+                vids_to_imgs[vid].append(img_index[ikey])
+            img_index[ikey]["annotations"].append(a)
+        for tracks in vids_to_tracks.values():
+            for tr in tracks:
+                tr["annotations"].sort(
+                    key=lambda x: self.images[x["image_id"]]["frame_index"])
+                tr["area"] = (sum(x["area"] for x in tr["annotations"])
+                              / len(tr["annotations"]))
+        return vids_to_tracks, vids_to_imgs
+
+
+_TAO_CACHE: Dict[tuple, TaoData] = {}
+
+
+def _tao_data(gt_json: str, tracker_json: str) -> TaoData:
+    key = (os.path.abspath(gt_json), os.path.abspath(tracker_json))
+    if key not in _TAO_CACHE:
+        if len(_TAO_CACHE) > 4:
+            _TAO_CACHE.clear()
+        _TAO_CACHE[key] = TaoData(*key)
+    return _TAO_CACHE[key]
+
+
+def load_tao_seq(seq: str, gt_json: str, tracker_json: str,
+                 num_timesteps: int = 0) -> Dict:
+    """tao.py:142-257 _load_raw_file for both sides + similarity."""
+    data = _tao_data(gt_json, tracker_json)
+    vid = data.seq_ids[seq]
+    T = data.seq_lengths[vid]
+    img_to_t = data.img_to_t[vid]
+
+    def frames(images, with_conf):
+        ids = [np.empty(0, int)] * T
+        cls = [np.empty(0, int)] * T
+        dets = [np.empty((0, 4))] * T
+        conf = [np.empty(0)] * T
+        for img in images:
+            t = img_to_t.get(img["id"])
+            if t is None:   # tracker-only images are ignored
+                continue
+            anns = img["annotations"]
+            dets[t] = np.atleast_2d(
+                [a["bbox"] for a in anns]).astype(float)
+            ids[t] = np.atleast_1d(
+                [a["track_id"] for a in anns]).astype(int)
+            cls[t] = np.atleast_1d(
+                [a["category_id"] for a in anns]).astype(int)
+            if with_conf:
+                conf[t] = np.atleast_1d(
+                    [a["score"] for a in anns]).astype(float)
+        return ids, cls, dets, conf
+
+    g_ids, g_cls, g_dets, _ = frames(data.gt_images[vid], False)
+    t_ids, t_cls, t_dets, t_conf = frames(data.trk_images[vid], True)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, t_dets)]
+
+    all_cls = sorted(data.class_name_to_id.values())
+    sc = data.seq_classes[vid]
+
+    def tracks_by_class(all_tracks, considered):
+        return {c: [tr for tr in all_tracks if tr["category_id"] == c]
+                if c in considered else [] for c in all_cls}
+
+    gt_by_cls = tracks_by_class(data.gt_tracks[vid], all_cls)
+    dt_by_cls = tracks_by_class(
+        data.trk_tracks[vid], sc["pos"] + sc["neg"])
+
+    def track_repr(by_cls, with_scores):
+        out = {
+            "tracks": {c: [{a["image_id"]: np.atleast_1d(a["bbox"])
+                            for a in tr["annotations"]} for tr in trs]
+                       for c, trs in by_cls.items()},
+            "ids": {c: [tr["id"] for tr in trs]
+                    for c, trs in by_cls.items()},
+            "areas": {c: [tr["area"] for tr in trs]
+                      for c, trs in by_cls.items()},
+            "lengths": {c: [len(tr["annotations"]) for tr in trs]
+                        for c, trs in by_cls.items()},
+        }
+        if with_scores:
+            out["scores"] = {
+                c: np.array([np.mean([float(a["score"])
+                                      for a in tr["annotations"]])
+                             for tr in trs])
+                for c, trs in by_cls.items()}
+        return out
+
+    return {
+        "seq": seq, "num_timesteps": T,
+        "gt_ids": g_ids, "gt_classes": g_cls, "gt_dets": g_dets,
+        "tracker_ids": t_ids, "tracker_classes": t_cls,
+        "tracker_dets": t_dets, "tracker_confidences": t_conf,
+        "similarity": sim,
+        "neg_cat_ids": sc["neg"],
+        "not_exhaustive": sc["not_exhaustive"],
+        "gt_track_repr": track_repr(gt_by_cls, False),
+        "dt_track_repr": track_repr(dt_by_cls, True),
+        "class_name_to_id": data.class_name_to_id,
+    }
+
+
+def preprocess_tao(raw: Dict, cls: str) -> Dict:
+    """tao.py:259-399: class masks both sides; Hungarian at 0.5; ALL
+    unmatched tracker dets removed when the frame has no gt of the class
+    (unless the class is sequence-negative) or the class is not
+    exhaustively labeled; no gt removal. Track representations sorted by
+    descending mean score for TrackMAP."""
+    cls_id = raw["class_name_to_id"][cls]
+    not_exh = cls_id in raw["not_exhaustive"]
+    is_neg = cls_id in raw["neg_cat_ids"]
+    T = raw["num_timesteps"]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "tracker_confidences": [],
+           "similarity_scores": []}
+    for t in range(T):
+        gm = raw["gt_classes"][t] == cls_id
+        tm = raw["tracker_classes"][t] == cls_id
+        gt_ids, gt_dets = raw["gt_ids"][t][gm], raw["gt_dets"][t][gm]
+        trk_ids = raw["tracker_ids"][t][tm]
+        trk_dets = raw["tracker_dets"][t][tm]
+        trk_conf = raw["tracker_confidences"][t][tm]
+        sim = raw["similarity"][t][gm][:, tm]
+
+        unmatched = np.arange(len(trk_ids))
+        if len(gt_ids) and len(trk_ids):
+            scores = sim.copy()
+            scores[scores < 0.5 - EPS] = 0
+            rows, cols = linear_sum_assignment(-scores)
+            ok = scores[rows, cols] > EPS
+            unmatched = np.delete(unmatched, cols[ok], axis=0)
+        if len(gt_ids) == 0 and not is_neg:
+            to_remove = unmatched
+        elif not_exh:
+            to_remove = unmatched
+        else:
+            to_remove = np.array([], int)
+
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(np.delete(trk_dets, to_remove, axis=0))
+        out["tracker_confidences"].append(
+            np.delete(trk_conf, to_remove, axis=0))
+        out["similarity_scores"].append(np.delete(sim, to_remove, axis=1))
+        out["gt_ids"].append(gt_ids)
+        out["gt_dets"].append(gt_dets)
+    out = _relabel(out, T)
+
+    g, d = raw["gt_track_repr"], raw["dt_track_repr"]
+    out.update(
+        gt_tracks=g["tracks"][cls_id], gt_track_ids=g["ids"][cls_id],
+        gt_track_lengths=g["lengths"][cls_id],
+        gt_track_areas=g["areas"][cls_id],
+        dt_tracks=list(d["tracks"][cls_id]),
+        dt_track_ids=list(d["ids"][cls_id]),
+        dt_track_lengths=list(d["lengths"][cls_id]),
+        dt_track_areas=list(d["areas"][cls_id]),
+        dt_track_scores=list(d["scores"][cls_id]),
+        not_exhaustively_labeled=not_exh, iou_type="bbox",
+        seq=raw["seq"], cls=cls,
+    )
+    if out["dt_tracks"]:
+        idx = np.argsort([-s for s in out["dt_track_scores"]],
+                         kind="mergesort")
+        for k in ("dt_track_scores", "dt_tracks", "dt_track_ids",
+                  "dt_track_lengths", "dt_track_areas"):
+            out[k] = [out[k][i] for i in idx]
+    return out
