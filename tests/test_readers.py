@@ -825,3 +825,94 @@ def test_tao_evaluator_end_to_end(tmp_path):
     )
     res = table["person"]["COMBINED_SEQ"]
     assert np.isfinite(res["MOTA"]) and res["CLR_TP"] > 0
+
+
+def synth_tao_ow(root, seed=0):
+    """TAO fixture with categories spanning the OW splits: 4, 13 known;
+    20 distractor; 5, 6 unknown."""
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    categories = [{"id": c, "name": f"cat{c}"} for c in (4, 13, 20, 5, 6)]
+    videos = [
+        {"id": 10, "name": "val/ow_a", "neg_category_ids": [],
+         "not_exhaustive_category_ids": []},
+    ]
+    images, annotations, tracks = [], [], []
+    vid_frames = []
+    for k in range(6):
+        images.append({"id": 100 + k, "video_id": 10,
+                       "frame_index": k * 30})
+        vid_frames.append(100 + k)
+
+    def add_track(tid, cat, base):
+        tracks.append({"id": tid, "category_id": cat, "video_id": 10})
+        out = []
+        for k, im in enumerate(vid_frames):
+            bbox = [base[0] + 3 * k, base[1] + 2 * k, 45, 65]
+            annotations.append({
+                "id": len(annotations) + 1, "image_id": im,
+                "video_id": 10, "track_id": tid, "category_id": cat,
+                "bbox": bbox})
+            out.append((im, bbox))
+        return out
+
+    gtb = {}
+    for tid, cat, base in ((1, 4, (50, 50)), (2, 13, (220, 90)),
+                           (3, 20, (420, 60)), (4, 5, (600, 100)),
+                           (5, 6, (800, 40))):
+        gtb[tid] = add_track(tid, cat, base)
+
+    with open(os.path.join(gt_dir, "tao_gt.json"), "w") as f:
+        json.dump({"videos": videos, "images": images,
+                   "annotations": annotations, "tracks": tracks,
+                   "categories": categories, "info": {}, "licenses": []},
+                  f)
+
+    trk = []
+    for tid, frames in gtb.items():
+        for im, bbox in frames:
+            if rng.uniform() < 0.15:
+                continue
+            nx, ny = rng.normal(0, 2.0, 2)
+            trk.append({"image_id": im, "track_id": 50 + tid,
+                        "category_id": 1,  # OW trackers emit one class
+                        "bbox": [bbox[0] + nx, bbox[1] + ny,
+                                 bbox[2], bbox[3]],
+                        "score": float(rng.uniform(0.4, 1.0)),
+                        "video_id": 10})
+    with open(os.path.join(trk_dir, "results.json"), "w") as f:
+        json.dump(trk, f)
+    return "val-ow_a"
+
+
+def test_tao_ow_preproc_golden(tmp_path):
+    _import_trackeval()
+    from trackeval.datasets import TAO_OW
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq = synth_tao_ow(root)
+    gt_json = os.path.join(root, "gt", "tao_gt.json")
+    trk_json = os.path.join(root, "trackers", "ours", "data",
+                            "results.json")
+    for subset in ("known", "distractor", "unknown"):
+        ds = TAO_OW({
+            "GT_FOLDER": os.path.join(root, "gt"),
+            "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+            "SUBSET": subset,
+            "PRINT_CONFIG": False,
+        })
+        raw_ref = ds.get_raw_seq_data("ours", seq)
+        want = ds.get_preprocessed_seq_data(raw_ref, "object")
+        raw = R.load_tao_ow_seq(seq, gt_json, trk_json, subset=subset)
+        got = R.preprocess_tao_ow(raw)
+        _compare_preprocessed(got, want, raw["num_timesteps"],
+                              label=f"tao_ow/{subset}")
+        assert got["gt_track_ids"] == want["gt_track_ids"], subset
+        assert got["dt_track_ids"] == want["dt_track_ids"], subset
+        _check_metrics(got, want)

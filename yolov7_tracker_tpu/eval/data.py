@@ -102,6 +102,8 @@ BENCHMARKS = {
     # TAO eval classes come from the gt json (classes with ground
     # truth); callers pass classes= explicitly
     "TAO": {"classes": {}, "eval_classes": [], "distractors": []},
+    "TAO_OW": {"classes": {"object": 1}, "eval_classes": ["object"],
+               "distractors": []},
 }
 
 

@@ -50,6 +50,7 @@ def _reader_registry():
         "KittiMOTS": (R.load_kitti_mots_seq, R.preprocess_kitti_mots),
         "DAVIS": (R.load_davis_seq, R.preprocess_davis),
         "TAO": (R.load_tao_seq, R.preprocess_tao),
+        "TAO_OW": (R.load_tao_ow_seq, R.preprocess_tao_ow),
     }
 
 
@@ -124,7 +125,7 @@ def evaluate_benchmark(
         result_ext = {"BDD100K": ".json", "DAVIS": ""}.get(benchmark, ".txt")
     if result_loc_format is None:
         result_loc_format = ("{results_folder}/results.json"
-                             if benchmark == "TAO"
+                             if benchmark in ("TAO", "TAO_OW")
                              else "{results_folder}/{seq}" + result_ext)
     jobs = [
         (

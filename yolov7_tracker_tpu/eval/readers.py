@@ -682,6 +682,7 @@ class TaoData:
                  max_detections: int = 300):
         with open(gt_json) as f:
             self.gt = json.load(f)
+        self.gt = self._filter_gt(self.gt)   # TAO-OW subset hook
         merge_map = {}
         for cat in self.gt["categories"]:
             for sub in cat.get("merged", []):
@@ -744,6 +745,9 @@ class TaoData:
         merge_cats(trk)
         self._uniquify_track_ids(trk)
         self.trk_tracks, self.trk_images = self._vid_mappings(trk)
+
+    def _filter_gt(self, gt):
+        return gt
 
     @staticmethod
     def _uniquify_track_ids(anns):
@@ -953,3 +957,142 @@ def preprocess_tao(raw: Dict, cls: str) -> Dict:
                   "dt_track_lengths", "dt_track_areas"):
             out[k] = [out[k][i] for i in idx]
     return out
+
+
+# ---------------------------------------------------------------------------
+# TAO-OW (trackeval/datasets/tao_ow.py) — open-world TAO: gt filtered to
+# a known/distractor/unknown category subset, then evaluated
+# class-agnostically as a single "object" class
+# ---------------------------------------------------------------------------
+
+# category-id splits from "Opening up Open-World Tracking" (tao_ow.py:
+# 583-596); unknowns = everything else below id 2000
+TAO_OW_KNOWNS = frozenset({
+    4, 13, 1038, 544, 1057, 34, 35, 36, 41, 45, 58, 60, 579, 1091, 1097,
+    1099, 78, 79, 81, 91, 1115, 1117, 95, 1122, 99, 1132, 621, 1135, 625,
+    118, 1144, 126, 642, 1155, 133, 1162, 139, 154, 174, 185, 699, 1215,
+    714, 717, 1229, 211, 729, 221, 229, 747, 235, 237, 779, 276, 805, 299,
+    829, 852, 347, 371, 382, 896, 392, 926, 937, 428, 429, 961, 452, 979,
+    980, 982, 475, 480, 993, 1001, 502, 1018})
+TAO_OW_DISTRACTORS = frozenset({
+    20, 63, 108, 180, 188, 204, 212, 247, 303, 403, 407, 415, 490, 504,
+    507, 513, 529, 567, 569, 588, 672, 691, 702, 708, 711, 720, 736, 737,
+    798, 813, 815, 827, 831, 851, 877, 883, 912, 971, 976, 1130, 1133,
+    1134, 1169, 1184, 1220})
+
+
+def _tao_ow_subset_ids(subset: str):
+    if subset == "known":
+        return TAO_OW_KNOWNS
+    if subset == "distractor":
+        return TAO_OW_DISTRACTORS
+    if subset == "unknown":
+        return frozenset(range(1, 2000)) - TAO_OW_KNOWNS \
+            - TAO_OW_DISTRACTORS
+    raise ValueError(f"bad TAO-OW subset {subset!r}")
+
+
+class TaoOwData(TaoData):
+    """TAO json pair filtered to one open-world subset, with every
+    category collapsed to the class-agnostic "object" id 1
+    (tao_ow.py:55-120, 196-198)."""
+
+    def __init__(self, gt_json: str, tracker_json: str, subset: str,
+                 max_detections: int = 300):
+        self._subset = subset
+        super().__init__(gt_json, tracker_json, max_detections)
+        self.class_name_to_id = {"object": 1}
+        self.eval_classes = ["object"]
+
+    def _filter_gt(self, gt):
+        if self._subset == "all":
+            return gt
+        valid = _tao_ow_subset_ids(self._subset)
+        gt["annotations"] = [a for a in gt["annotations"]
+                             if a["category_id"] in valid]
+        gt["tracks"] = [t for t in gt["tracks"]
+                        if t["category_id"] in valid]
+        gt["categories"] = [c for c in gt["categories"]
+                            if c["id"] in valid]
+        return gt
+
+
+def load_tao_ow_seq(seq: str, gt_json: str, tracker_json: str,
+                    num_timesteps: int = 0, subset: str = "known") -> Dict:
+    """TAO-OW raw load: the TAO flow on the subset-filtered gt, with all
+    per-frame classes forced to 1 and all tracks pooled under the
+    "object" class (tao_ow.py:152-270)."""
+    key = (os.path.abspath(gt_json), os.path.abspath(tracker_json),
+           subset)
+    if key not in _TAO_CACHE:
+        if len(_TAO_CACHE) > 4:
+            _TAO_CACHE.clear()
+        _TAO_CACHE[key] = TaoOwData(gt_json, tracker_json, subset)
+    data = _TAO_CACHE[key]
+    vid = data.seq_ids[seq]
+    T = data.seq_lengths[vid]
+    img_to_t = data.img_to_t[vid]
+
+    def frames(images, with_conf):
+        ids = [np.empty(0, int)] * T
+        cls = [np.empty(0, int)] * T
+        dets = [np.empty((0, 4))] * T
+        conf = [np.empty(0)] * T
+        for img in images:
+            t = img_to_t.get(img["id"])
+            if t is None:
+                continue
+            anns = img["annotations"]
+            dets[t] = np.atleast_2d(
+                [a["bbox"] for a in anns]).astype(float)
+            ids[t] = np.atleast_1d(
+                [a["track_id"] for a in anns]).astype(int)
+            cls[t] = np.ones(len(anns), int)     # class-agnostic
+            if with_conf:
+                conf[t] = np.atleast_1d(
+                    [a["score"] for a in anns]).astype(float)
+        return ids, cls, dets, conf
+
+    g_ids, g_cls, g_dets, _ = frames(data.gt_images[vid], False)
+    t_ids, t_cls, t_dets, t_conf = frames(data.trk_images[vid], True)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, t_dets)]
+    sc = data.seq_classes[vid]
+
+    def track_repr(all_tracks, with_scores):
+        by_cls = {1: list(all_tracks)}           # all tracks pooled
+        out = {
+            "tracks": {c: [{a["image_id"]: np.atleast_1d(a["bbox"])
+                            for a in tr["annotations"]} for tr in trs]
+                       for c, trs in by_cls.items()},
+            "ids": {c: [tr["id"] for tr in trs]
+                    for c, trs in by_cls.items()},
+            "areas": {c: [tr["area"] for tr in trs]
+                      for c, trs in by_cls.items()},
+            "lengths": {c: [len(tr["annotations"]) for tr in trs]
+                        for c, trs in by_cls.items()},
+        }
+        if with_scores:
+            out["scores"] = {
+                c: np.array([np.mean([float(a["score"])
+                                      for a in tr["annotations"]])
+                             for tr in trs])
+                for c, trs in by_cls.items()}
+        return out
+
+    return {
+        "seq": seq, "num_timesteps": T,
+        "gt_ids": g_ids, "gt_classes": g_cls, "gt_dets": g_dets,
+        "tracker_ids": t_ids, "tracker_classes": t_cls,
+        "tracker_dets": t_dets, "tracker_confidences": t_conf,
+        "similarity": sim,
+        # class-agnostic: neg/not-exhaustive stay in raw category ids,
+        # which never equal the "object" id 1 unless present
+        "neg_cat_ids": sc["neg"], "not_exhaustive": sc["not_exhaustive"],
+        "gt_track_repr": track_repr(data.gt_tracks[vid], False),
+        "dt_track_repr": track_repr(data.trk_tracks[vid], True),
+        "class_name_to_id": {"object": 1},
+    }
+
+
+def preprocess_tao_ow(raw: Dict, cls: str = "object") -> Dict:
+    return preprocess_tao(raw, cls)
