@@ -916,3 +916,123 @@ def test_tao_ow_preproc_golden(tmp_path):
         assert got["gt_track_ids"] == want["gt_track_ids"], subset
         assert got["dt_track_ids"] == want["dt_track_ids"], subset
         _check_metrics(got, want)
+
+
+# ---------------------------------------------------------------------------
+# YouTube-VIS
+# ---------------------------------------------------------------------------
+
+
+def synth_ytvis(root, seed=0):
+    """Tiny YT-VIS-layout dataset: track-level jsons with uncompressed-
+    RLE per-frame segmentations (disjoint rectangles), an iscrowd gt
+    track, per-track scores in the tracker json."""
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gtv", "youtube_vis_train_sub_split")
+    trk_dir = os.path.join(root, "trk", "youtube_vis_train_sub_split",
+                           "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    H, W = 72, 96
+    T = 8
+    categories = [{"id": 1, "name": "person"}, {"id": 2, "name": "dog"}]
+    videos = [{"id": 1, "file_names": [f"vidA/{t:05d}.jpg"
+                                       for t in range(T)]}]
+
+    def rect_rle(y0, x0, h, w):
+        m = np.zeros((H, W), np.uint8)
+        m[int(y0):int(y0) + h, int(x0):int(x0) + w] = 1
+        runs = RL.counts_to_runs(RL.encode(m))
+        return {"size": [H, W], "counts": [int(r) for r in runs]}
+
+    def track_segs(x_lane, cat, miss_p=0.0, crowd=0):
+        segs, areas = [], []
+        for t in range(T):
+            if rng.uniform() < miss_p:
+                segs.append(None)
+                areas.append(None)
+            else:
+                s = rect_rle(8 + 2 * t, x_lane + t, 16, 12)
+                segs.append(s)
+                areas.append(16 * 12)
+        return segs, areas
+
+    gt_anns, trk_anns = [], []
+    lanes = [4, 26, 48, 70]
+    cats = [1, 1, 2, 1]
+    for i in range(4):
+        segs, areas = track_segs(lanes[i], cats[i])
+        gt_anns.append({"id": 10 + i, "video_id": 1,
+                        "category_id": cats[i], "segmentations": segs,
+                        "areas": areas, "iscrowd": 1 if i == 3 else 0,
+                        "height": H, "width": W})
+        tsegs, _ = track_segs(lanes[i], cats[i], miss_p=0.2)
+        # jitter: shift the lane by 1-2 px via new rects
+        tsegs = [None if s is None else rect_rle(
+            8 + 2 * t + int(rng.integers(-1, 2)), lanes[i] + t, 16, 11)
+            for t, s in enumerate(tsegs)]
+        trk_anns.append({"video_id": 1, "category_id": cats[i],
+                         "segmentations": tsegs,
+                         "score": float(rng.uniform(0.4, 1.0)),
+                         "height": H, "width": W})
+    with open(os.path.join(gt_dir, "gt.json"), "w") as f:
+        json.dump({"videos": videos, "annotations": gt_anns,
+                   "categories": categories}, f)
+    with open(os.path.join(trk_dir, "results.json"), "w") as f:
+        json.dump(trk_anns, f)
+    return "vidA", T
+
+
+def test_ytvis_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = sys.modules["pycocotools.mask"]
+    m.frPyObjects = lambda obj, h, w: RL.fr_uncompressed(obj, h, w)
+    from trackeval.datasets import YouTubeVIS
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, T = synth_ytvis(root)
+
+    ds = YouTubeVIS({
+        "GT_FOLDER": os.path.join(root, "gtv") + "/",
+        "TRACKERS_FOLDER": os.path.join(root, "trk") + "/",
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+
+    gt_json = os.path.join(root, "gtv", "youtube_vis_train_sub_split",
+                           "gt.json")
+    trk_json = os.path.join(root, "trk", "youtube_vis_train_sub_split",
+                            "ours", "data", "results.json")
+    raw = R.load_ytvis_seq(seq, gt_json, trk_json)
+    for cls in ("person", "dog"):
+        want = ds.get_preprocessed_seq_data(raw_ref, cls)
+        got = R.preprocess_ytvis(raw, cls)
+        _compare_mots(got, want, T, label=f"ytvis/{cls}")
+        assert got["gt_track_ids"] == want["gt_track_ids"]
+        assert got["dt_track_ids"] == want["dt_track_ids"]
+        assert got["gt_track_iscrowd"] == want["gt_track_iscrowd"]
+        np.testing.assert_allclose(got["gt_track_areas"],
+                                   want["gt_track_areas"])
+        _check_metrics(got, want)
+        # TrackMAP(mask): no per-track lengths in YT-VIS, so compare
+        # with the time splits disabled on the oracle (ours keeps every
+        # track in-range for those splits)
+        from trackeval.metrics import TrackMAP
+
+        from yolov7_tracker_tpu.eval import metrics as M
+
+        tm = TrackMAP({"PRINT_CONFIG": False, "USE_TIME_RANGES": False})
+        want_tm = tm.combine_sequences({0: tm.eval_sequence(want)})
+        got_tm = M.trackmap_combine([M.trackmap_sequence(got)])
+        for lbl in ("all", "area_s", "area_m", "area_l"):
+            np.testing.assert_allclose(
+                np.asarray(got_tm["AP_" + lbl]),
+                np.asarray(want_tm["AP_" + lbl]),
+                atol=1e-8, err_msg=f"{cls}/AP_{lbl}")

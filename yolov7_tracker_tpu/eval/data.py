@@ -104,6 +104,8 @@ BENCHMARKS = {
     "TAO": {"classes": {}, "eval_classes": [], "distractors": []},
     "TAO_OW": {"classes": {"object": 1}, "eval_classes": ["object"],
                "distractors": []},
+    # YouTube-VIS eval classes come from the gt json
+    "YouTubeVIS": {"classes": {}, "eval_classes": [], "distractors": []},
 }
 
 

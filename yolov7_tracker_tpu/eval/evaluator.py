@@ -51,6 +51,7 @@ def _reader_registry():
         "DAVIS": (R.load_davis_seq, R.preprocess_davis),
         "TAO": (R.load_tao_seq, R.preprocess_tao),
         "TAO_OW": (R.load_tao_ow_seq, R.preprocess_tao_ow),
+        "YouTubeVIS": (R.load_ytvis_seq, R.preprocess_ytvis),
     }
 
 
@@ -125,7 +126,7 @@ def evaluate_benchmark(
         result_ext = {"BDD100K": ".json", "DAVIS": ""}.get(benchmark, ".txt")
     if result_loc_format is None:
         result_loc_format = ("{results_folder}/results.json"
-                             if benchmark in ("TAO", "TAO_OW")
+                             if benchmark in ("TAO", "TAO_OW", "YouTubeVIS")
                              else "{results_folder}/{seq}" + result_ext)
     jobs = [
         (

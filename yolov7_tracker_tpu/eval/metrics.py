@@ -433,16 +433,45 @@ def track_iou_xywh(dt_track: Dict[int, np.ndarray],
     return inter / union if union > 0 else 0.0
 
 
-def _trackmap_ig_masks(n, lengths, areas, iscrowd=None):
+def track_iou_mask(dt_track: Dict[int, dict],
+                   gt_track: Dict[int, dict]) -> float:
+    """Spatio-temporal track IoU on RLE masks (track_map.py:400-431,
+    _compute_mask_track_iou): per-frame mask intersections/unions summed
+    over the union of both tracks' frames."""
+    from . import rle as RL
+
+    inter = union = 0.0
+    for f in set(dt_track) | set(gt_track):
+        d, g = dt_track.get(f), gt_track.get(f)
+        if d is not None and g is not None:
+            inter += RL.area(RL.merge([d, g], intersect=True))
+            union += RL.area(RL.merge([d, g], intersect=False))
+        elif g is not None:
+            union += RL.area(g)
+        elif d is not None:
+            union += RL.area(d)
+    return inter / union if union > 0 else 0.0
+
+
+def _trackmap_ig_masks(n, lengths, areas, iscrowd=None,
+                       ignore_all=False):
     """One 0/1 ignore vector per split: 'all' keeps everything; range
-    splits ignore tracks outside [lo, hi] (track_map.py:313-346)."""
+    splits ignore tracks outside [lo, hi] (track_map.py:313-346).
+    lengths=None (YouTube-VIS ships no per-track lengths) keeps every
+    track in the time splits; ignore_all covers the TAO
+    not-exhaustively-labeled case where every dt track is ignored."""
+    if ignore_all:
+        return [np.ones(n)] * len(TRACKMAP_LABELS)
     masks = [np.zeros(n)]
     for lo, hi in TRACKMAP_AREA_RANGES.values():
         a = np.asarray(areas, float)
         masks.append(((a < lo - EPS) | (a > hi + EPS)).astype(float))
     for lo, hi in TRACKMAP_TIME_RANGES.values():
-        t = np.asarray(lengths, float)
-        masks.append(((t < lo - EPS) | (t > hi + EPS)).astype(float))
+        if lengths is None:
+            masks.append(np.zeros(n))
+        else:
+            t = np.asarray(lengths, float)
+            masks.append(((t < lo - EPS) | (t > hi + EPS)).astype(float))
     if iscrowd is not None:
         crowd = np.asarray(iscrowd, float) > 0
         masks = [np.maximum(m, crowd) for m in masks]
@@ -463,16 +492,20 @@ def trackmap_sequence(data: Dict) -> Dict:
         return {i: None for i in range(n_splits)}
 
     gt_ig_masks = _trackmap_ig_masks(
-        len(gt_ids), data["gt_track_lengths"], data["gt_track_areas"],
-        data.get("gt_track_iscrowd"),
+        len(gt_ids), data.get("gt_track_lengths"),
+        data["gt_track_areas"], data.get("gt_track_iscrowd"),
     )
     dt_ig_masks = _trackmap_ig_masks(
-        len(dt_ids), data["dt_track_lengths"], data["dt_track_areas"]
+        len(dt_ids), data.get("dt_track_lengths"),
+        data["dt_track_areas"],
+        ignore_all=bool(data.get("not_exhaustively_labeled")),
     )
+    track_iou = (track_iou_mask if data.get("iou_type") == "mask"
+                 else track_iou_xywh)
     ious = np.zeros((len(dt_ids), len(gt_ids)))
     for i, dt in enumerate(data["dt_tracks"]):
         for j, gt in enumerate(data["gt_tracks"]):
-            ious[i, j] = track_iou_xywh(dt, gt)
+            ious[i, j] = track_iou(dt, gt)
 
     n_thrs = len(TRACKMAP_IOU_THRS)
     res = {}

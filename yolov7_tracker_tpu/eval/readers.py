@@ -1096,3 +1096,166 @@ def load_tao_ow_seq(seq: str, gt_json: str, tracker_json: str,
 
 def preprocess_tao_ow(raw: Dict, cls: str = "object") -> Dict:
     return preprocess_tao(raw, cls)
+
+
+# ---------------------------------------------------------------------------
+# YouTube-VIS (trackeval/datasets/youtube_vis.py) — track-level jsons
+# with per-frame RLE segmentations, mask IoU, TrackMAP(mask)
+# ---------------------------------------------------------------------------
+
+
+class YouTubeVisData:
+    """Parsed YT-VIS gt + tracker jsons (youtube_vis.py:28-116).
+
+    gt: {videos, annotations (one per TRACK with per-frame
+    segmentations/areas/iscrowd), categories}; tracker json is a flat
+    track list with score + per-frame segmentations. Segmentations must
+    be RLE (uncompressed-list or compressed); polygons are unsupported
+    (eval/rle.fr_uncompressed)."""
+
+    def __init__(self, gt_json: str, tracker_json: str):
+        from . import rle as RL
+
+        with open(gt_json) as f:
+            self.gt = json.load(f)
+        self.classes = {c["name"]: c["id"] for c in self.gt["categories"]}
+        self.eval_classes = list(self.classes)
+        self.seq_ids = {v["file_names"][0].split("/")[0]: v["id"]
+                        for v in self.gt["videos"]}
+        self.seq_lengths = {v["id"]: len(v["file_names"])
+                            for v in self.gt["videos"]}
+
+        def prep(track):
+            segs = track["segmentations"]
+            track["segmentations"] = [
+                RL.fr_uncompressed(s) if s else None for s in segs]
+            areas = [RL.area(s) for s in track["segmentations"]
+                     if s is not None]
+            track["area"] = float(np.mean(areas)) if areas else 0
+
+        for tr in self.gt["annotations"]:
+            prep(tr)
+        with open(tracker_json) as f:
+            self.trk = json.load(f)
+        # tracker track ids: a global counter in video order
+        # (youtube_vis.py:294-300 assigns lazily per sequence; eager
+        # assignment in ascending video order matches when sequences are
+        # evaluated in that order)
+        tid = 0
+        for vid in sorted(self.seq_lengths):
+            for tr in self.trk:
+                if tr["video_id"] == vid:
+                    prep(tr)
+                    tr["id"] = tid
+                    tid += 1
+
+
+_YTVIS_CACHE: Dict[tuple, YouTubeVisData] = {}
+
+
+def load_ytvis_seq(seq: str, gt_json: str, tracker_json: str,
+                   num_timesteps: int = 0) -> Dict:
+    from . import rle as RL
+
+    key = (os.path.abspath(gt_json), os.path.abspath(tracker_json))
+    if key not in _YTVIS_CACHE:
+        if len(_YTVIS_CACHE) > 4:
+            _YTVIS_CACHE.clear()
+        _YTVIS_CACHE[key] = YouTubeVisData(*key)
+    data = _YTVIS_CACHE[key]
+    vid = data.seq_ids[seq]
+    T = data.seq_lengths[vid]
+    gt_tracks = [a for a in data.gt["annotations"]
+                 if a["video_id"] == vid]
+    dt_tracks = [a for a in data.trk if a["video_id"] == vid]
+
+    def frames(tracks, with_conf):
+        ids, cls, dets, conf = [], [], [], []
+        for t in range(T):
+            live = [tr for tr in tracks if tr["segmentations"][t]]
+            ids.append(np.atleast_1d(
+                [tr["id"] for tr in live]).astype(int))
+            cls.append(np.atleast_1d(
+                [tr["category_id"] for tr in live]).astype(int))
+            dets.append([tr["segmentations"][t] for tr in live])
+            conf.append(np.atleast_1d(
+                [tr["score"] for tr in live]).astype(float)
+                if with_conf else np.empty(0))
+        return ids, cls, dets, conf
+
+    g_ids, g_cls, g_dets, _ = frames(gt_tracks, False)
+    t_ids, t_cls, t_dets, t_conf = frames(dt_tracks, True)
+    sim = [RL.iou(g, d, [False] * len(d)) if len(g) and len(d)
+           else np.zeros((len(g), len(d)))
+           for g, d in zip(g_dets, t_dets)]
+
+    def track_repr(tracks, is_gt):
+        by_cls = {c: [tr for tr in tracks if tr["category_id"] == c]
+                  for c in data.classes.values()}
+        out = {
+            "tracks": {c: [{i: tr["segmentations"][i]
+                            for i in range(len(tr["segmentations"]))}
+                           for tr in trs]
+                       for c, trs in by_cls.items()},
+            "ids": {c: [tr["id"] for tr in trs]
+                    for c, trs in by_cls.items()},
+            "areas": {c: [tr["area"] for tr in trs]
+                      for c, trs in by_cls.items()},
+        }
+        if is_gt:
+            out["iscrowd"] = {c: [tr.get("iscrowd", 0) for tr in trs]
+                              for c, trs in by_cls.items()}
+        else:
+            out["scores"] = {c: np.array([tr["score"] for tr in trs])
+                             for c, trs in by_cls.items()}
+        return out
+
+    return {
+        "seq": seq, "num_timesteps": T,
+        "gt_ids": g_ids, "gt_classes": g_cls, "gt_dets": g_dets,
+        "tracker_ids": t_ids, "tracker_classes": t_cls,
+        "tracker_dets": t_dets, "tracker_confidences": t_conf,
+        "similarity": sim,
+        "gt_track_repr": track_repr(gt_tracks, True),
+        "dt_track_repr": track_repr(dt_tracks, False),
+        "class_name_to_id": dict(data.classes),
+    }
+
+
+def preprocess_ytvis(raw: Dict, cls: str) -> Dict:
+    """youtube_vis.py:160-282: pure class split (no det removal at
+    all), contiguous relabel, TrackMAP(mask) track representations
+    sorted by score."""
+    cls_id = raw["class_name_to_id"][cls]
+    T = raw["num_timesteps"]
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "similarity_scores": []}
+    for t in range(T):
+        gm = raw["gt_classes"][t] == cls_id
+        tm = raw["tracker_classes"][t] == cls_id
+        out["gt_ids"].append(raw["gt_ids"][t][gm])
+        out["gt_dets"].append(
+            [d for d, m in zip(raw["gt_dets"][t], gm) if m])
+        out["tracker_ids"].append(raw["tracker_ids"][t][tm])
+        out["tracker_dets"].append(
+            [d for d, m in zip(raw["tracker_dets"][t], tm) if m])
+        out["similarity_scores"].append(raw["similarity"][t][gm][:, tm])
+    out = _relabel(out, T)
+    g, d = raw["gt_track_repr"], raw["dt_track_repr"]
+    out.update(
+        gt_tracks=g["tracks"][cls_id], gt_track_ids=g["ids"][cls_id],
+        gt_track_areas=g["areas"][cls_id],
+        gt_track_iscrowd=g["iscrowd"][cls_id],
+        dt_tracks=list(d["tracks"][cls_id]),
+        dt_track_ids=list(d["ids"][cls_id]),
+        dt_track_areas=list(d["areas"][cls_id]),
+        dt_track_scores=list(d["scores"][cls_id]),
+        iou_type="mask", seq=raw["seq"], cls=cls,
+    )
+    if out["dt_tracks"]:
+        idx = np.argsort([-s for s in out["dt_track_scores"]],
+                         kind="mergesort")
+        for k in ("dt_track_scores", "dt_tracks", "dt_track_ids",
+                  "dt_track_areas"):
+            out[k] = [out[k][i] for i in idx]
+    return out

@@ -226,3 +226,22 @@ def encode_pycoco(arr: np.ndarray):
     if arr.ndim == 2:
         return encode(arr)
     return [encode(arr[:, :, i]) for i in range(arr.shape[2])]
+
+
+def fr_uncompressed(obj, h=None, w=None):
+    """pycocotools mask.frPyObjects for RLE inputs: an uncompressed
+    {'size', 'counts': list} dict (or a list of them) compresses to the
+    string form; already-compressed dicts pass through. Polygon
+    segmentations are not supported (they need COCO's 5x-upsampled
+    crossing rasterizer) — supply RLE, as tracker outputs do."""
+    if isinstance(obj, dict):
+        counts = obj["counts"]
+        if isinstance(counts, (bytes, str)):
+            return {"size": list(obj["size"]),
+                    "counts": counts.encode("utf-8")
+                    if isinstance(counts, str) else counts}
+        return {"size": list(obj["size"]), "counts": runs_to_counts(counts)}
+    if isinstance(obj, (list, tuple)) and obj and isinstance(obj[0], dict):
+        return [fr_uncompressed(o, h, w) for o in obj]
+    raise NotImplementedError(
+        "polygon segmentations are not supported; supply RLE dicts")
