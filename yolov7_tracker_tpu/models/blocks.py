@@ -82,6 +82,7 @@ class RepConv(nn.Module):
     c2: int
     s: int = 1
     act: str = "silu"
+    g: int = 1
     fused: bool = False
 
     @nn.compact
@@ -89,14 +90,17 @@ class RepConv(nn.Module):
         c1 = x.shape[-1]
         if self.fused:
             out = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
+                          feature_group_count=self.g,
                           use_bias=True, name="rbr_reparam")(x)
             return activation(self.act)(out)
         dense = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
+                        feature_group_count=self.g,
                         use_bias=False, name="rbr_dense_conv")(x)
         dense = nn.BatchNorm(use_running_average=not training,
                              epsilon=BN_EPS, momentum=BN_MOM,
                              name="rbr_dense_bn")(dense)
         one = nn.Conv(self.c2, (1, 1), strides=self.s, padding=0,
+                      feature_group_count=self.g,
                       use_bias=False, name="rbr_1x1_conv")(x)
         one = nn.BatchNorm(use_running_average=not training,
                            epsilon=BN_EPS, momentum=BN_MOM,
@@ -236,6 +240,48 @@ class Res(nn.Module):
         return x + y if (self.shortcut and c1 == self.c2) else y
 
 
+class RepBottleneck(nn.Module):
+    """Bottleneck with a RepConv second conv (models/common.py:646-651;
+    the reference ctor pins the parent's shortcut/g/e to defaults, so
+    cv1 always uses e=0.5 and the residual is always on for c1==c2)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * 0.5)
+        y = ConvBnAct(c_, 1, 1, fused=self.fused, name="cv1")(x, training)
+        y = RepConv(self.c2, 1, g=self.g, fused=self.fused,
+                    name="cv2")(y, training)
+        return x + y if c1 == self.c2 else y
+
+
+class RepRes(nn.Module):
+    """Res with a RepConv middle conv (models/common.py:678-683,
+    710-715 for the g=32 ResX variant)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        y = RepConv(c_, 1, g=self.g, fused=f, name="cv2")(y, training)
+        y = ConvBnAct(self.c2, 1, 1, fused=f, name="cv3")(y, training)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
 class CSP(nn.Module):
     """CSP wrapper covering the A/B/C split topologies with Bottleneck
     or Res inner stacks (models/common.py:307-404: BottleneckCSPA/B/C,
@@ -265,6 +311,15 @@ class CSP(nn.Module):
             if self.inner == "res":
                 y1 = Res(c_, self.shortcut, self.g, self.inner_e,
                          fused=f, name=f"m{j}")(y1, training)
+            elif self.inner == "rep_res":
+                y1 = RepRes(c_, self.shortcut, self.g, self.inner_e,
+                            fused=f, name=f"m{j}")(y1, training)
+            elif self.inner == "ghost":
+                y1 = Ghost(c_, fused=f, name=f"m{j}")(y1, training)
+            elif self.inner == "rep_bottleneck":
+                y1 = RepBottleneck(c_, self.shortcut, self.g,
+                                   self.inner_e, fused=f,
+                                   name=f"m{j}")(y1, training)
             else:
                 y1 = Bottleneck(c_, 1, self.shortcut, self.g,
                                 self.inner_e, fused=f,
@@ -414,3 +469,221 @@ class SPPF(nn.Module):
         return ConvBnAct(self.c2, 1, 1, fused=f, name="cv2")(
             jnp.concatenate([x, y1, y2, y3], axis=-1), training
         )
+
+
+# ---------------------------------------------------------------------------
+# Ghost family (models/common.py:143-162, 243-255, 385-404: GhostConv,
+# Ghost bottleneck, GhostCSPA/B/C inner stacks; DWConv at :136-140 is a
+# Conv with groups=gcd(c1, c2))
+# ---------------------------------------------------------------------------
+
+
+def _gcd(a: int, b: int) -> int:
+    import math
+
+    return math.gcd(a, b)
+
+
+class GhostConv(nn.Module):
+    """Half the channels from a dense conv, the other half from a cheap
+    5x5 depthwise on top of them (models/common.py:152-162)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: str = "silu"
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, g=self.g, act=self.act,
+                      fused=self.fused, name="cv1")(x, training)
+        y2 = ConvBnAct(c_, 5, 1, g=c_, act=self.act,
+                       fused=self.fused, name="cv2")(y, training)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Ghost(nn.Module):
+    """Ghost bottleneck (models/common.py:243-255): pw GhostConv ->
+    (stride-2 depthwise) -> linear GhostConv, plus a shortcut that is
+    identity at s=1 or depthwise+pointwise at s=2."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c1 = x.shape[-1]
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, fused=f, name="conv0")(x, training)
+        if self.s == 2:
+            y = ConvBnAct(c_, self.k, 2, g=c_, act="id", fused=f,
+                          name="conv1")(y, training)
+        y = GhostConv(self.c2, 1, 1, act="id", fused=f,
+                      name="conv2")(y, training)
+        if self.s == 2:
+            sc = ConvBnAct(c1, self.k, 2, g=c1, act="id", fused=f,
+                           name="shortcut0")(x, training)
+            sc = ConvBnAct(self.c2, 1, 1, act="id", fused=f,
+                           name="shortcut1")(sc, training)
+        else:
+            sc = x
+        return y + sc
+
+
+class GhostSPPCSPC(nn.Module):
+    """SPPCSPC with every conv replaced by a GhostConv
+    (models/common.py GhostSPPCSPC)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = self.c2  # e=0.5 -> int(2 * c2 * 0.5)
+        x1 = GhostConv(c_, 1, 1, fused=f, name="cv1")(x, training)
+        x1 = GhostConv(c_, 3, 1, fused=f, name="cv3")(x1, training)
+        x1 = GhostConv(c_, 1, 1, fused=f, name="cv4")(x1, training)
+        pools = [max_pool(x1, k, 1, k // 2) for k in self.k]
+        y1 = GhostConv(c_, 1, 1, fused=f, name="cv5")(
+            jnp.concatenate([x1] + pools, axis=-1), training)
+        y1 = GhostConv(c_, 3, 1, fused=f, name="cv6")(y1, training)
+        y2 = GhostConv(c_, 1, 1, fused=f, name="cv2")(x, training)
+        return GhostConv(self.c2, 1, 1, fused=f, name="cv7")(
+            jnp.concatenate([y1, y2], axis=-1), training)
+
+
+# ---------------------------------------------------------------------------
+# yolov5 conveniences (models/common.py:796-852, 1015-1035: Focus,
+# Contract, Expand, Classify) and the ViT block (:746-790)
+# ---------------------------------------------------------------------------
+
+
+class Focus(nn.Module):
+    """Space-to-depth then conv (models/common.py:796-805); the slice
+    order matches ReOrg, so this is conv(reorg(x))."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: str = "silu"
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return ConvBnAct(self.c2, self.k, self.s, g=self.g, act=self.act,
+                         fused=self.fused, name="conv")(reorg(x), training)
+
+
+def contract(x, gain: int = 2):
+    """Width/height into channels (models/common.py:824-835); output
+    channel index = (i_sh * gain + i_sw) * C + c, identical to the
+    torch NCHW permute semantics."""
+    n, h, w, c = x.shape
+    s = gain
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)      # (n, h/s, w/s, s_h, s_w, c)
+    return x.reshape(n, h // s, w // s, s * s * c)
+
+
+def expand(x, gain: int = 2):
+    """Channels into width/height (models/common.py:838-849), the exact
+    inverse of contract for channel index (i_sh*s + i_sw)*C' + c'."""
+    n, h, w, c = x.shape
+    s = gain
+    x = x.reshape(n, h, w, s, s, c // (s * s))
+    x = x.transpose(0, 1, 3, 2, 4, 5)      # (n, h, s_h, w, s_w, c')
+    return x.reshape(n, h * s, w * s, c // (s * s))
+
+
+class Classify(nn.Module):
+    """Classification head: global average pool -> biased conv ->
+    flatten (models/common.py:1015-1025); list inputs concatenate their
+    pooled features."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        z = jnp.concatenate(
+            [y.mean(axis=(1, 2), keepdims=True) for y in xs], axis=-1)
+        z = nn.Conv(self.c2, (self.k, self.k), strides=self.s,
+                    padding=self.k // 2, feature_group_count=self.g,
+                    use_bias=True, name="conv")(z)
+        return z.reshape(z.shape[0], -1)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-projected multi-head self-attention + 2-layer MLP, both with
+    residuals and no LayerNorm (models/common.py:746-760). Matches torch
+    nn.MultiheadAttention's in/out projection structure."""
+
+    c: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, L, C)
+        c, h = self.c, self.num_heads
+        hd = c // h
+        q = nn.Dense(c, use_bias=False, name="q")(x)
+        k = nn.Dense(c, use_bias=False, name="k")(x)
+        v = nn.Dense(c, use_bias=False, name="v")(x)
+        # torch MHA in-projection: one (3c, c) weight + (3c,) bias
+        wi = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
+                        (3 * c, c))
+        bi = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,))
+        qq = q @ wi[:c].T + bi[:c]
+        kk = k @ wi[c:2 * c].T + bi[c:2 * c]
+        vv = v @ wi[2 * c:].T + bi[2 * c:]
+
+        def split(t):  # (B, L, C) -> (B, h, L, hd)
+            b, l, _ = t.shape
+            return t.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jax.nn.softmax(
+            split(qq) @ split(kk).transpose(0, 1, 3, 2) / jnp.sqrt(hd),
+            axis=-1)
+        o = attn @ split(vv)                    # (B, h, L, hd)
+        b, _, l, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, c)
+        o = nn.Dense(c, use_bias=True, name="out_proj")(o)
+        x = o + x
+        y = nn.Dense(c, use_bias=False, name="fc1")(x)
+        y = nn.Dense(c, use_bias=False, name="fc2")(y)
+        return y + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over the flattened feature map with a learned
+    per-position embedding (models/common.py:763-790)."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if x.shape[-1] != self.c2:
+            x = ConvBnAct(self.c2, 1, 1, fused=self.fused,
+                          name="conv")(x, training)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)              # row-major (H, W) order
+        e = nn.Dense(c, use_bias=True, name="linear")(p)
+        x = p + e
+        for j in range(self.num_layers):
+            x = TransformerLayer(c, self.num_heads, name=f"tr{j}")(x)
+        return x.reshape(b, h, w, c)

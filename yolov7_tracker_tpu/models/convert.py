@@ -75,6 +75,76 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
         put(stats, (layer_name,) + dst_prefix + ("bn", "var"),
             sd[src_prefix + ".bn.running_var"])
 
+    def rep_conv(dst_prefix, src_prefix, layer_name):
+        """RepConv branches (training rbr_dense/rbr_1x1/rbr_identity or
+        deploy rbr_reparam folded back into the dense branch)."""
+        base = (layer_name,) + dst_prefix
+        if f"{src_prefix}.rbr_reparam.weight" in sd:
+            put(params, base + ("rbr_dense_conv", "kernel"),
+                _k(sd[f"{src_prefix}.rbr_reparam.weight"]))
+            c2 = sd[f"{src_prefix}.rbr_reparam.bias"].shape[0]
+            put(params, base + ("rbr_dense_bn", "scale"), np.ones(c2))
+            put(params, base + ("rbr_dense_bn", "bias"),
+                sd[f"{src_prefix}.rbr_reparam.bias"])
+            put(stats, base + ("rbr_dense_bn", "mean"), np.zeros(c2))
+            put(stats, base + ("rbr_dense_bn", "var"),
+                np.full(c2, 1.0 - BN_EPS))
+            c1 = sd[f"{src_prefix}.rbr_reparam.weight"].shape[1]
+            put(params, base + ("rbr_1x1_conv", "kernel"),
+                np.zeros((1, 1, c1, c2)))
+            put(params, base + ("rbr_1x1_bn", "scale"), np.ones(c2))
+            put(params, base + ("rbr_1x1_bn", "bias"), np.zeros(c2))
+            put(stats, base + ("rbr_1x1_bn", "mean"), np.zeros(c2))
+            put(stats, base + ("rbr_1x1_bn", "var"),
+                np.full(c2, 1.0 - BN_EPS))
+            return
+        put(params, base + ("rbr_dense_conv", "kernel"),
+            _k(sd[f"{src_prefix}.rbr_dense.0.weight"]))
+        for tgt, src in (("scale", "weight"), ("bias", "bias")):
+            put(params, base + ("rbr_dense_bn", tgt),
+                sd[f"{src_prefix}.rbr_dense.1.{src}"])
+        put(stats, base + ("rbr_dense_bn", "mean"),
+            sd[f"{src_prefix}.rbr_dense.1.running_mean"])
+        put(stats, base + ("rbr_dense_bn", "var"),
+            sd[f"{src_prefix}.rbr_dense.1.running_var"])
+        put(params, base + ("rbr_1x1_conv", "kernel"),
+            _k(sd[f"{src_prefix}.rbr_1x1.0.weight"]))
+        for tgt, src in (("scale", "weight"), ("bias", "bias")):
+            put(params, base + ("rbr_1x1_bn", tgt),
+                sd[f"{src_prefix}.rbr_1x1.1.{src}"])
+        put(stats, base + ("rbr_1x1_bn", "mean"),
+            sd[f"{src_prefix}.rbr_1x1.1.running_mean"])
+        put(stats, base + ("rbr_1x1_bn", "var"),
+            sd[f"{src_prefix}.rbr_1x1.1.running_var"])
+        if f"{src_prefix}.rbr_identity.weight" in sd:
+            put(params, base + ("rbr_identity", "scale"),
+                sd[f"{src_prefix}.rbr_identity.weight"])
+            put(params, base + ("rbr_identity", "bias"),
+                sd[f"{src_prefix}.rbr_identity.bias"])
+            put(stats, base + ("rbr_identity", "mean"),
+                sd[f"{src_prefix}.rbr_identity.running_mean"])
+            put(stats, base + ("rbr_identity", "var"),
+                sd[f"{src_prefix}.rbr_identity.running_var"])
+
+    def ghost_conv(dst_prefix, src_prefix, layer_name):
+        for cv in ("cv1", "cv2"):
+            conv_bn(dst_prefix + (cv,), f"{src_prefix}.{cv}", layer_name)
+
+    def ghost_block(dst_prefix, src_prefix, layer_name):
+        """Ghost bottleneck at s=1 (conv.0 / conv.2 GhostConvs; the s=2
+        depthwise/shortcut branches appear only in stride-2 uses)."""
+        ghost_conv(dst_prefix + ("conv0",), f"{src_prefix}.conv.0",
+                   layer_name)
+        ghost_conv(dst_prefix + ("conv2",), f"{src_prefix}.conv.2",
+                   layer_name)
+        if f"{src_prefix}.conv.1.conv.weight" in sd:
+            conv_bn(dst_prefix + ("conv1",), f"{src_prefix}.conv.1",
+                    layer_name)
+            conv_bn(dst_prefix + ("shortcut0",),
+                    f"{src_prefix}.shortcut.0", layer_name)
+            conv_bn(dst_prefix + ("shortcut1",),
+                    f"{src_prefix}.shortcut.1", layer_name)
+
     for l in spec.layers:
         i = l.index
         name = f"layer{i}"
@@ -102,14 +172,36 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                 "cv1", "cv2", "cv3")
             for cv in outer:
                 conv_bn((cv,), f"{pre}.{cv}", name)
-            inner_cvs = ("cv1", "cv2", "cv3") if inner == "res" else (
-                "cv1", "cv2")
             for j in range(l.args[0]):
-                for cv in inner_cvs:
-                    conv_bn((f"m{j}", cv), f"{pre}.m.{j}.{cv}", name)
+                src_m = f"{pre}.m.{j}"
+                if inner == "ghost":
+                    ghost_block((f"m{j}",), src_m, name)
+                elif inner == "rep_bottleneck":
+                    conv_bn((f"m{j}", "cv1"), f"{src_m}.cv1", name)
+                    rep_conv((f"m{j}", "cv2"), f"{src_m}.cv2", name)
+                elif inner == "rep_res":
+                    conv_bn((f"m{j}", "cv1"), f"{src_m}.cv1", name)
+                    rep_conv((f"m{j}", "cv2"), f"{src_m}.cv2", name)
+                    conv_bn((f"m{j}", "cv3"), f"{src_m}.cv3", name)
+                else:
+                    inner_cvs = (("cv1", "cv2", "cv3") if inner == "res"
+                                 else ("cv1", "cv2"))
+                    for cv in inner_cvs:
+                        conv_bn((f"m{j}", cv), f"{src_m}.{cv}", name)
         elif l.kind == "SPP":
             for cv in ("cv1", "cv2"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
+        elif l.kind == "Focus":
+            conv_bn(("conv",), f"{pre}.conv", name)
+        elif l.kind == "DWConv":
+            conv_bn((), pre, name)
+        elif l.kind == "GhostConv":
+            ghost_conv((), pre, name)
+        elif l.kind == "Ghost":
+            ghost_block((), pre, name)
+        elif l.kind == "GhostSPPCSPC":
+            for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+                ghost_conv((cv,), f"{pre}.{cv}", name)
         elif l.kind == "SPPF":
             for cv in ("cv1", "cv2"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
@@ -125,53 +217,7 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
             for cv in ("cv1", "cv2", "cv3", "cv4"):
                 conv_bn((cv,), f"{pre}.{cv}", name)
         elif l.kind == "RepConv":
-            if f"{pre}.rbr_reparam.weight" in sd:
-                # deploy-fused: fold into dense branch w/ identity BN
-                put(params, (name, "rbr_dense_conv", "kernel"),
-                    _k(sd[f"{pre}.rbr_reparam.weight"]))
-                c2 = sd[f"{pre}.rbr_reparam.bias"].shape[0]
-                put(params, (name, "rbr_dense_bn", "scale"), np.ones(c2))
-                put(params, (name, "rbr_dense_bn", "bias"),
-                    sd[f"{pre}.rbr_reparam.bias"])
-                put(stats, (name, "rbr_dense_bn", "mean"), np.zeros(c2))
-                put(stats, (name, "rbr_dense_bn", "var"),
-                    np.full(c2, 1.0 - BN_EPS))
-                c1 = sd[f"{pre}.rbr_reparam.weight"].shape[1]
-                put(params, (name, "rbr_1x1_conv", "kernel"),
-                    np.zeros((1, 1, c1, c2)))
-                put(params, (name, "rbr_1x1_bn", "scale"), np.ones(c2))
-                put(params, (name, "rbr_1x1_bn", "bias"), np.zeros(c2))
-                put(stats, (name, "rbr_1x1_bn", "mean"), np.zeros(c2))
-                put(stats, (name, "rbr_1x1_bn", "var"),
-                    np.full(c2, 1.0 - BN_EPS))
-            else:
-                put(params, (name, "rbr_dense_conv", "kernel"),
-                    _k(sd[f"{pre}.rbr_dense.0.weight"]))
-                for tgt, src in (("scale", "weight"), ("bias", "bias")):
-                    put(params, (name, "rbr_dense_bn", tgt),
-                        sd[f"{pre}.rbr_dense.1.{src}"])
-                put(stats, (name, "rbr_dense_bn", "mean"),
-                    sd[f"{pre}.rbr_dense.1.running_mean"])
-                put(stats, (name, "rbr_dense_bn", "var"),
-                    sd[f"{pre}.rbr_dense.1.running_var"])
-                put(params, (name, "rbr_1x1_conv", "kernel"),
-                    _k(sd[f"{pre}.rbr_1x1.0.weight"]))
-                for tgt, src in (("scale", "weight"), ("bias", "bias")):
-                    put(params, (name, "rbr_1x1_bn", tgt),
-                        sd[f"{pre}.rbr_1x1.1.{src}"])
-                put(stats, (name, "rbr_1x1_bn", "mean"),
-                    sd[f"{pre}.rbr_1x1.1.running_mean"])
-                put(stats, (name, "rbr_1x1_bn", "var"),
-                    sd[f"{pre}.rbr_1x1.1.running_var"])
-                if f"{pre}.rbr_identity.weight" in sd:
-                    put(params, (name, "rbr_identity", "scale"),
-                        sd[f"{pre}.rbr_identity.weight"])
-                    put(params, (name, "rbr_identity", "bias"),
-                        sd[f"{pre}.rbr_identity.bias"])
-                    put(stats, (name, "rbr_identity", "mean"),
-                        sd[f"{pre}.rbr_identity.running_mean"])
-                    put(stats, (name, "rbr_identity", "var"),
-                        sd[f"{pre}.rbr_identity.running_var"])
+            rep_conv((), pre, name)
         elif l.kind == "DetectV8":
             # decoupled anchor-free head: cv2 box branch (2 conv+bn then
             # a biased 1x1 of 4*reg_max), cv3 class branch (same shape

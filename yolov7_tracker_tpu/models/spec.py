@@ -34,6 +34,14 @@ SUPPORTED = {
     # entries swap in these detectors via ultralytics; here they are
     # first-class spec citizens so the same compiled pipeline runs them)
     "C3", "C2f", "SPPF", "DetectV8",
+    # extended zoo (models/common.py blocks unused by shipped cfgs but
+    # accepted by the reference parse_model)
+    "Focus", "DWConv", "GhostConv", "Ghost", "GhostSPPCSPC",
+    "Contract", "Expand",
+    "RepBottleneckCSPA", "RepBottleneckCSPB", "RepBottleneckCSPC",
+    "RepResCSPA", "RepResCSPB", "RepResCSPC",
+    "RepResXCSPA", "RepResXCSPB", "RepResXCSPC",
+    "GhostCSPA", "GhostCSPB", "GhostCSPC",
 }
 
 REG_MAX = 16  # DFL bins per box side (yolov8 head)
@@ -51,6 +59,26 @@ CSP_KINDS = {
     "ResXCSPA": ("a", "res", True, 32, 1.0),
     "ResXCSPB": ("b", "res", True, 32, 1.0),
     "ResXCSPC": ("c", "res", True, 32, 1.0),
+    # RepConv-cv2 variants (common.py:654-742). RepResXCSP* and
+    # RepBottleneckCSP* mirror the evident intent; the reference classes
+    # are unbuildable (ResX ctor typo 'shortcu' at common.py:712;
+    # RepBottleneck inner e=1.0 vs the parent's pinned e=0.5 cv1 at
+    # :646-675) so no torch golden exists for them
+    "RepBottleneckCSPA": ("a", "rep_bottleneck", True, 1, 1.0),
+    "RepBottleneckCSPB": ("b", "rep_bottleneck", False, 1, 1.0),
+    "RepBottleneckCSPC": ("c", "rep_bottleneck", True, 1, 1.0),
+    "RepResCSPA": ("a", "rep_res", True, 1, 0.5),
+    "RepResCSPB": ("b", "rep_res", False, 1, 0.5),
+    "RepResCSPC": ("c", "rep_res", True, 1, 0.5),
+    # inner_e=1.0 like the working ResXCSP convention: the upstream
+    # e=0.5 would give 16 channels in 32 groups, an invalid conv
+    "RepResXCSPA": ("a", "rep_res", True, 32, 1.0),
+    "RepResXCSPB": ("b", "rep_res", False, 32, 1.0),
+    "RepResXCSPC": ("c", "rep_res", True, 32, 1.0),
+    # Ghost-bottleneck inner stacks (common.py:385-404)
+    "GhostCSPA": ("a", "ghost", True, 1, 1.0),
+    "GhostCSPB": ("b", "ghost", True, 1, 1.0),
+    "GhostCSPC": ("c", "ghost", True, 1, 1.0),
 }
 
 BIN_COUNT = 21  # IBin default (models/yolo.py:165)
@@ -201,10 +229,33 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             kk = args[1] if len(args) > 1 else 2
             norm_args = (kk,)
             out_ch, out_scale = c2, in_scale * kk
-        elif kind == "SPPCSPC":
+        elif kind in ("SPPCSPC", "GhostSPPCSPC"):
             c2 = make_divisible(args[0] * gw, 8)
             norm_args = ()
             out_ch, out_scale = c2, in_scale
+        elif kind in ("Focus", "DWConv", "GhostConv"):
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            k = args[1] if len(args) > 1 else 1
+            st = args[2] if len(args) > 2 else 1
+            norm_args = (k, st)
+            out_ch = c2
+            out_scale = in_scale * st * (2 if kind == "Focus" else 1)
+        elif kind == "Ghost":
+            c2 = make_divisible(args[0] * gw, 8)
+            k = args[1] if len(args) > 1 else 3
+            st = args[2] if len(args) > 2 else 1
+            norm_args = (k, st)
+            out_ch, out_scale = c2, in_scale * st
+        elif kind == "Contract":
+            gctr = args[0] if args else 2
+            norm_args = (gctr,)
+            out_ch, out_scale = in_ch * gctr ** 2, in_scale * gctr
+        elif kind == "Expand":
+            gctr = args[0] if args else 2
+            norm_args = (gctr,)
+            out_ch, out_scale = in_ch // gctr ** 2, in_scale // gctr
         elif kind == "Bottleneck":
             c2 = make_divisible(args[0] * gw, 8)
             shortcut = bool(args[1]) if len(args) > 1 else True

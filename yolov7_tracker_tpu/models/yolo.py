@@ -94,6 +94,36 @@ class YoloV7(nn.Module):
                     l.c_out, k=l.args[0], fused=self.fused,
                     name=f"layer{l.index}",
                 )
+            elif l.kind == "GhostSPPCSPC":
+                mods[str(l.index)] = blocks.GhostSPPCSPC(
+                    l.c_out, fused=self.fused, name=f"layer{l.index}"
+                )
+            elif l.kind == "Focus":
+                mods[str(l.index)] = blocks.Focus(
+                    l.c_out, k=l.args[0], s=l.args[1], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "DWConv":
+                # Conv with groups=gcd(c1, c2) (common.py:136-140)
+                c1 = (self.spec.layers[l.frm[0]].c_out
+                      if l.index > 0 else 3)
+                import math as _math
+
+                mods[str(l.index)] = blocks.ConvBnAct(
+                    l.c_out, l.args[0], l.args[1],
+                    g=_math.gcd(c1, l.c_out), fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "GhostConv":
+                mods[str(l.index)] = blocks.GhostConv(
+                    l.c_out, k=l.args[0], s=l.args[1], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "Ghost":
+                mods[str(l.index)] = blocks.Ghost(
+                    l.c_out, k=l.args[0], s=l.args[1], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
         self._mods = mods
         spec = self.spec
         head_idx = spec.layers[-1].index
@@ -175,6 +205,10 @@ class YoloV7(nn.Module):
                 y = blocks.reorg(inp)
             elif l.kind == "Upsample":
                 y = blocks.upsample_nearest(inp, l.args[0])
+            elif l.kind == "Contract":
+                y = blocks.contract(inp, l.args[0])
+            elif l.kind == "Expand":
+                y = blocks.expand(inp, l.args[0])
             elif l.kind == "Concat":
                 parts = [
                     saved[i] if i in saved else y for i in l.frm
