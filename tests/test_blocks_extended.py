@@ -224,3 +224,79 @@ def test_contract_expand_roundtrip_and_order():
     got_e = np.transpose(np.asarray(blocks.expand(
         jnp.asarray(np.transpose(x, (0, 2, 3, 1))), 2)), (0, 3, 1, 2))
     np.testing.assert_array_equal(got_e, want_e)
+
+
+SWIN_CFG = """
+nc: 4
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+
+backbone:
+  [[-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, Conv, [64, 3, 2]],
+   [-1, 2, STCSPA, [64]],
+   [-1, 1, Conv, [64, 3, 2]],
+   [-1, 2, ST2CSPC, [64]],
+   [-1, 1, SwinTransformerBlock, [64, 2, 2]],
+   [-1, 1, SwinTransformer2Block, [64, 2, 1]],
+   [-1, 2, STCSPB, [64]],
+  ]
+
+head:
+  [[[7], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+def test_swin_cfg_forward_parity(tmp_path):
+    """Swin v1/v2 layers, blocks and ST(2)CSP wrappers through a cfg
+    and the full converter, vs the reference torch Model. 64x64 input
+    exercises both the pad-to-window path (8x8 maps vs ws=7/8) and the
+    shifted-window mask."""
+    torch = pytest.importorskip("torch")
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.yolo import Model
+
+    from yolov7_tracker_tpu.models import convert, yolo
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+
+    path = str(tmp_path / "swin.yaml")
+    with open(path, "w") as f:
+        f.write(SWIN_CFG)
+    torch.manual_seed(0)
+    ref = Model(path, ch=3, nc=4)
+    ref.float().eval()
+    gen = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(
+                0.1 * torch.randn(m.num_features, generator=gen))
+            m.running_var.copy_(
+                1.0 + 0.1 * torch.rand(m.num_features, generator=gen))
+
+    spec = load_yaml_file(path, nc=4)
+    variables = convert.convert_state_dict(ref.state_dict(), spec)
+    model = yolo.YoloV7(spec)
+
+    import jax
+
+    n_ref = sum(p.numel() for p in ref.parameters())
+    n_mine = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert n_mine == n_ref, (n_mine, n_ref)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    dec, _ = model.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        training=False)
+    dec = np.asarray(dec)
+    assert dec.shape == ref_out.shape
+    a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
+    b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

@@ -687,3 +687,260 @@ class TransformerBlock(nn.Module):
         for j in range(self.num_layers):
             x = TransformerLayer(c, self.num_heads, name=f"tr{j}")(x)
         return x.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Swin transformer v1/v2 (models/common.py:1367-2006: WindowAttention(_v2),
+# SwinTransformerLayer(_v2), SwinTransformer(2)Block, ST(2)CSPA/B/C).
+# NHWC throughout; window partition/reverse are pure reshapes.
+# ---------------------------------------------------------------------------
+
+
+def _rel_pos_index(ws: int):
+    """Pairwise relative-position index inside a (ws, ws) window
+    (common.py:1382-1393)."""
+    import numpy as _np
+
+    coords = _np.stack(_np.meshgrid(_np.arange(ws), _np.arange(ws),
+                                    indexing="ij"))        # 2, ws, ws
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]              # 2, N, N
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)                                     # N, N
+
+
+def _window_partition(x, ws: int):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse(win, ws: int, h: int, w: int):
+    b = win.shape[0] // (h * w // ws // ws)
+    x = win.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _shift_mask(h: int, w: int, ws: int, shift: int):
+    """SW-MSA attention mask (common.py:1500-1520): -100 between tokens
+    whose windows wrap across the cyclic shift."""
+    import numpy as _np
+
+    img = _np.zeros((1, h, w, 1), _np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift),
+                    slice(-shift, None)):
+            img[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = _np.asarray(_window_partition(jnp.asarray(img), ws))[..., 0]
+    diff = mw[:, None, :] - mw[:, :, None]
+    return _np.where(diff != 0, -100.0, 0.0).astype(_np.float32)
+
+
+class WindowAttention(nn.Module):
+    """Swin v1 window MSA with a learned relative-position bias table
+    (common.py:1367-1435)."""
+
+    dim: int
+    ws: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        bw, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        scale = hd ** -0.5
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = q @ k.transpose(0, 1, 3, 2)                 # bw, h, n, n
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.ws - 1) ** 2, self.num_heads))
+        idx = _rel_pos_index(self.ws)
+        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, h, n, n) \
+                + mask[None, :, None]
+            attn = attn.reshape(bw, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, use_bias=True, name="proj")(out)
+
+
+class WindowAttentionV2(nn.Module):
+    """Swin v2 window MSA: cosine attention with a clamped learned
+    temperature and a continuous log-CPB MLP (common.py:1662-1765)."""
+
+    dim: int
+    ws: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        import numpy as _np
+
+        bw, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv_w = self.param(
+            "qkv_kernel", nn.initializers.xavier_uniform(), (c, 3 * c))
+        q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
+        bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+        qkv = (x @ qkv_w + bias).reshape(bw, n, 3, h, hd)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        def l2n(t):
+            return t / jnp.maximum(
+                jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+
+        attn = l2n(q) @ l2n(k).transpose(0, 1, 3, 2)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda rng, s: jnp.log(10.0) * jnp.ones(s), (h, 1, 1))
+        attn = attn * jnp.exp(
+            jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
+
+        # continuous relative position bias: sign(x)*log2(|8x|+1)/log2(8)
+        ws = self.ws
+        rng_h = _np.arange(-(ws - 1), ws, dtype=_np.float32)
+        table = _np.stack(
+            _np.meshgrid(rng_h, rng_h, indexing="ij"), -1)  # 2w-1,2w-1,2
+        table = table / (ws - 1) * 8.0
+        table = (_np.sign(table) * _np.log2(_np.abs(table) + 1.0)
+                 / _np.log2(8.0)).reshape(-1, 2)
+        t = nn.Dense(512, use_bias=True, name="cpb_fc1")(
+            jnp.asarray(table))
+        t = nn.Dense(self.num_heads, use_bias=False, name="cpb_fc2")(
+            jax.nn.relu(t))
+        idx = _rel_pos_index(ws)
+        bias_t = t[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + 16.0 * jax.nn.sigmoid(bias_t)[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, h, n, n) \
+                + mask[None, :, None]
+            attn = attn.reshape(bw, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, use_bias=True, name="proj")(out)
+
+
+class SwinTransformerLayer(nn.Module):
+    """One (shifted-)window attention layer (common.py:1472-1582 for
+    v1 pre-norm, 1816-1942 for v2 post-norm), with the same pad-to-
+    window-multiple behavior. v2 flips norm placement and attention."""
+
+    dim: int
+    num_heads: int
+    ws: int = 8
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    v2: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h0, w0, c = x.shape
+        ws = self.ws
+        pad_b = (ws - h0 % ws) % ws
+        pad_r = (ws - w0 % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+
+        mask = (jnp.asarray(_shift_mask(h, w, ws, self.shift))
+                if self.shift > 0 else None)
+        shortcut = x.reshape(b, h * w, c)
+        y = x
+        if not self.v2:
+            y = nn.LayerNorm(name="norm1")(y)
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+        win = _window_partition(y, ws)
+        attn_cls = WindowAttentionV2 if self.v2 else WindowAttention
+        win = attn_cls(c, ws, self.num_heads, name="attn")(win, mask)
+        y = _window_reverse(win, ws, h, w)
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        y = y.reshape(b, h * w, c)
+        if self.v2:
+            y = nn.LayerNorm(name="norm1")(y)
+        x = shortcut + y
+        hid = int(c * self.mlp_ratio)
+        if self.v2:
+            m = nn.Dense(hid, name="mlp_fc1")(x)
+            m = nn.Dense(c, name="mlp_fc2")(jax.nn.silu(m))
+            x = x + nn.LayerNorm(name="norm2")(m)
+        else:
+            m = nn.LayerNorm(name="norm2")(x)
+            m = nn.Dense(hid, name="mlp_fc1")(m)
+            m = nn.Dense(c, name="mlp_fc2")(jax.nn.silu(m))
+            x = x + m
+        x = x.reshape(b, h, w, c)
+        if pad_b or pad_r:
+            x = x[:, :h0, :w0]
+        return x
+
+
+class SwinBlock(nn.Module):
+    """SwinTransformer(2)Block (common.py:1584-1599, 1946-1961):
+    optional channel-matching conv then alternating W-MSA / SW-MSA
+    layers (shift = ws//2 on odd layers)."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    ws: int = 8          # v1 default 8, v2 default 7
+    v2: bool = False
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if x.shape[-1] != self.c2:
+            x = ConvBnAct(self.c2, 1, 1, fused=self.fused,
+                          name="conv")(x, training)
+        for i in range(self.num_layers):
+            x = SwinTransformerLayer(
+                self.c2, self.num_heads, ws=self.ws,
+                shift=0 if i % 2 == 0 else self.ws // 2,
+                v2=self.v2, name=f"blocks{i}")(x)
+        return x
+
+
+class STCSP(nn.Module):
+    """ST(2)CSPA/B/C: the CSP split topologies with a Swin block as the
+    inner stack; num_heads = c_ // 32 (common.py:1602-1659, 1964-2006)."""
+
+    c2: int
+    n: int = 1
+    variant: str = "a"
+    v2: bool = False
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f = self.fused
+        c_ = self.c2 if self.variant == "b" else self.c2 // 2
+        ws = 7 if self.v2 else 8
+        x1 = ConvBnAct(c_, 1, 1, fused=f, name="cv1")(x, training)
+        y1 = SwinBlock(c_, max(c_ // 32, 1), self.n, ws=ws, v2=self.v2,
+                       fused=f, name="m")(x1, training)
+        if self.variant == "c":
+            y1 = ConvBnAct(c_, 1, 1, fused=f, name="cv3")(y1, training)
+        y2 = ConvBnAct(
+            c_, 1, 1, fused=f, name="cv2"
+        )(x1 if self.variant == "b" else x, training)
+        out_name = "cv4" if self.variant == "c" else "cv3"
+        return ConvBnAct(self.c2, 1, 1, fused=f, name=out_name)(
+            jnp.concatenate([y1, y2], axis=-1), training
+        )

@@ -126,6 +126,47 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
             put(stats, base + ("rbr_identity", "var"),
                 sd[f"{src_prefix}.rbr_identity.running_var"])
 
+    def dense(dst_path, src_prefix, bias=True):
+        put(params, dst_path + ("kernel",),
+            sd[f"{src_prefix}.weight"].T)
+        if bias:
+            put(params, dst_path + ("bias",), sd[f"{src_prefix}.bias"])
+
+    def layer_norm(dst_path, src_prefix):
+        put(params, dst_path + ("scale",), sd[f"{src_prefix}.weight"])
+        put(params, dst_path + ("bias",), sd[f"{src_prefix}.bias"])
+
+    def swin_block(dst_prefix, src_prefix, layer_name, n_layers, v2):
+        """SwinTransformer(2)Block: optional conv + blocks.{i} with
+        norm1/norm2, attn (qkv/table or cpb-MLP), proj, mlp fc1/fc2."""
+        if f"{src_prefix}.conv.conv.weight" in sd:
+            conv_bn(dst_prefix + ("conv",), f"{src_prefix}.conv",
+                    layer_name)
+        for i in range(n_layers):
+            src = f"{src_prefix}.blocks.{i}"
+            dst = dst_prefix + (f"blocks{i}",)
+            layer_norm((layer_name,) + dst + ("norm1",), f"{src}.norm1")
+            layer_norm((layer_name,) + dst + ("norm2",), f"{src}.norm2")
+            dense((layer_name,) + dst + ("mlp_fc1",), f"{src}.mlp.fc1")
+            dense((layer_name,) + dst + ("mlp_fc2",), f"{src}.mlp.fc2")
+            a_src = f"{src}.attn"
+            a_dst = (layer_name,) + dst + ("attn",)
+            dense(a_dst + ("proj",), f"{a_src}.proj")
+            if v2:
+                put(params, a_dst + ("qkv_kernel",),
+                    sd[f"{a_src}.qkv.weight"].T)
+                put(params, a_dst + ("q_bias",), sd[f"{a_src}.q_bias"])
+                put(params, a_dst + ("v_bias",), sd[f"{a_src}.v_bias"])
+                put(params, a_dst + ("logit_scale",),
+                    sd[f"{a_src}.logit_scale"])
+                dense(a_dst + ("cpb_fc1",), f"{a_src}.cpb_mlp.0")
+                dense(a_dst + ("cpb_fc2",), f"{a_src}.cpb_mlp.2",
+                      bias=False)
+            else:
+                dense(a_dst + ("qkv",), f"{a_src}.qkv")
+                put(params, a_dst + ("relative_position_bias_table",),
+                    sd[f"{a_src}.relative_position_bias_table"])
+
     def ghost_conv(dst_prefix, src_prefix, layer_name):
         for cv in ("cv1", "cv2"):
             conv_bn(dst_prefix + (cv,), f"{src_prefix}.{cv}", layer_name)
@@ -202,6 +243,17 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
         elif l.kind == "GhostSPPCSPC":
             for cv in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
                 ghost_conv((cv,), f"{pre}.{cv}", name)
+        elif l.kind in ("SwinTransformerBlock", "SwinTransformer2Block"):
+            swin_block((), pre, name, l.args[1],
+                       l.kind == "SwinTransformer2Block")
+        elif l.kind in ("STCSPA", "STCSPB", "STCSPC",
+                        "ST2CSPA", "ST2CSPB", "ST2CSPC"):
+            outer = (("cv1", "cv2", "cv3", "cv4") if l.kind.endswith("C")
+                     else ("cv1", "cv2", "cv3"))
+            for cv in outer:
+                conv_bn((cv,), f"{pre}.{cv}", name)
+            swin_block(("m",), f"{pre}.m", name, l.args[0],
+                       l.kind.startswith("ST2"))
         elif l.kind == "SPPF":
             for cv in ("cv1", "cv2"):
                 conv_bn((cv,), f"{pre}.{cv}", name)

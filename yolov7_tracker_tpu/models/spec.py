@@ -42,6 +42,8 @@ SUPPORTED = {
     "RepResCSPA", "RepResCSPB", "RepResCSPC",
     "RepResXCSPA", "RepResXCSPB", "RepResXCSPC",
     "GhostCSPA", "GhostCSPB", "GhostCSPC",
+    "SwinTransformerBlock", "SwinTransformer2Block",
+    "STCSPA", "STCSPB", "STCSPC", "ST2CSPA", "ST2CSPB", "ST2CSPC",
 }
 
 REG_MAX = 16  # DFL bins per box side (yolov8 head)
@@ -256,6 +258,19 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             gctr = args[0] if args else 2
             norm_args = (gctr,)
             out_ch, out_scale = in_ch // gctr ** 2, in_scale // gctr
+        elif kind in ("SwinTransformerBlock", "SwinTransformer2Block"):
+            # yaml args [c2, num_heads, num_layers] (no n-insert in the
+            # reference parse_model for these)
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            norm_args = (args[1], args[2])
+            out_ch, out_scale = c2, in_scale
+        elif kind in ("STCSPA", "STCSPB", "STCSPC",
+                      "ST2CSPA", "ST2CSPB", "ST2CSPC"):
+            c2 = make_divisible(args[0] * gw, 8)
+            norm_args = (n,)
+            out_ch, out_scale = c2, in_scale
         elif kind == "Bottleneck":
             c2 = make_divisible(args[0] * gw, 8)
             shortcut = bool(args[1]) if len(args) > 1 else True

@@ -124,6 +124,20 @@ class YoloV7(nn.Module):
                     l.c_out, k=l.args[0], s=l.args[1], fused=self.fused,
                     name=f"layer{l.index}",
                 )
+            elif l.kind in ("SwinTransformerBlock",
+                            "SwinTransformer2Block"):
+                v2 = l.kind == "SwinTransformer2Block"
+                mods[str(l.index)] = blocks.SwinBlock(
+                    l.c_out, l.args[0], l.args[1], ws=7 if v2 else 8,
+                    v2=v2, fused=self.fused, name=f"layer{l.index}",
+                )
+            elif l.kind in ("STCSPA", "STCSPB", "STCSPC",
+                            "ST2CSPA", "ST2CSPB", "ST2CSPC"):
+                mods[str(l.index)] = blocks.STCSP(
+                    l.c_out, n=l.args[0], variant=l.kind[-1].lower(),
+                    v2=l.kind.startswith("ST2"), fused=self.fused,
+                    name=f"layer{l.index}",
+                )
         self._mods = mods
         spec = self.spec
         head_idx = spec.layers[-1].index
