@@ -300,3 +300,154 @@ def test_swin_cfg_forward_parity(tmp_path):
     a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
     b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+OREPA_CFG = """
+nc: 4
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+
+backbone:
+  [[-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, RepConv_OREPA, [32, 3, 1]],
+   [-1, 1, RepConv_OREPA, [64, 3, 2]],
+   [-1, 1, Conv, [64, 1, 1]],
+  ]
+
+head:
+  [[[3], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+def test_orepa_cfg_forward_parity(tmp_path):
+    """RepConv_OREPA (identity and non-identity forms) through a cfg
+    and the converter vs the reference torch Model; covers the 5-branch
+    OREPA weight composition, the ConvBN 1x1 and the identity BN."""
+    torch = pytest.importorskip("torch")
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.yolo import Model
+
+    from yolov7_tracker_tpu.models import convert, yolo
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+
+    path = str(tmp_path / "orepa.yaml")
+    with open(path, "w") as f:
+        f.write(OREPA_CFG)
+    torch.manual_seed(0)
+    ref = Model(path, ch=3, nc=4)
+    ref.float().eval()
+    gen = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(
+                0.1 * torch.randn(m.num_features, generator=gen))
+            m.running_var.copy_(
+                1.0 + 0.1 * torch.rand(m.num_features, generator=gen))
+
+    spec = load_yaml_file(path, nc=4)
+    variables = convert.convert_state_dict(ref.state_dict(), spec)
+    model = yolo.YoloV7(spec)
+
+    import jax
+
+    n_ref = sum(p.numel() for p in ref.parameters())
+    n_mine = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert n_mine == n_ref, (n_mine, n_ref)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    dec, _ = model.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        training=False)
+    dec = np.asarray(dec)
+    assert dec.shape == ref_out.shape
+    a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
+    b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+ROBUST_CFG = """
+nc: 4
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+
+backbone:
+  [[-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, RobustConv, [32, 7, 1]],
+   [-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, RobustConv2, [32, 5, 2]],
+   [[-1, -2], 1, Chuncat, [1]],
+   [-1, 1, Foldcut, [1]],
+   [-1, 1, Conv, [64, 1, 1]],
+  ]
+
+head:
+  [[[6], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+def test_robust_chuncat_foldcut_parity(tmp_path):
+    """RobustConv(2), Chuncat and Foldcut through a cfg vs the
+    reference torch Model. The reference Foldcut default dimension=0
+    chunks the batch axis, which no-ops batch-1 parity; our channel
+    implementation matches parse_model's c2=ch//2 contract, so the
+    torch side is patched to dimension=1 as the evident intent."""
+    torch = pytest.importorskip("torch")
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.common as C
+    from models.yolo import Model
+
+    from yolov7_tracker_tpu.models import convert, yolo
+    from yolov7_tracker_tpu.models.spec import load_yaml_file
+
+    path = str(tmp_path / "robust.yaml")
+    with open(path, "w") as f:
+        f.write(ROBUST_CFG)
+    torch.manual_seed(0)
+    ref = Model(path, ch=3, nc=4)
+    for m in ref.modules():
+        if isinstance(m, C.Foldcut):
+            m.d = 1
+    ref.float().eval()
+    gen = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(
+                0.1 * torch.randn(m.num_features, generator=gen))
+            m.running_var.copy_(
+                1.0 + 0.1 * torch.rand(m.num_features, generator=gen))
+
+    spec = load_yaml_file(path, nc=4)
+    variables = convert.convert_state_dict(ref.state_dict(), spec)
+    model = yolo.YoloV7(spec)
+
+    import jax
+
+    n_ref = sum(p.numel() for p in ref.parameters())
+    n_mine = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert n_mine == n_ref, (n_mine, n_ref)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    dec, _ = model.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        training=False)
+    dec = np.asarray(dec)
+    assert dec.shape == ref_out.shape
+    a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
+    b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

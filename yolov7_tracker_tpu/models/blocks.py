@@ -944,3 +944,189 @@ class STCSP(nn.Module):
         return ConvBnAct(self.c2, 1, 1, fused=f, name=out_name)(
             jnp.concatenate([y1, y2], axis=-1), training
         )
+
+
+# ---------------------------------------------------------------------------
+# OREPA re-parameterized convs (models/common.py:1038-1364: ConvBN,
+# OREPA_3x3_RepConv, RepConv_OREPA). The branch weights stay in torch's
+# OIHW layout so checkpoint conversion is a straight copy; the composed
+# kernel transposes to HWIO once per call and XLA folds the whole
+# weight_gen into a constant at inference.
+# ---------------------------------------------------------------------------
+
+
+def _orepa_prior(o: int, k: int):
+    """fre_init cosine prior (common.py:1143-1153)."""
+    import math as _math
+
+    import numpy as _np
+
+    prior = _np.zeros((o, k, k), _np.float32)
+    half = o / 2
+    for i in range(o):
+        for h in range(k):
+            for w in range(k):
+                if i < half:
+                    prior[i, h, w] = _math.cos(
+                        _math.pi * (h + 0.5) * (i + 1) / 3)
+                else:
+                    prior[i, h, w] = _math.cos(
+                        _math.pi * (w + 0.5) * (i + 1 - half) / 3)
+    return prior
+
+
+class OREPA3x3RepConv(nn.Module):
+    """OREPA_3x3_RepConv (groups=1, internal==in_channels id-conv path,
+    the configuration RepConv_OREPA instantiates): five weight branches
+    composed into one kxk kernel by learned per-branch channel vectors,
+    then conv + BN (+ optional activation)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: str = "id"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        import numpy as _np
+
+        c1 = x.shape[-1]
+        o, k = self.c2, self.k
+        w_origin = self.param("weight_rbr_origin",
+                              nn.initializers.he_uniform(), (o, c1, k, k))
+        w_avg = self.param("weight_rbr_avg_conv",
+                           nn.initializers.he_uniform(), (o, c1, 1, 1))
+        w_pfir = self.param("weight_rbr_pfir_conv",
+                            nn.initializers.he_uniform(), (o, c1, 1, 1))
+        w_id1 = self.param("weight_rbr_1x1_kxk_idconv1",
+                           nn.initializers.zeros, (c1, c1, 1, 1))
+        w_kxk2 = self.param("weight_rbr_1x1_kxk_conv2",
+                            nn.initializers.he_uniform(), (o, c1, k, k))
+        w_dw = self.param("weight_rbr_gconv_dw",
+                          nn.initializers.he_uniform(), (c1 * 8, 1, k, k))
+        w_pw = self.param("weight_rbr_gconv_pw",
+                          nn.initializers.he_uniform(), (o, c1 * 8, 1, 1))
+        n_branch = 6 if (o == c1 and self.s == 1) else 5
+        vector = self.param(
+            "vector",
+            lambda rng, s_: jnp.stack(
+                [jnp.full((o,), v) for v in
+                 ([0.25, 0.25, 0.0, 0.5, 0.5] + [0.0] * (n_branch - 5))]
+            ), (n_branch, o))
+
+        avg_avg = jnp.full((k, k), 1.0 / (k * k), jnp.float32)
+        prior = jnp.asarray(_orepa_prior(o, k))
+        id_t = jnp.asarray(_np.eye(c1, dtype=_np.float32)[:, :, None, None])
+
+        w0 = jnp.einsum("oihw,o->oihw", w_origin, vector[0])
+        w1 = jnp.einsum("oihw,o->oihw",
+                        jnp.einsum("oihw,hw->oihw", w_avg, avg_avg),
+                        vector[1])
+        w2 = jnp.einsum("oihw,o->oihw",
+                        jnp.einsum("oihw,ohw->oihw", w_pfir, prior),
+                        vector[2])
+        conv1 = (w_id1 + id_t)[:, :, 0, 0]           # (t, i)
+        w3 = jnp.einsum("oihw,o->oihw",
+                        jnp.einsum("ti,othw->oihw", conv1, w_kxk2),
+                        vector[3])
+        # depthwise-separable collapsed to full (dwsc2full, groups=c1)
+        dw = w_dw.reshape(c1, 8, 1, k, k)
+        pw = w_pw[:, :, 0, 0].reshape(o, c1, 8)
+        w4 = jnp.einsum("gtihw,ogt->ogihw", dw, pw).reshape(o, c1, k, k)
+        w4 = jnp.einsum("oihw,o->oihw", w4, vector[4])
+
+        weight = w0 + w1 + w2 + w3 + w4              # OIHW
+        y = jax.lax.conv_general_dilated(
+            x, weight.transpose(2, 3, 1, 0), (self.s, self.s),
+            [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS,
+                         momentum=BN_MOM, name="bn")(y)
+        return activation(self.act)(y)
+
+
+class RepConvOREPA(nn.Module):
+    """RepConv_OREPA (common.py:1224-1264): OREPA dense 3x3 + 1x1
+    ConvBN + optional identity BN, summed, SiLU."""
+
+    c2: int
+    s: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        out = OREPA3x3RepConv(self.c2, 3, self.s,
+                              name="rbr_dense")(x, training)
+        one = nn.Conv(self.c2, (1, 1), strides=self.s, padding=0,
+                      use_bias=False, name="rbr_1x1_conv")(x)
+        one = nn.BatchNorm(use_running_average=not training,
+                           epsilon=BN_EPS, momentum=BN_MOM,
+                           name="rbr_1x1_bn")(one)
+        out = out + one
+        if c1 == self.c2 and self.s == 1:
+            ident = nn.BatchNorm(use_running_average=not training,
+                                 epsilon=BN_EPS, momentum=BN_MOM,
+                                 name="rbr_identity")(x)
+            out = out + ident
+        return activation(self.act)(out)
+
+
+class RobustConv(nn.Module):
+    """Large-kernel depthwise + biased pointwise with a LayerScale gamma
+    (models/common.py RobustConv)."""
+
+    c2: int
+    k: int = 7
+    s: int = 1
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        x = ConvBnAct(c1, self.k, self.s, g=c1, fused=self.fused,
+                      name="conv_dw")(x, training)
+        x = nn.Conv(self.c2, (1, 1), use_bias=True, name="conv1x1")(x)
+        gamma = self.param("gamma",
+                           lambda rng, s_: 1e-6 * jnp.ones(s_), (self.c2,))
+        return x * gamma
+
+
+class RobustConv2(nn.Module):
+    """Strided large-kernel depthwise + transposed-conv upsample back to
+    the input resolution, with LayerScale (models/common.py
+    RobustConv2)."""
+
+    c2: int
+    k: int = 7
+    s: int = 4
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        x = ConvBnAct(c1, self.k, self.s, g=c1, fused=self.fused,
+                      name="conv_strided")(x, training)
+        x = nn.ConvTranspose(self.c2, (self.s, self.s),
+                             strides=(self.s, self.s), padding="VALID",
+                             use_bias=True, name="conv_deconv")(x)
+        gamma = self.param("gamma",
+                           lambda rng, s_: 1e-6 * jnp.ones(s_), (self.c2,))
+        return x * gamma
+
+
+def chuncat(parts):
+    """Concat the first halves then the second halves of each input's
+    channels (models/common.py Chuncat, channel dimension)."""
+    halves = [jnp.split(p, 2, axis=-1) for p in parts]
+    return jnp.concatenate([h[0] for h in halves]
+                           + [h[1] for h in halves], axis=-1)
+
+
+def foldcut(x):
+    """Halve channels by summing the two halves (models/common.py
+    Foldcut; the reference's dimension=0 default would chunk the batch
+    axis, but parse_model's c2 = ch[f]//2 shows the channel semantics
+    intended)."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return a + b

@@ -234,6 +234,23 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                 conv_bn((cv,), f"{pre}.{cv}", name)
         elif l.kind == "Focus":
             conv_bn(("conv",), f"{pre}.conv", name)
+        elif l.kind == "RobustConv":
+            conv_bn(("conv_dw",), f"{pre}.conv_dw", name)
+            put(params, (name, "conv1x1", "kernel"),
+                _k(sd[f"{pre}.conv1x1.weight"]))
+            put(params, (name, "conv1x1", "bias"),
+                sd[f"{pre}.conv1x1.bias"])
+            put(params, (name, "gamma"), sd[f"{pre}.gamma"])
+        elif l.kind == "RobustConv2":
+            conv_bn(("conv_strided",), f"{pre}.conv_strided", name)
+            # torch ConvTranspose2d weight is (in, out, kh, kw); flax
+            # ConvTranspose expects (kh, kw, in, out)
+            put(params, (name, "conv_deconv", "kernel"),
+                np.transpose(sd[f"{pre}.conv_deconv.weight"],
+                             (2, 3, 0, 1)))
+            put(params, (name, "conv_deconv", "bias"),
+                sd[f"{pre}.conv_deconv.bias"])
+            put(params, (name, "gamma"), sd[f"{pre}.gamma"])
         elif l.kind == "DWConv":
             conv_bn((), pre, name)
         elif l.kind == "GhostConv":
@@ -270,6 +287,45 @@ def convert_state_dict(sd: Dict[str, Any], spec: ModelSpec):
                 conv_bn((cv,), f"{pre}.{cv}", name)
         elif l.kind == "RepConv":
             rep_conv((), pre, name)
+        elif l.kind == "RepConv_OREPA":
+            if f"{pre}.rbr_reparam.weight" in sd:
+                raise NotImplementedError(
+                    "deploy-form RepConv_OREPA checkpoints not supported")
+            d = f"{pre}.rbr_dense"
+            for key in ("weight_rbr_origin", "weight_rbr_avg_conv",
+                        "weight_rbr_pfir_conv",
+                        "weight_rbr_1x1_kxk_idconv1",
+                        "weight_rbr_1x1_kxk_conv2",
+                        "weight_rbr_gconv_dw", "weight_rbr_gconv_pw",
+                        "vector"):
+                put(params, (name, "rbr_dense", key), sd[f"{d}.{key}"])
+            put(params, (name, "rbr_dense", "bn", "scale"),
+                sd[f"{d}.bn.weight"])
+            put(params, (name, "rbr_dense", "bn", "bias"),
+                sd[f"{d}.bn.bias"])
+            put(stats, (name, "rbr_dense", "bn", "mean"),
+                sd[f"{d}.bn.running_mean"])
+            put(stats, (name, "rbr_dense", "bn", "var"),
+                sd[f"{d}.bn.running_var"])
+            put(params, (name, "rbr_1x1_conv", "kernel"),
+                _k(sd[f"{pre}.rbr_1x1.conv.weight"]))
+            put(params, (name, "rbr_1x1_bn", "scale"),
+                sd[f"{pre}.rbr_1x1.bn.weight"])
+            put(params, (name, "rbr_1x1_bn", "bias"),
+                sd[f"{pre}.rbr_1x1.bn.bias"])
+            put(stats, (name, "rbr_1x1_bn", "mean"),
+                sd[f"{pre}.rbr_1x1.bn.running_mean"])
+            put(stats, (name, "rbr_1x1_bn", "var"),
+                sd[f"{pre}.rbr_1x1.bn.running_var"])
+            if f"{pre}.rbr_identity.weight" in sd:
+                put(params, (name, "rbr_identity", "scale"),
+                    sd[f"{pre}.rbr_identity.weight"])
+                put(params, (name, "rbr_identity", "bias"),
+                    sd[f"{pre}.rbr_identity.bias"])
+                put(stats, (name, "rbr_identity", "mean"),
+                    sd[f"{pre}.rbr_identity.running_mean"])
+                put(stats, (name, "rbr_identity", "var"),
+                    sd[f"{pre}.rbr_identity.running_var"])
         elif l.kind == "DetectV8":
             # decoupled anchor-free head: cv2 box branch (2 conv+bn then
             # a biased 1x1 of 4*reg_max), cv3 class branch (same shape

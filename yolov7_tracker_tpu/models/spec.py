@@ -44,6 +44,7 @@ SUPPORTED = {
     "GhostCSPA", "GhostCSPB", "GhostCSPC",
     "SwinTransformerBlock", "SwinTransformer2Block",
     "STCSPA", "STCSPB", "STCSPC", "ST2CSPA", "ST2CSPB", "ST2CSPC",
+    "RepConv_OREPA", "RobustConv", "RobustConv2", "Chuncat", "Foldcut",
 }
 
 REG_MAX = 16  # DFL bins per box side (yolov8 head)
@@ -218,7 +219,7 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             act = _parse_act(args[5]) if len(args) > 5 else "silu"
             norm_args = (k, s, g, act, p)
             out_ch, out_scale = c2, in_scale * s
-        elif kind == "RepConv":
+        elif kind in ("RepConv", "RepConv_OREPA"):
             c2 = args[0]
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
@@ -258,6 +259,29 @@ def parse_yaml_cfg(cfg: Dict[str, Any], name: str = "model",
             gctr = args[0] if args else 2
             norm_args = (gctr,)
             out_ch, out_scale = in_ch // gctr ** 2, in_scale // gctr
+        elif kind == "RobustConv":
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            k = args[1] if len(args) > 1 else 7
+            st = args[2] if len(args) > 2 else 1
+            norm_args = (k, st)
+            out_ch, out_scale = c2, in_scale * st
+        elif kind == "RobustConv2":
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            k = args[1] if len(args) > 1 else 7
+            st = args[2] if len(args) > 2 else 4
+            norm_args = (k, st)
+            out_ch, out_scale = c2, in_scale   # stride-s then deconv-s
+        elif kind == "Chuncat":
+            norm_args = ()
+            out_ch = sum(ch[x] for x in absfrm)
+            out_scale = in_scale
+        elif kind == "Foldcut":
+            norm_args = ()
+            out_ch, out_scale = in_ch // 2, in_scale
         elif kind in ("SwinTransformerBlock", "SwinTransformer2Block"):
             # yaml args [c2, num_heads, num_layers] (no n-insert in the
             # reference parse_model for these)

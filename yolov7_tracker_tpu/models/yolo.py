@@ -49,6 +49,20 @@ class YoloV7(nn.Module):
                 mods[str(l.index)] = blocks.RepConv(
                     l.c_out, s, fused=self.fused, name=f"layer{l.index}"
                 )
+            elif l.kind == "RepConv_OREPA":
+                mods[str(l.index)] = blocks.RepConvOREPA(
+                    l.c_out, l.args[1], name=f"layer{l.index}"
+                )
+            elif l.kind == "RobustConv":
+                mods[str(l.index)] = blocks.RobustConv(
+                    l.c_out, l.args[0], l.args[1], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
+            elif l.kind == "RobustConv2":
+                mods[str(l.index)] = blocks.RobustConv2(
+                    l.c_out, l.args[0], l.args[1], fused=self.fused,
+                    name=f"layer{l.index}",
+                )
             elif l.kind == "DownC":
                 mods[str(l.index)] = blocks.DownC(
                     l.c_out, l.args[0], fused=self.fused,
@@ -221,6 +235,11 @@ class YoloV7(nn.Module):
                 y = blocks.upsample_nearest(inp, l.args[0])
             elif l.kind == "Contract":
                 y = blocks.contract(inp, l.args[0])
+            elif l.kind == "Chuncat":
+                y = blocks.chuncat(
+                    [saved[i] if i in saved else y for i in l.frm])
+            elif l.kind == "Foldcut":
+                y = blocks.foldcut(inp)
             elif l.kind == "Expand":
                 y = blocks.expand(inp, l.args[0])
             elif l.kind == "Concat":
