@@ -451,3 +451,86 @@ def test_robust_chuncat_foldcut_parity(tmp_path):
     a = np.sort(ref_out.reshape(-1, ref_out.shape[-1]), axis=0)
     b = np.sort(dec.reshape(-1, dec.shape[-1]), axis=0)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_crossconv_sum_mixconv_parity():
+    """CrossConv / Sum / MixConv2d block-level goldens vs the reference
+    torch modules (models/experimental.py:9-65)."""
+    torch = pytest.importorskip("torch")
+    _stub_missing_modules()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import models.experimental as E
+
+    from yolov7_tracker_tpu.models import blocks
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 16, 10, 12)).astype(np.float32)  # NCHW
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    # CrossConv
+    torch.manual_seed(0)
+    ref = E.CrossConv(16, 16, k=3, s=1, shortcut=True).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def cb(prefix):
+        return ({"kernel": np.transpose(sd[f"{prefix}.conv.weight"],
+                                        (2, 3, 1, 0))},
+                {"scale": sd[f"{prefix}.bn.weight"],
+                 "bias": sd[f"{prefix}.bn.bias"]},
+                {"mean": sd[f"{prefix}.bn.running_mean"],
+                 "var": sd[f"{prefix}.bn.running_var"]})
+
+    k1, b1, s1 = cb("cv1")
+    k2, b2, s2 = cb("cv2")
+    variables = {"params": {"cv1_conv": k1, "cv1_bn": b1,
+                            "cv2_conv": k2, "cv2_bn": b2},
+                 "batch_stats": {"cv1_bn": s1, "cv2_bn": s2}}
+    m = blocks.CrossConv(16, 3, 1, shortcut=True)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.transpose(np.asarray(
+        m.apply(variables, x_nhwc)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # Sum (weighted)
+    torch.manual_seed(0)
+    refs = E.Sum(3, weight=True).float().eval()
+    ws = refs.w.detach().numpy()
+    ms = blocks.Sum(3, weight=True)
+    xs = [rng.normal(0, 1, (2, 5, 4, 3)).astype(np.float32)
+          for _ in range(3)]
+    with torch.no_grad():
+        want = refs([torch.from_numpy(v) for v in xs]).numpy()
+    got = np.asarray(ms.apply({"params": {"w": ws}},
+                              [jnp.asarray(v) for v in xs]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # MixConv2d
+    torch.manual_seed(0)
+    refm = E.MixConv2d(16, 16, k=(1, 3), s=1).float().eval()
+    gen = torch.Generator().manual_seed(1)
+    for mod in refm.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.copy_(
+                0.1 * torch.randn(mod.num_features, generator=gen))
+            mod.running_var.copy_(
+                1.0 + 0.1 * torch.rand(mod.num_features, generator=gen))
+    sdm = {k: v.detach().numpy() for k, v in refm.state_dict().items()}
+    variables = {
+        "params": {
+            "m0": {"kernel": np.transpose(sdm["m.0.weight"],
+                                          (2, 3, 1, 0))},
+            "m1": {"kernel": np.transpose(sdm["m.1.weight"],
+                                          (2, 3, 1, 0))},
+            "bn": {"scale": sdm["bn.weight"], "bias": sdm["bn.bias"]},
+        },
+        "batch_stats": {"bn": {"mean": sdm["bn.running_mean"],
+                               "var": sdm["bn.running_var"]}},
+    }
+    mm = blocks.MixConv2d(16, (1, 3), 1)
+    with torch.no_grad():
+        want = refm(torch.from_numpy(x)).numpy()
+    got = np.transpose(np.asarray(
+        mm.apply(variables, x_nhwc)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1130,3 +1130,89 @@ def foldcut(x):
     intended)."""
     a, b = jnp.split(x, 2, axis=-1)
     return a + b
+
+
+class CrossConv(nn.Module):
+    """Cross Convolution Downsample: (1,k) then (k,1) convs with
+    optional residual (models/experimental.py:9-21)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = x
+
+        def conv(cout, kk, ss, g, name):
+            def run(t, tr):
+                t = nn.Conv(cout, kk, strides=ss,
+                            padding=[(kk[0] // 2, kk[0] // 2),
+                                     (kk[1] // 2, kk[1] // 2)],
+                            feature_group_count=g, use_bias=self.fused,
+                            name=f"{name}_conv")(t)
+                if not self.fused:
+                    t = nn.BatchNorm(use_running_average=not tr,
+                                     epsilon=BN_EPS, momentum=BN_MOM,
+                                     name=f"{name}_bn")(t)
+                return jax.nn.silu(t)
+            return run
+
+        y = conv(c_, (1, self.k), (1, self.s), 1, "cv1")(y, training)
+        y = conv(self.c2, (self.k, 1), (self.s, 1), self.g,
+                 "cv2")(y, training)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class Sum(nn.Module):
+    """(Optionally weighted) sum of n inputs (models/experimental.py:
+    23-41; weights pass a sigmoid*2)."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs):
+        y = xs[0]
+        if self.weight:
+            w = self.param(
+                "w", lambda rng, s_: -jnp.arange(1.0, self.n) / 2,
+                (self.n - 1,))
+            w = jax.nn.sigmoid(w) * 2
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed depthwise conv: parallel kernels over channel splits,
+    concatenated, BN + LeakyReLU(0.1), residual
+    (models/experimental.py:44-65, equal_ch split)."""
+
+    c2: int
+    k: Tuple[int, ...] = (1, 3)
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        groups = len(self.k)
+        idx = jnp.floor(jnp.linspace(0, groups - 1e-6, self.c2))
+        c_ = [int((idx == g).sum()) for g in range(groups)]
+        outs = []
+        for g, kk in enumerate(self.k):
+            outs.append(nn.Conv(
+                c_[g], (kk, kk), strides=self.s, padding=kk // 2,
+                use_bias=False, name=f"m{g}")(x))
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.BatchNorm(use_running_average=not training,
+                         epsilon=BN_EPS, momentum=BN_MOM, name="bn")(y)
+        return x + jax.nn.leaky_relu(y, negative_slope=0.1)
