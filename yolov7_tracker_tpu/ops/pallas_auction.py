@@ -273,107 +273,89 @@ def masked_assignment_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _auction_kernel_v2(w_ref, sched_ref, cap_ref, r2c_ref, c2r_ref,
-                       prices_ref, max_iters: int):
+def _auction_phase_kernel_v2(w_ref, eps_ref, cap_ref, r2c_in, c2r_in,
+                             p_in, r2c_ref, c2r_ref, prices_ref,
+                             max_iters: int):
+    """ONE epsilon phase of the private-dummy auction: clamp-and-release
+    sweep fused with a Jacobi bid round per while iteration. The phase
+    loop lives OUTSIDE the kernel (jax fori over pallas_calls): a
+    single-phase body keeps the Mosaic compile tractable — the phases-
+    inside-kernel form cost minutes of compile time for the same math."""
     np_r, mp = w_ref.shape[1], w_ref.shape[2]
+    eps = eps_ref[0]
     bid_cap = cap_ref[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (np_r, mp), 1)
     row_ids_m = jax.lax.broadcasted_iota(jnp.int32, (np_r, mp), 0)
 
-    r2c_ref[:, :] = jnp.full((1, np_r), -1, jnp.int32)
-    c2r_ref[:, :] = jnp.full((1, mp), -1, jnp.int32)
-    prices_ref[:, :] = jnp.zeros((1, mp), jnp.float32)
+    r2c_ref[:, :] = r2c_in[:, :]
+    c2r_ref[:, :] = c2r_in[:, :]
+    prices_ref[:, :] = p_in[:, :]
 
-    n_phases = sched_ref.shape[0]
+    def body(carry):
+        it, _ = carry
+        # clamp unowned columns to price 0, release eps-CS violators
+        c2r = c2r_ref[0, :][None, :]
+        prices = jnp.where(c2r < 0, 0.0, prices_ref[0, :][None, :])
+        values = w_ref[0] - prices               # (Np, Mp)
+        v1r = jnp.max(values, axis=1)[None, :]   # (1, Np)
+        r2c = r2c_ref[0, :][None, :]
+        own = col_ids == jnp.transpose(r2c)
+        cur = jnp.max(jnp.where(own, values, NEG_F), axis=1)[None, :]
+        keep = (r2c >= 0) & (cur >= v1r - eps)
+        n_released = jnp.sum(
+            ((r2c >= 0) & jnp.logical_not(keep)).astype(jnp.int32))
+        r2c = jnp.where(keep, r2c, -1)
+        keep_col = jnp.transpose(keep.astype(jnp.int32)) > 0
+        c2r = jnp.max(
+            jnp.where(own & keep_col, row_ids_m, -1), axis=0
+        )[None, :]
+        prices = jnp.where(c2r < 0, 0.0, prices)
 
-    def one_phase(p_idx, _):
-        eps = sched_ref[p_idx]
-
-        # clamp-and-release fixpoint (see header)
-        def cr_body(carry):
-            it, _ = carry
-            c2r = c2r_ref[0, :][None, :]
-            prices = jnp.where(c2r < 0, 0.0, prices_ref[0, :][None, :])
-            values = w_ref[0] - prices               # (Np, Mp)
-            v1 = jnp.max(values, axis=1)[None, :]    # (1, Np)
-            r2c = r2c_ref[0, :][None, :]
-            own = col_ids == jnp.transpose(r2c)
-            cur = jnp.max(jnp.where(own, values, NEG_F), axis=1)[None, :]
-            keep = (r2c >= 0) & (cur >= v1 - eps)
-            changed = jnp.sum(
-                ((r2c >= 0) & jnp.logical_not(keep)).astype(jnp.int32)
-            ) > 0
-            r2c = jnp.where(keep, r2c, -1)
-            keep_col = jnp.transpose(keep.astype(jnp.int32)) > 0
-            c2r = jnp.max(
-                jnp.where(own & keep_col, row_ids_m, -1), axis=0
-            )[None, :]
-            prices_ref[:, :] = prices
-            r2c_ref[:, :] = r2c
-            c2r_ref[:, :] = c2r
-            return it + 1, changed
-
-        def cr_cond(carry):
-            it, changed = carry
-            return jnp.logical_and(it < np_r + 1, changed)
-
-        jax.lax.while_loop(
-            cr_cond, cr_body, (jnp.int32(0), jnp.bool_(True))
+        # Jacobi bid round over unassigned rows
+        unassigned = r2c < 0                     # (1, Np)
+        values = w_ref[0] - prices
+        v1 = jnp.max(values, axis=1)             # (Np,)
+        best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
+        best_oh = col_ids == best_j[:, None]
+        v2 = jnp.max(jnp.where(best_oh, NEG_F, values), axis=1)
+        bid = (
+            jnp.sum(jnp.where(best_oh, prices, 0.0), axis=1)
+            + jnp.minimum(v1 - v2, bid_cap) + eps
         )
+        bid_eff = jnp.where(unassigned[0], bid, NEG_F)
+        bid_m = jnp.where(best_oh, bid_eff[:, None], NEG_F)
+        col_best = jnp.max(bid_m, axis=0)[None, :]
+        un_col = jnp.transpose(unassigned.astype(jnp.int32)) > 0
+        cand = best_oh & (
+            bid_eff[:, None] >= col_best[0][None, :]
+        ) & un_col
+        winner = jnp.min(
+            jnp.where(cand, row_ids_m, np_r), axis=0
+        )[None, :]
+        contested = winner < np_r
+        won = cand & (row_ids_m == winner[0][None, :])
+        won_row = jnp.any(won, axis=1)[None, :]
+        new_col = jnp.max(
+            jnp.where(won, col_ids, -1), axis=1
+        )[None, :]
 
-        def body(carry):
-            it, n_un = carry
-            prices = prices_ref[0, :][None, :]
-            r2c = r2c_ref[0, :][None, :]
-            c2r = c2r_ref[0, :][None, :]
-            unassigned = r2c < 0                     # (1, Np)
+        prev_owner = jnp.where(contested, c2r, -1)
+        evicted = jnp.any(row_ids_m == prev_owner, axis=1)[None, :]
+        r2c = jnp.where(evicted, -1, r2c)
+        r2c = jnp.where(won_row, new_col, r2c)
+        c2r = jnp.where(contested, winner, c2r)
+        prices_ref[:, :] = jnp.where(contested, col_best, prices)
+        r2c_ref[:, :] = r2c
+        c2r_ref[:, :] = c2r
+        n_open = jnp.sum((r2c < 0).astype(jnp.int32)) + n_released
+        return it + 1, n_open
 
-            values = w_ref[0] - prices               # (Np, Mp)
-            v1 = jnp.max(values, axis=1)             # (Np,)
-            best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
-            best_oh = col_ids == best_j[:, None]
-            v2 = jnp.max(jnp.where(best_oh, NEG_F, values), axis=1)
-            bid = (
-                jnp.sum(jnp.where(best_oh, prices, 0.0), axis=1)
-                + jnp.minimum(v1 - v2, bid_cap) + eps
-            )
-            bid_eff = jnp.where(unassigned[0], bid, NEG_F)
-            bid_m = jnp.where(best_oh, bid_eff[:, None], NEG_F)
-            col_best = jnp.max(bid_m, axis=0)[None, :]
-            un_col = jnp.transpose(unassigned.astype(jnp.int32)) > 0
-            cand = best_oh & (
-                bid_eff[:, None] >= col_best[0][None, :]
-            ) & un_col
-            winner = jnp.min(
-                jnp.where(cand, row_ids_m, np_r), axis=0
-            )[None, :]
-            contested = winner < np_r
-            won = cand & (row_ids_m == winner[0][None, :])
-            won_row = jnp.any(won, axis=1)[None, :]
-            new_col = jnp.max(
-                jnp.where(won, col_ids, -1), axis=1
-            )[None, :]
+    def cond(carry):
+        it, n_open = carry
+        return jnp.logical_and(it < max_iters, n_open > 0)
 
-            prev_owner = jnp.where(contested, c2r, -1)
-            evicted = jnp.any(row_ids_m == prev_owner, axis=1)[None, :]
-            r2c = jnp.where(evicted, -1, r2c)
-            r2c = jnp.where(won_row, new_col, r2c)
-            c2r = jnp.where(contested, winner, c2r)
-            prices_ref[:, :] = jnp.where(contested, col_best, prices)
-            r2c_ref[:, :] = r2c
-            c2r_ref[:, :] = c2r
-            n_un = jnp.sum((r2c < 0).astype(jnp.int32))
-            return it + 1, n_un
-
-        def cond(carry):
-            it, n_un = carry
-            return jnp.logical_and(it < max_iters, n_un > 0)
-
-        n_un0 = jnp.sum((r2c_ref[0, :] < 0).astype(jnp.int32))
-        jax.lax.while_loop(cond, body, (jnp.int32(0), n_un0))
-        return 0
-
-    jax.lax.fori_loop(0, n_phases, one_phase, 0)
+    # seed n_open=1 so the release sweep always runs for the new eps
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
 
 @functools.partial(
@@ -424,25 +406,42 @@ def masked_assignment_pallas_v2(
     )
     cap = jnp.asarray([2.0 * scale], jnp.float32)
 
-    r2c_p, c2r_p = pl.pallas_call(
-        functools.partial(_auction_kernel_v2, max_iters=max_iters),
+    phase_call = pl.pallas_call(
+        functools.partial(_auction_phase_kernel_v2, max_iters=max_iters),
         out_shape=(
             jax.ShapeDtypeStruct((1, np_r), jnp.int32),
             jax.ShapeDtypeStruct((1, mp), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, np_r, mp), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((1, mp), jnp.float32)],
         interpret=interpret,
-    )(w_p[None], sched, cap)
+    )
+    w_in = w_p[None]
+    state0 = (
+        jnp.full((1, np_r), -1, jnp.int32),
+        jnp.full((1, mp), -1, jnp.int32),
+        jnp.zeros((1, mp), jnp.float32),
+    )
+
+    def one_phase(p_idx, state):
+        r2c, c2r, prices = state
+        return tuple(phase_call(w_in, sched[p_idx][None], cap, r2c, c2r,
+                                prices))
+
+    r2c_p, c2r_p, _ = jax.lax.fori_loop(0, n_phases, one_phase, state0)
 
     r2c_ext = r2c_p[0, :n]
     gate = jnp.take(
