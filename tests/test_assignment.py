@@ -230,3 +230,34 @@ def test_pallas_auction_batched_interpret():
         assert abs(gc - rc) < 1e-3
         for i, j in got:
             assert int(np.asarray(c2r)[b, j]) == i
+
+
+def test_masked_assignment_v2_matches_host():
+    """The XLA private-dummy rectangular auction (the TPU-default
+    backend) vs the scipy host oracle across shapes/masks/thresholds."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.ops.assignment import (
+        linear_assignment_host, masked_assignment_v2,
+    )
+
+    rng = np.random.default_rng(3)
+    for t in range(12):
+        n, m = int(rng.integers(2, 60)), int(rng.integers(2, 60))
+        cost = rng.random((n, m)).astype(np.float32)
+        rm = rng.random(n) < 0.85
+        cm = rng.random(m) < 0.85
+        thresh = float(rng.choice([0.3, 0.5, 0.8]))
+        big = np.where(rm[:, None] & cm[None, :], cost, 1e9)
+        r2c, c2r = masked_assignment_v2(
+            jnp.asarray(cost), jnp.asarray(rm), jnp.asarray(cm), thresh)
+        r2c = np.asarray(r2c)
+        m0, _, _ = linear_assignment_host(big, thresh)
+        got = {(i, int(v)) for i, v in enumerate(r2c) if v >= 0}
+        want = {(int(a), int(b)) for a, b in m0}
+        gc = sum(cost[i, j] for i, j in got)
+        wc = sum(cost[i, j] for i, j in want)
+        assert len(got) == len(want), (t, len(got), len(want))
+        assert abs(gc - wc) < 1e-2, (t, gc, wc)
+        for i, j in got:
+            assert int(np.asarray(c2r)[j]) == i

@@ -55,9 +55,12 @@ def solve_assignment(cost, row_mask, col_mask, thresh,
     import jax
 
     if jax.default_backend() == "tpu":
-        from .pallas_auction import masked_assignment_pallas_v2
-
-        return masked_assignment_pallas_v2(
+        # the private-dummy rectangular auction in plain XLA: ~tens of
+        # cheap fused sweeps per solve. Faster end-to-end than either
+        # Pallas kernel on this stack, whose Mosaic builds cost minutes
+        # per shape through the remote-compile path (see
+        # pallas_auction.py for the measured numbers)
+        return masked_assignment_v2(
             cost, row_mask, col_mask, thresh, n_phases=n_phases
         )
     return masked_assignment(
@@ -276,4 +279,141 @@ def masked_assignment(
     col_to_row = jnp.full((m,), -1, jnp.int32).at[
         jnp.where(row_to_col >= 0, row_to_col, m)
     ].set(jnp.where(row_to_col >= 0, jnp.arange(n, dtype=jnp.int32), -1), mode="drop")
+    return row_to_col, col_to_row
+
+
+# ---------------------------------------------------------------------------
+# XLA implementation of the private-dummy rectangular auction (the same
+# algorithm as ops/pallas_auction.masked_assignment_pallas_v2 — see that
+# module's header for the derivation). 1-D gather/scatter forms of the
+# bid round keep every step a cheap fused XLA op; with the rectangle's
+# ~tens of sweeps per solve, HBM traffic is negligible and there is no
+# Mosaic kernel to compile.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "eps_final", "n_phases", "phase_factor"),
+)
+def masked_assignment_v2(
+    cost: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    thresh,
+    max_iters: int = 512,
+    eps_final: float = 2e-4,
+    n_phases: int = 5,
+    phase_factor: float = 4.0,
+):
+    """Same contract as masked_assignment; max-weight free-disposal
+    matching with one private weight-0 dummy column per row."""
+    n, m = cost.shape
+    mt = m + n                      # real cols + private dummies
+    thresh = jnp.asarray(thresh, jnp.float32)
+    valid = row_mask[:, None] & col_mask[None, :]
+    c = cost.astype(jnp.float32)
+    w = jnp.where(valid, thresh - c, _NEG)
+    jit_w = (
+        (jnp.arange(n, dtype=jnp.float32)[:, None] * 131.0
+         + jnp.arange(m, dtype=jnp.float32)[None, :] * 7.0) % 17.0
+    ) * (1e-6 / 17.0)
+    w = jnp.where(valid, w + jit_w, _NEG)
+    w = jnp.concatenate(
+        [w, jnp.where(jnp.eye(n, dtype=bool), 0.0, _NEG)], axis=1)
+
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    scale = thresh + 1.0
+    cap = 2.0 * scale
+    sched = jnp.maximum(
+        scale / jnp.power(
+            jnp.float32(phase_factor),
+            jnp.arange(1, n_phases + 1, dtype=jnp.float32),
+        ),
+        eps_final,
+    )
+
+    def phase(carry, eps):
+        prices, r2c, c2r = carry
+
+        # --- clamp-and-release fixpoint (see pallas_auction.py header):
+        # clamp unowned columns to price 0, release eps-CS violators,
+        # repeat until stable. Kept SEPARATE from the bid loop: fusing
+        # release into every bid iteration lets (release, re-bid) cycles
+        # oscillate to the iteration cap (measured 49 ms/solve + lost
+        # matches on dense matrices vs ~tens of sweeps for this form).
+        def cr_body(st):
+            prices, r2c, c2r, it, _ = st
+            prices = jnp.where(c2r < 0, 0.0, prices)
+            values = w - prices[None, :]
+            v1 = jnp.max(values, axis=1)
+            cur = values[row_ids, jnp.clip(r2c, 0, mt - 1)]
+            keep = (r2c >= 0) & (cur >= v1 - eps)
+            rel = (r2c >= 0) & ~keep
+            rel_col = jnp.where(rel, jnp.clip(r2c, 0, mt - 1), mt)
+            c2r = c2r.at[rel_col].set(-1, mode="drop")
+            r2c = jnp.where(keep, r2c, -1)
+            return (prices, r2c, c2r, it + 1,
+                    jnp.sum(rel.astype(jnp.int32)))
+
+        def cr_cond(st):
+            _, _, _, it, n_rel = st
+            return jnp.logical_and(it < n + 1, n_rel > 0)
+
+        prices, r2c, c2r, _, _ = jax.lax.while_loop(
+            cr_cond, cr_body,
+            (prices, r2c, c2r, jnp.int32(0), jnp.int32(1)))
+        prices = jnp.where(c2r < 0, 0.0, prices)
+
+        # --- Jacobi bid rounds until every row is assigned
+        def body(st):
+            prices, r2c, c2r, it = st
+            unassigned = r2c < 0
+            values = w - prices[None, :]
+            best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
+            v1 = jnp.max(values, axis=1)
+            v2 = jnp.max(values.at[row_ids, best_j].set(_NEG), axis=1)
+            bid = prices[best_j] + jnp.minimum(v1 - v2, cap) + eps
+            bid_eff = jnp.where(unassigned, bid, _NEG)
+            col_best = jnp.full((mt,), _NEG).at[best_j].max(
+                bid_eff, mode="drop")
+            cand = unassigned & (bid_eff >= col_best[best_j])
+            winner = jnp.full((mt,), n, jnp.int32).at[best_j].min(
+                jnp.where(cand, row_ids, n), mode="drop")
+            won = cand & (winner[best_j] == row_ids)
+            contested = winner < n
+            prev_owner = jnp.where(contested, c2r, -1)
+            evicted = jnp.zeros((n,), bool).at[
+                jnp.where(prev_owner >= 0, prev_owner, n)
+            ].set(True, mode="drop")
+            r2c = jnp.where(evicted, -1, r2c)
+            r2c = jnp.where(won, best_j, r2c)
+            c2r = jnp.where(contested, winner, c2r)
+            prices = jnp.where(contested, col_best, prices)
+            return prices, r2c, c2r, it + 1
+
+        def cond(st):
+            _, r2c, _, it = st
+            return jnp.logical_and(jnp.any(r2c < 0), it < max_iters)
+
+        prices, r2c, c2r, _ = jax.lax.while_loop(
+            cond, body, (prices, r2c, c2r, jnp.int32(0)))
+        return (prices, r2c, c2r), None
+
+    state0 = (jnp.zeros((mt,), jnp.float32),
+              jnp.full((n,), -1, jnp.int32),
+              jnp.full((mt,), -1, jnp.int32))
+    (prices, r2c, c2r), _ = jax.lax.scan(phase, state0, sched)
+
+    gate = jnp.take(
+        cost.astype(jnp.float32),
+        jnp.clip(r2c, 0, m - 1) + jnp.arange(n) * m,
+    )
+    row_to_col = jnp.where(
+        (r2c >= 0) & (r2c < m) & row_mask & (gate <= thresh), r2c, -1)
+    col_to_row = jnp.full((m,), -1, jnp.int32).at[
+        jnp.where(row_to_col >= 0, row_to_col, m)
+    ].set(
+        jnp.where(row_to_col >= 0, jnp.arange(n, dtype=jnp.int32), -1),
+        mode="drop",
+    )
     return row_to_col, col_to_row
