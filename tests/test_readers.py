@@ -1036,3 +1036,192 @@ def test_ytvis_preproc_golden(tmp_path):
                 np.asarray(got_tm["AP_" + lbl]),
                 np.asarray(want_tm["AP_" + lbl]),
                 atol=1e-8, err_msg=f"{cls}/AP_{lbl}")
+
+
+# ---------------------------------------------------------------------------
+# BURST
+# ---------------------------------------------------------------------------
+
+
+def synth_burst(root, seed=0):
+    """Tiny BURST-format dataset: 2 sequences with per-frame RLE
+    segmentations (disjoint rectangles, compressed-string counts), a
+    distractor-category gt track, neg/not-exhaustive categories, and a
+    prediction json with scores/misses."""
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    rng = np.random.default_rng(seed)
+    gt_dir = os.path.join(root, "gt")
+    trk_dir = os.path.join(root, "trackers", "ours", "data")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    H, W = 64, 96
+
+    def rect(y0, x0, h, w):
+        m = np.zeros((H, W), np.uint8)
+        m[int(y0):int(y0) + h, int(x0):int(x0) + w] = 1
+        return RL.encode(m)["counts"].decode()
+
+    def seq(seq_id, name, cats, n_frames, miss_p):
+        # cats: {local_track_id: category}
+        lanes = np.linspace(2, W - 14, len(cats) + 1)
+        gt_segs, pred_segs, paths = [], [], []
+        for t in range(n_frames):
+            paths.append(f"frame{t * 30:04d}.jpg")
+            g, p = {}, {}
+            for i, (local, cat) in enumerate(cats.items()):
+                y0 = 6 + 2 * ((t + i) % 4)
+                g[local] = {"rle": rect(y0, lanes[i] + t, 14, 10)}
+                if rng.uniform() < 1 - miss_p:
+                    p[local] = {
+                        "rle": rect(y0 + int(rng.integers(-2, 3)),
+                                    lanes[i] + t, 14, 9),
+                        "score": float(rng.uniform(0.4, 1.0))}
+            gt_segs.append(g)
+            pred_segs.append(p)
+        base = {"id": seq_id, "dataset": "synthetic", "seq_name": name,
+                "width": W, "height": H,
+                "annotated_image_paths": paths,
+                "track_category_ids": {str(k): v
+                                       for k, v in cats.items()},
+                "neg_category_ids": [95],
+                "not_exhaustive_category_ids": []}
+        return ({**base, "segmentations": gt_segs},
+                {**base, "segmentations": pred_segs})
+
+    # cat 4/13 known; 20 is an OW distractor (dropped from gt)
+    g1, p1 = seq(10, "seq_a", {1: 4, 2: 13, 3: 20}, 6, 0.15)
+    g2, p2 = seq(20, "seq_b", {1: 13, 2: 4}, 5, 0.15)
+    gt = {"split": "val", "sequences": [g1, g2]}
+    pred = {"split": "val", "sequences": [p1, p2]}
+    with open(os.path.join(gt_dir, "all_classes.json"), "w") as f:
+        json.dump(gt, f)
+    with open(os.path.join(trk_dir, "results.json"), "w") as f:
+        json.dump(pred, f)
+    return ["val/synthetic/seq_a", "val/synthetic/seq_b"]
+
+
+def test_burst_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = sys.modules["pycocotools.mask"]
+    m.toBbox = RL.to_bbox
+
+    def iou_dispatch(a, b, iscrowd):
+        # pycocotools mask.iou silently does bbox IoU for array inputs
+        if isinstance(a, np.ndarray) or (
+                len(a) and not isinstance(a[0], dict)):
+            a = np.asarray(a, float).reshape(-1, 4)
+            b = np.asarray(b, float).reshape(-1, 4)
+            from yolov7_tracker_tpu.eval.data import iou_tlwh
+
+            return iou_tlwh(a, b)
+        return RL.iou(a, b, iscrowd)
+
+    m.iou = iou_dispatch
+    from trackeval.datasets import BURST
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seqs = synth_burst(root)
+    cats_path = os.path.join(
+        "/root/reference/tracker/trackeval/datasets/burst_helpers",
+        "tao_categories.json")
+
+    ds = BURST({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "EXEMPLAR_GUIDED": False,
+        "PRINT_CONFIG": False,
+    })
+    gt_json = os.path.join(root, "gt", "all_classes.json")
+    trk_json = os.path.join(root, "trackers", "ours", "data",
+                            "results.json")
+    for seq in seqs:
+        seq_disp = seq.replace("/", "-")
+        names = [s for s in ds.seq_list
+                 if s.replace("/", "-") == seq_disp or s == seq]
+        raw_ref = ds.get_raw_seq_data("ours", names[0])
+        raw = R.load_burst_seq(seq_disp, gt_json, trk_json,
+                               categories=cats_path)
+        for cls in ("dog", "cat"):
+            if cls not in ds.class_list:
+                continue
+            want = ds.get_preprocessed_seq_data(raw_ref, cls)
+            got = R.preprocess_burst(raw, cls)
+            _compare_preprocessed(got, want, raw["num_timesteps"],
+                                  label=f"burst/{seq}/{cls}")
+            assert got["gt_track_ids"] == want["gt_track_ids"]
+            assert got["dt_track_ids"] == want["dt_track_ids"]
+            np.testing.assert_allclose(got["gt_track_areas"],
+                                       want["gt_track_areas"])
+            _check_metrics(got, want)
+            # TrackMAP over mask tracks
+            from trackeval.metrics import TrackMAP
+
+            from yolov7_tracker_tpu.eval import metrics as M
+
+            tm = TrackMAP({"PRINT_CONFIG": False})
+            want_tm = tm.combine_sequences({0: tm.eval_sequence(want)})
+            got_tm = M.trackmap_combine([M.trackmap_sequence(got)])
+            for lbl in M.TRACKMAP_LABELS:
+                np.testing.assert_allclose(
+                    np.asarray(got_tm["AP_" + lbl]),
+                    np.asarray(want_tm["AP_" + lbl]),
+                    atol=1e-8, err_msg=f"{seq}/{cls}/AP_{lbl}")
+
+
+def test_burst_ow_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = sys.modules["pycocotools.mask"]
+    m.toBbox = RL.to_bbox
+
+    def iou_dispatch(a, b, iscrowd):
+        if isinstance(a, np.ndarray) or (
+                len(a) and not isinstance(a[0], dict)):
+            a = np.asarray(a, float).reshape(-1, 4)
+            b = np.asarray(b, float).reshape(-1, 4)
+            from yolov7_tracker_tpu.eval.data import iou_tlwh
+
+            return iou_tlwh(a, b)
+        return RL.iou(a, b, iscrowd)
+
+    m.iou = iou_dispatch
+    from trackeval.datasets import BURST_OW
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seqs = synth_burst(root, seed=2)
+    cats_path = os.path.join(
+        "/root/reference/tracker/trackeval/datasets/burst_helpers",
+        "tao_categories.json")
+
+    ds = BURST_OW({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SUBSET": "known",
+        "PRINT_CONFIG": False,
+    })
+    gt_json = os.path.join(root, "gt", "all_classes.json")
+    trk_json = os.path.join(root, "trackers", "ours", "data",
+                            "results.json")
+    for seq in seqs:
+        seq_disp = seq.replace("/", "-")
+        names = [s for s in ds.seq_list
+                 if s.replace("/", "-") == seq_disp or s == seq]
+        raw_ref = ds.get_raw_seq_data("ours", names[0])
+        want = ds.get_preprocessed_seq_data(raw_ref, "object")
+        raw = R.load_burst_ow_seq(seq_disp, gt_json, trk_json,
+                                  categories=cats_path, subset="known")
+        got = R.preprocess_burst_ow(raw)
+        _compare_preprocessed(got, want, raw["num_timesteps"],
+                              label=f"burst_ow/{seq}")
+        assert got["gt_track_ids"] == want["gt_track_ids"]
+        assert got["dt_track_ids"] == want["dt_track_ids"]
+        _check_metrics(got, want)

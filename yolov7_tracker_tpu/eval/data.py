@@ -104,8 +104,11 @@ BENCHMARKS = {
     "TAO": {"classes": {}, "eval_classes": [], "distractors": []},
     "TAO_OW": {"classes": {"object": 1}, "eval_classes": ["object"],
                "distractors": []},
-    # YouTube-VIS eval classes come from the gt json
+    # YouTube-VIS / BURST eval classes come from the gt json
     "YouTubeVIS": {"classes": {}, "eval_classes": [], "distractors": []},
+    "BURST": {"classes": {}, "eval_classes": [], "distractors": []},
+    "BURST_OW": {"classes": {"object": 1}, "eval_classes": ["object"],
+                 "distractors": []},
 }
 
 

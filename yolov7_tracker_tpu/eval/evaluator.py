@@ -52,6 +52,8 @@ def _reader_registry():
         "TAO": (R.load_tao_seq, R.preprocess_tao),
         "TAO_OW": (R.load_tao_ow_seq, R.preprocess_tao_ow),
         "YouTubeVIS": (R.load_ytvis_seq, R.preprocess_ytvis),
+        "BURST": (R.load_burst_seq, R.preprocess_burst),
+        "BURST_OW": (R.load_burst_ow_seq, R.preprocess_burst_ow),
     }
 
 

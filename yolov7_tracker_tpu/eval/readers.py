@@ -678,10 +678,13 @@ class TaoData:
     detection cap (300), missing-video-id fill, cross-video track-id
     uniquification."""
 
-    def __init__(self, gt_json: str, tracker_json: str,
+    def __init__(self, gt_json, tracker_json,
                  max_detections: int = 300):
-        with open(gt_json) as f:
-            self.gt = json.load(f)
+        if isinstance(gt_json, str):
+            with open(gt_json) as f:
+                self.gt = json.load(f)
+        else:
+            self.gt = gt_json
         self.gt = self._filter_gt(self.gt)   # TAO-OW subset hook
         merge_map = {}
         for cat in self.gt["categories"]:
@@ -726,8 +729,11 @@ class TaoData:
         self.eval_classes = [c["name"] for c in self.gt["categories"]
                              if c["id"] in seen]
 
-        with open(tracker_json) as f:
-            trk = json.load(f)
+        if isinstance(tracker_json, str):
+            with open(tracker_json) as f:
+                trk = json.load(f)
+        else:
+            trk = tracker_json
         if max_detections:
             by_img: Dict[int, list] = {}
             for a in trk:
@@ -748,6 +754,9 @@ class TaoData:
 
     def _filter_gt(self, gt):
         return gt
+
+    def _ann_area(self, a):
+        return a["bbox"][2] * a["bbox"][3]
 
     @staticmethod
     def _uniquify_track_ids(anns):
@@ -779,7 +788,7 @@ class TaoData:
         track_index: Dict[tuple, dict] = {}
         img_index: Dict[tuple, dict] = {}
         for a in anns:
-            a["area"] = a["bbox"][2] * a["bbox"][3]
+            a["area"] = self._ann_area(a)
             vid = a["video_id"]
             tkey = (vid, a["track_id"])
             if tkey not in track_index:
@@ -1258,4 +1267,404 @@ def preprocess_ytvis(raw: Dict, cls: str) -> Dict:
         for k in ("dt_track_scores", "dt_tracks", "dt_track_ids",
                   "dt_track_areas"):
             out[k] = [out[k][i] for i in idx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BURST / BURST-OW (trackeval/datasets/burst.py + burst_helpers/) —
+# BURST-format jsons converted to TAO form, evaluated TAO-style with
+# mask track representations. Frame-level similarity is BOX IoU: the
+# upstream flow feeds per-frame bbox arrays into pycocotools mask.iou,
+# which silently dispatches to its bbox branch (burst_base.py:202 +
+# burst.py:36) — reproduced deliberately.
+# ---------------------------------------------------------------------------
+
+
+def _burst_frame_index(img_path: str) -> int:
+    stripped = img_path.replace(".jpg", "").replace(".png", "") \
+        .replace("frame", "")
+    return int(stripped.split("_")[-1])
+
+
+def burst_gt_to_tao(burst_gt: Dict, categories: List[Dict]) -> Dict:
+    """GroundTruthBURSTFormatToTAOFormatConverter (format_converter.py:
+    15-134): global track ids in sequence/declaration order, distractor-
+    category annotations dropped, bboxes from the masks (int-cast)."""
+    from . import rle as RL
+
+    split = burst_gt["split"]
+    id_map: Dict[str, Dict[str, int]] = {}
+    next_tid = 1
+    for seq in burst_gt["sequences"]:
+        m = {}
+        for local in seq["track_category_ids"]:
+            m[str(local)] = next_tid
+            next_tid += 1
+        id_map[str(seq["id"])] = m
+
+    videos, images, annotations = [], [], []
+    tracks: Dict[int, Dict] = {}
+    next_img = next_ann = 0
+    for seq in burst_gt["sequences"]:
+        vid = seq["id"]
+        name = f"{split}/{seq['dataset']}/{seq['seq_name']}"
+        videos.append({
+            "id": vid, "width": seq["width"], "height": seq["height"],
+            "neg_category_ids": seq["neg_category_ids"],
+            "not_exhaustive_category_ids":
+                seq["not_exhaustive_category_ids"],
+            "name": name, "metadata": {"dataset": seq["dataset"]}})
+        imgs = []
+        for img_path in seq["annotated_image_paths"]:
+            img = {"id": next_img, "video": name,
+                   "width": seq["width"], "height": seq["height"],
+                   "file_name": f"{name}/{img_path}",
+                   "frame_index": _burst_frame_index(img_path),
+                   "video_id": vid}
+            next_img += 1
+            images.append(img)
+            imgs.append(img)
+        for frame_segs, img in zip(seq["segmentations"], imgs):
+            for local, seg in frame_segs.items():
+                cat = int(seq["track_category_ids"][local])
+                if cat in TAO_OW_DISTRACTORS:
+                    continue
+                gtid = id_map[str(vid)][str(local)]
+                segmentation = {"counts": seg["rle"],
+                                "size": [img["height"], img["width"]]}
+                annotations.append({
+                    "segmentation": segmentation, "id": next_ann,
+                    "image_id": img["id"], "category_id": cat,
+                    "track_id": gtid, "video_id": vid,
+                    "bbox": [int(x) for x in RL.to_bbox(segmentation)]})
+                next_ann += 1
+                tracks.setdefault(gtid, {
+                    "id": gtid, "category_id": cat, "video_id": vid})
+    return {"videos": videos, "annotations": annotations,
+            "tracks": sorted(tracks.values(), key=lambda t: t["id"]),
+            "images": images, "categories": categories,
+            "track_id_mapping": id_map, "split": split}
+
+
+def burst_pred_to_tao(tao_gt: Dict, burst_pred: Dict,
+                      exemplar_guided: bool = False) -> List[Dict]:
+    """PredictionBURSTFormatToTAOFormatConverter (format_converter.py:
+    137-258): flat TAO-style detection list; exemplar-guided runs remap
+    to the gt's global track ids (dropping unknown tracks) and inherit
+    the gt category."""
+    from . import rle as RL
+
+    split = burst_pred.get("split", tao_gt["split"])
+    img_by_name = {im["file_name"]: im for im in tao_gt["images"]}
+    gt_tracks = {int(t["id"]): t for t in tao_gt["tracks"]}
+    out = []
+    next_id = 0
+    for seq in burst_pred["sequences"]:
+        name = f"{split}/{seq['dataset']}/{seq['seq_name']}"
+        for frame_segs, img_path in zip(seq["segmentations"],
+                                        seq["annotated_image_paths"]):
+            for local_str, det in frame_segs.items():
+                fn = f"{name}/{img_path}"
+                img = img_by_name.get(fn)
+                if img is None:   # predictions at a higher frame rate
+                    continue
+                segmentation = {"counts": det["rle"],
+                                "size": [img["height"], img["width"]]}
+                local = int(local_str)
+                if exemplar_guided:
+                    gtid = tao_gt["track_id_mapping"][
+                        str(seq["id"])][str(local)]
+                    if gtid not in gt_tracks:
+                        continue
+                    cat = gt_tracks[gtid]["category_id"]
+                    tid = gtid
+                else:
+                    tid = local
+                    cat = det.get(
+                        "category_id",
+                        seq["track_category_ids"][local_str])
+                out.append({
+                    "id": next_id, "image_id": img["id"],
+                    "track_id": tid, "category_id": cat,
+                    "bbox": [int(x) for x in RL.to_bbox(segmentation)],
+                    "segmentation": segmentation,
+                    "score": det.get("score", 1.0),
+                    "video_id": seq["id"]})
+                next_id += 1
+    return out
+
+
+class BurstData(TaoData):
+    """TAO-format container whose annotation areas come from the masks
+    (burst.py _calculate_area_for_ann)."""
+
+    def _ann_area(self, a):
+        from . import rle as RL
+
+        return float(RL.area(a["segmentation"]))
+
+
+def load_burst_seq(seq: str, gt_json, tracker_json, num_timesteps: int = 0,
+                   categories=None, exemplar_guided: bool = False) -> Dict:
+    """BURST raw load: convert both jsons to TAO form, then the TAO flow
+    with mask track representations. `categories` is the TAO category
+    list (or a path to tao_categories.json — a public TAO artifact the
+    BURST tooling ships)."""
+    if isinstance(categories, str):
+        with open(categories) as f:
+            categories = json.load(f)
+    key = (os.path.abspath(gt_json) if isinstance(gt_json, str) else
+           id(gt_json),
+           os.path.abspath(tracker_json) if isinstance(tracker_json, str)
+           else id(tracker_json), exemplar_guided)
+    if key not in _TAO_CACHE:
+        if len(_TAO_CACHE) > 4:
+            _TAO_CACHE.clear()
+        if isinstance(gt_json, str):
+            with open(gt_json) as f:
+                burst_gt = json.load(f)
+        else:
+            burst_gt = gt_json
+        if isinstance(tracker_json, str):
+            with open(tracker_json) as f:
+                burst_pred = json.load(f)
+        else:
+            burst_pred = tracker_json
+        tao_gt = burst_gt_to_tao(burst_gt, categories or [])
+        tao_pred = burst_pred_to_tao(tao_gt, burst_pred,
+                                     exemplar_guided)
+        _TAO_CACHE[key] = BurstData(tao_gt, tao_pred, max_detections=0)
+    data = _TAO_CACHE[key]
+    vid = data.seq_ids[seq]
+    T = data.seq_lengths[vid]
+    img_to_t = data.img_to_t[vid]
+
+    def frames(images, with_conf):
+        ids = [np.empty(0, int)] * T
+        cls = [np.empty(0, int)] * T
+        dets = [np.empty((0, 4))] * T
+        conf = [np.empty(0)] * T
+        for img in images:
+            t = img_to_t.get(img["id"])
+            if t is None:
+                continue
+            anns = img["annotations"]
+            dets[t] = np.atleast_2d(
+                [a["bbox"] for a in anns]).astype(float)
+            ids[t] = np.atleast_1d(
+                [a["track_id"] for a in anns]).astype(int)
+            cls[t] = np.atleast_1d(
+                [a["category_id"] for a in anns]).astype(int)
+            if with_conf:
+                conf[t] = np.atleast_1d(
+                    [a["score"] for a in anns]).astype(float)
+        return ids, cls, dets, conf
+
+    g_ids, g_cls, g_dets, _ = frames(data.gt_images[vid], False)
+    t_ids, t_cls, t_dets, t_conf = frames(data.trk_images[vid], True)
+    # frame-level similarity is BOX IoU (see section header)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, t_dets)]
+
+    all_cls = sorted(data.class_name_to_id.values())
+    sc = data.seq_classes[vid]
+
+    def tracks_by_class(all_tracks, considered):
+        return {c: [tr for tr in all_tracks if tr["category_id"] == c]
+                if c in considered else [] for c in all_cls}
+
+    gt_by_cls = tracks_by_class(data.gt_tracks[vid], all_cls)
+    dt_by_cls = tracks_by_class(
+        data.trk_tracks[vid], sc["pos"] + sc["neg"])
+
+    def track_repr(by_cls, with_scores):
+        out = {
+            "tracks": {c: [{a["image_id"]: a["segmentation"]
+                            for a in tr["annotations"]} for tr in trs]
+                       for c, trs in by_cls.items()},
+            "ids": {c: [tr["id"] for tr in trs]
+                    for c, trs in by_cls.items()},
+            "areas": {c: [tr["area"] for tr in trs]
+                      for c, trs in by_cls.items()},
+            "lengths": {c: [len(tr["annotations"]) for tr in trs]
+                        for c, trs in by_cls.items()},
+        }
+        if with_scores:
+            out["scores"] = {
+                c: np.array([np.mean([float(a["score"])
+                                      for a in tr["annotations"]])
+                             for tr in trs])
+                for c, trs in by_cls.items()}
+        return out
+
+    return {
+        "seq": seq, "num_timesteps": T,
+        "gt_ids": g_ids, "gt_classes": g_cls, "gt_dets": g_dets,
+        "tracker_ids": t_ids, "tracker_classes": t_cls,
+        "tracker_dets": t_dets, "tracker_confidences": t_conf,
+        "similarity": sim,
+        "neg_cat_ids": sc["neg"], "not_exhaustive": sc["not_exhaustive"],
+        "gt_track_repr": track_repr(gt_by_cls, False),
+        "dt_track_repr": track_repr(dt_by_cls, True),
+        "class_name_to_id": data.class_name_to_id,
+        "exemplar_guided": exemplar_guided,
+    }
+
+
+def preprocess_burst(raw: Dict, cls: str) -> Dict:
+    """burst_base.py:279-421: the TAO preproc; exemplar-guided runs skip
+    det removal entirely. Track reprs are masks -> iou_type 'mask'."""
+    if not raw.get("exemplar_guided"):
+        out = preprocess_tao(raw, cls)
+    else:
+        cls_id = raw["class_name_to_id"][cls]
+        T = raw["num_timesteps"]
+        out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+               "tracker_dets": [], "tracker_confidences": [],
+               "similarity_scores": []}
+        for t in range(T):
+            gm = raw["gt_classes"][t] == cls_id
+            tm = raw["tracker_classes"][t] == cls_id
+            out["gt_ids"].append(raw["gt_ids"][t][gm])
+            out["gt_dets"].append(raw["gt_dets"][t][gm])
+            out["tracker_ids"].append(raw["tracker_ids"][t][tm])
+            out["tracker_dets"].append(raw["tracker_dets"][t][tm])
+            out["tracker_confidences"].append(
+                raw["tracker_confidences"][t][tm])
+            out["similarity_scores"].append(
+                raw["similarity"][t][gm][:, tm])
+        out = _relabel(out, T)
+        g, d = raw["gt_track_repr"], raw["dt_track_repr"]
+        out.update(
+            gt_tracks=g["tracks"][cls_id],
+            gt_track_ids=g["ids"][cls_id],
+            gt_track_lengths=g["lengths"][cls_id],
+            gt_track_areas=g["areas"][cls_id],
+            dt_tracks=list(d["tracks"][cls_id]),
+            dt_track_ids=list(d["ids"][cls_id]),
+            dt_track_lengths=list(d["lengths"][cls_id]),
+            dt_track_areas=list(d["areas"][cls_id]),
+            dt_track_scores=list(d["scores"][cls_id]),
+            not_exhaustively_labeled=False,
+            seq=raw["seq"], cls=cls,
+        )
+        if out["dt_tracks"]:
+            idx = np.argsort([-s for s in out["dt_track_scores"]],
+                             kind="mergesort")
+            for k in ("dt_track_scores", "dt_tracks", "dt_track_ids",
+                      "dt_track_lengths", "dt_track_areas"):
+                out[k] = [out[k][i] for i in idx]
+    out["iou_type"] = "mask"
+    return out
+
+
+class BurstOwData(BurstData):
+    """BURST-OW: BURST-converted TAO gt filtered to an open-world subset
+    (burst_ow_base.py:76-119), class-agnostic."""
+
+    def __init__(self, gt, pred, subset: str = "known"):
+        self._subset = subset
+        super().__init__(gt, pred, max_detections=0)
+        self.class_name_to_id = {"object": 1}
+        self.eval_classes = ["object"]
+
+    _filter_gt = TaoOwData._filter_gt
+
+
+def load_burst_ow_seq(seq: str, gt_json, tracker_json,
+                      num_timesteps: int = 0, categories=None,
+                      subset: str = "known") -> Dict:
+    """BURST-OW raw load: BURST conversion, open-world subset filter,
+    class-agnostic frames and pooled mask track representations
+    (burst_ow_base.py:167-285)."""
+    if isinstance(categories, str):
+        with open(categories) as f:
+            categories = json.load(f)
+    key = ("burst_ow",
+           os.path.abspath(gt_json) if isinstance(gt_json, str)
+           else id(gt_json),
+           os.path.abspath(tracker_json) if isinstance(tracker_json, str)
+           else id(tracker_json), subset)
+    if key not in _TAO_CACHE:
+        if len(_TAO_CACHE) > 4:
+            _TAO_CACHE.clear()
+        if isinstance(gt_json, str):
+            with open(gt_json) as f:
+                burst_gt = json.load(f)
+        else:
+            burst_gt = gt_json
+        if isinstance(tracker_json, str):
+            with open(tracker_json) as f:
+                burst_pred = json.load(f)
+        else:
+            burst_pred = tracker_json
+        tao_gt = burst_gt_to_tao(burst_gt, categories or [])
+        tao_pred = burst_pred_to_tao(tao_gt, burst_pred, False)
+        _TAO_CACHE[key] = BurstOwData(tao_gt, tao_pred, subset)
+    data = _TAO_CACHE[key]
+    vid = data.seq_ids[seq]
+    T = data.seq_lengths[vid]
+    img_to_t = data.img_to_t[vid]
+
+    def frames(images, with_conf):
+        ids = [np.empty(0, int)] * T
+        cls = [np.empty(0, int)] * T
+        dets = [np.empty((0, 4))] * T
+        conf = [np.empty(0)] * T
+        for img in images:
+            t = img_to_t.get(img["id"])
+            if t is None:
+                continue
+            anns = img["annotations"]
+            dets[t] = np.atleast_2d(
+                [a["bbox"] for a in anns]).astype(float)
+            ids[t] = np.atleast_1d(
+                [a["track_id"] for a in anns]).astype(int)
+            cls[t] = np.ones(len(anns), int)
+            if with_conf:
+                conf[t] = np.atleast_1d(
+                    [a["score"] for a in anns]).astype(float)
+        return ids, cls, dets, conf
+
+    g_ids, g_cls, g_dets, _ = frames(data.gt_images[vid], False)
+    t_ids, t_cls, t_dets, t_conf = frames(data.trk_images[vid], True)
+    sim = [iou_tlwh(g, t) for g, t in zip(g_dets, t_dets)]
+    sc = data.seq_classes[vid]
+
+    def track_repr(all_tracks, with_scores):
+        by_cls = {1: list(all_tracks)}
+        out = {
+            "tracks": {c: [{a["image_id"]: a["segmentation"]
+                            for a in tr["annotations"]} for tr in trs]
+                       for c, trs in by_cls.items()},
+            "ids": {c: [tr["id"] for tr in trs]
+                    for c, trs in by_cls.items()},
+            "areas": {c: [tr["area"] for tr in trs]
+                      for c, trs in by_cls.items()},
+            "lengths": {c: [len(tr["annotations"]) for tr in trs]
+                        for c, trs in by_cls.items()},
+        }
+        if with_scores:
+            out["scores"] = {
+                c: np.array([np.mean([float(a["score"])
+                                      for a in tr["annotations"]])
+                             for tr in trs])
+                for c, trs in by_cls.items()}
+        return out
+
+    return {
+        "seq": seq, "num_timesteps": T,
+        "gt_ids": g_ids, "gt_classes": g_cls, "gt_dets": g_dets,
+        "tracker_ids": t_ids, "tracker_classes": t_cls,
+        "tracker_dets": t_dets, "tracker_confidences": t_conf,
+        "similarity": sim,
+        "neg_cat_ids": sc["neg"], "not_exhaustive": sc["not_exhaustive"],
+        "gt_track_repr": track_repr(data.gt_tracks[vid], False),
+        "dt_track_repr": track_repr(data.trk_tracks[vid], True),
+        "class_name_to_id": {"object": 1},
+    }
+
+
+def preprocess_burst_ow(raw: Dict, cls: str = "object") -> Dict:
+    out = preprocess_tao(raw, cls)
+    out["iou_type"] = "mask"
     return out

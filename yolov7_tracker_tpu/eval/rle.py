@@ -245,3 +245,23 @@ def fr_uncompressed(obj, h=None, w=None):
         return [fr_uncompressed(o, h, w) for o in obj]
     raise NotImplementedError(
         "polygon segmentations are not supported; supply RLE dicts")
+
+
+def to_bbox(rle: Rle) -> np.ndarray:
+    """pycocotools mask.toBbox: tight [x, y, w, h] of the mask (zeros
+    for an empty mask)."""
+    h, w = rle["size"]
+    iv = _intervals(counts_to_runs(rle))
+    if len(iv) == 0 or h == 0:
+        return np.zeros(4)
+    # flat F-order index = col * h + row
+    cols = iv // h                      # [start_col, (end-1)//h] per run
+    rows_s = iv[:, 0] % h
+    rows_e = (iv[:, 1] - 1) % h
+    c0 = int(cols[:, 0].min())
+    c1 = int(((iv[:, 1] - 1) // h).max())
+    # a run can span column boundaries; rows then cover the full height
+    spans = (iv[:, 1] - 1) // h > iv[:, 0] // h
+    r0 = 0 if spans.any() else int(rows_s.min())
+    r1 = h - 1 if spans.any() else int(rows_e.max())
+    return np.asarray([c0, r0, c1 - c0 + 1, r1 - r0 + 1], float)
