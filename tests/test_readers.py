@@ -1121,6 +1121,12 @@ def test_burst_preproc_golden(tmp_path):
         return RL.iou(a, b, iscrowd)
 
     m.iou = iou_dispatch
+    # format_converter binds `cocomask` at ITS import; other tests may
+    # have replaced sys.modules["pycocotools.mask"] since (test_jandf
+    # installs a dense-array shim), so rebind explicitly
+    import trackeval.datasets.burst_helpers.format_converter as fc
+
+    fc.cocomask = m
     from trackeval.datasets import BURST
 
     from yolov7_tracker_tpu.eval import readers as R
@@ -1192,6 +1198,12 @@ def test_burst_ow_preproc_golden(tmp_path):
         return RL.iou(a, b, iscrowd)
 
     m.iou = iou_dispatch
+    # format_converter binds `cocomask` at ITS import; other tests may
+    # have replaced sys.modules["pycocotools.mask"] since (test_jandf
+    # installs a dense-array shim), so rebind explicitly
+    import trackeval.datasets.burst_helpers.format_converter as fc
+
+    fc.cocomask = m
     from trackeval.datasets import BURST_OW
 
     from yolov7_tracker_tpu.eval import readers as R
