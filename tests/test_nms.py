@@ -81,3 +81,38 @@ def test_nms_batched():
     for b in range(3):
         want = oracles.nms_np(pred[b], 0.25, 0.45)
         assert int(counts[b]) == want.shape[0]
+
+
+def test_nms_from_raw_matches_decoded():
+    """The fused score-first NMS (raw head inputs, top-k before decode)
+    produces identical detections to decode-everything + nms on a real
+    model (f32 compute, so ordering is exact)."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.models import yolo, zoo
+    from yolov7_tracker_tpu.ops import nms as nms_mod
+
+    spec = zoo.get_spec("yolov7-tiny", nc=8)
+    model, variables = yolo.build_model(spec, img_size=160, init="random")
+    rng = np.random.default_rng(0)
+    params = dict(variables["params"])
+    for k, v in params.items():
+        if k.startswith("head_m"):
+            v = dict(v)
+            v["kernel"] = v["kernel"] * 6.0
+            b = v["bias"].reshape(spec.na, spec.no)
+            b = b.at[:, 4].add(5.0).at[:, 5:].add(5.0)
+            v["bias"] = b.reshape(-1)
+            params[k] = v
+    variables = {"params": params,
+                 "batch_stats": variables["batch_stats"]}
+    x = jnp.asarray(rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32))
+    pred, raw = model.apply(variables, x, training=False)
+    d1, c1 = nms_mod.nms(pred.astype(jnp.float32), 0.01, 0.45,
+                         max_det=50, top_k=512)
+    d2, c2 = nms_mod.nms_from_raw(
+        raw, jnp.asarray(spec.anchors_per_level()), tuple(spec.strides),
+        0.01, 0.45, max_det=50, top_k=512)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-4)

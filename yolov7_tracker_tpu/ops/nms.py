@@ -123,3 +123,108 @@ def nms(
         cond, body, (out0, jnp.int32(0), scores0, jnp.int32(0))
     )
     return out, count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "max_det", "top_k", "agnostic"),
+)
+def nms_from_raw(
+    raw_levels,
+    anchors: jnp.ndarray,
+    strides,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    *,
+    max_det: int = 300,
+    top_k: int = 4096,
+    agnostic: bool = False,
+):
+    """Score-first NMS over RAW head outputs (best-class mode).
+
+    Decoding every anchor materializes a (B, N, 5+nc) float32 tensor —
+    ~240 MB and several HBM passes for w6@1088/b16 — only for NMS to
+    keep <=top_k candidates. This fused path scores anchors in the
+    model's compute dtype, top-ks, then decodes ONLY the selected rows
+    in float32. Exactly the reference semantics for best-class NMS: the
+    obj>conf gate is implied by score=obj*cls_max>conf, and top-k by
+    score equals the reference's max_nms score truncation. When the
+    pipeline consumes this path, XLA dead-code-eliminates the full
+    decode from the model graph.
+
+    Args:
+      raw_levels: list of nl (B, ny, nx, na, no) PRE-sigmoid head
+        outputs (post implicit ops), any float dtype.
+      anchors: (nl, na, 2) anchor sizes in pixels.
+      strides: tuple of nl ints.
+
+    Returns (dets (B, max_det, 6) float32, count (B,) int32).
+    """
+    nl = len(raw_levels)
+    no = raw_levels[0].shape[-1]
+    na = raw_levels[0].shape[3]
+    b = raw_levels[0].shape[0]
+
+    flat_rows, flat_scores, flat_meta = [], [], []
+    for i in range(nl):
+        p = raw_levels[i]
+        _, ny, nx, _, _ = p.shape
+        # candidate scores in the compute dtype (ordering-only role)
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls_max = jnp.max(p[..., 5:], axis=-1)       # logit argmax == prob
+        score = obj * jax.nn.sigmoid(cls_max)
+        flat_scores.append(score.reshape(b, ny * nx * na))
+        flat_rows.append(p.reshape(b, ny * nx * na, no))
+        # per-anchor decode metadata (constants, folded by XLA):
+        # [grid_x, grid_y, anchor_w, anchor_h, stride]
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx, na), 1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx, na), 0)
+        ai = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, na), 2)
+        aw = anchors[i][..., 0][ai]
+        ah = anchors[i][..., 1][ai]
+        st = jnp.full((ny, nx, na), float(strides[i]), jnp.float32)
+        meta = jnp.stack([gx, gy, aw, ah, st], axis=-1)
+        flat_meta.append(meta.reshape(ny * nx * na, 5))
+    rows = jnp.concatenate(flat_rows, axis=1)        # (B, N, no)
+    scores = jnp.concatenate(flat_scores, axis=1).astype(jnp.float32)
+    meta = jnp.concatenate(flat_meta, axis=0)        # (N, 5)
+
+    def one(rows_b, scores_b):
+        k = min(top_k, scores_b.shape[0])
+        _, top_idx = jax.lax.top_k(scores_b, k)
+        sel = rows_b[top_idx].astype(jnp.float32)    # (k, no)
+        sm = meta[top_idx]
+        y = jax.nn.sigmoid(sel)
+        xy = (y[:, 0:2] * 2.0 - 0.5 + sm[:, 0:2]) * sm[:, 4:5]
+        wh = (y[:, 2:4] * 2.0) ** 2 * sm[:, 2:4]
+        cls_conf = y[:, 5:] * y[:, 4:5]
+        conf = jnp.max(cls_conf, axis=1)
+        cls_id = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+        keep = conf > conf_thres
+        sel_box = boxops.xywh_to_xyxy(jnp.concatenate([xy, wh], axis=1))
+        offset = jnp.where(agnostic, 0.0, cls_id * MAX_WH)
+        off_box = sel_box + offset[:, None]
+        sc = jnp.where(keep, conf, -1.0)
+
+        def cond(state):
+            _, _, s, i = state
+            return jnp.logical_and(i < max_det, jnp.max(s) > 0.0)
+
+        def body(state):
+            out, out_n, s, i = state
+            j = jnp.argmax(s)
+            row = jnp.concatenate([sel_box[j], s[j][None], cls_id[j][None]])
+            out = out.at[i].set(row)
+            ious = boxops.iou_matrix_xyxy(
+                sel_box[j][None] + offset[j], off_box)[0]
+            s = jnp.where(ious > iou_thres, -1.0, s)
+            s = s.at[j].set(-1.0)
+            return out, out_n + 1, s, i + 1
+
+        out0 = jnp.zeros((max_det, 6), jnp.float32)
+        out, count, _, _ = jax.lax.while_loop(
+            cond, body, (out0, jnp.int32(0), sc, jnp.int32(0))
+        )
+        return out, count
+
+    return jax.vmap(one)(rows, scores)
