@@ -1237,3 +1237,113 @@ def test_burst_ow_preproc_golden(tmp_path):
         assert got["gt_track_ids"] == want["gt_track_ids"]
         assert got["dt_track_ids"] == want["dt_track_ids"]
         _check_metrics(got, want)
+
+
+# ---------------------------------------------------------------------------
+# RobMOTS
+# ---------------------------------------------------------------------------
+
+
+def synth_robmots(root, seed=0, sub="mots_challenge"):
+    """Tiny RobMOTS-layout dataset: unified txt rows
+    `t id cls score h w rle` (0-based frames), COCO class ids, a +100
+    ignore region, a tiny unmatched det, seqmap with an ignore class."""
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    rng = np.random.default_rng(seed)
+    split = "train"
+    gt_dir = os.path.join(root, "gt", split, sub)
+    trk_dir = os.path.join(root, "trackers", split, "ours", "data", sub)
+    os.makedirs(os.path.join(gt_dir, "data"), exist_ok=True)
+    os.makedirs(trk_dir, exist_ok=True)
+
+    H, W = 96, 160
+    T = 12
+    seq = "seq01"
+
+    def rect(y0, x0, h, w):
+        m = np.zeros((H, W), np.uint8)
+        m[int(y0):int(y0) + h, int(x0):int(x0) + w] = 1
+        return RL.encode(m)["counts"].decode()
+
+    classes = [1, 1, 3, 16]   # person, person, car, cat (cat = ignored)
+    lanes = [4, 40, 76, 112]
+    gt_rows, trk_rows = [], []
+    for t in range(T):
+        for i, c in enumerate(classes):
+            y0 = 8 + 2 * ((t + i) % 4)
+            gt_rows.append(f"{t} {10 + i} {c} 1.0 {H} {W} "
+                           f"{rect(y0, lanes[i] + t, 30, 12)}")
+            if rng.uniform() < 0.85:
+                trk_rows.append(
+                    f"{t} {50 + i} {c} {rng.uniform(0.5, 1.0):.3f} "
+                    f"{H} {W} "
+                    f"{rect(y0 + int(rng.integers(-2, 3)), lanes[i] + t, 29, 11)}")
+        # ignore region for class person (101) + a tiny unmatched det
+        gt_rows.append(f"{t} 90 101 1.0 {H} {W} {rect(60, 140, 30, 16)}")
+        if rng.uniform() < 0.5:
+            trk_rows.append(f"{t} 99 1 0.9 {H} {W} {rect(64, 142, 24, 12)}")
+        if rng.uniform() < 0.4:   # too-small det (<= min(96,160)/8 = 12)
+            trk_rows.append(f"{t} 98 3 0.8 {H} {W} {rect(4, 150, 8, 6)}")
+    with open(os.path.join(gt_dir, "data", seq + ".txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    with open(os.path.join(gt_dir, "seqmap.txt"), "w") as f:
+        f.write(f"{seq} {T} {H} {W} 16\n")   # cat ignored in this seq
+    with open(os.path.join(gt_dir, "clsmap.txt"), "w") as f:
+        f.write("1 3 16\n")
+    with open(os.path.join(trk_dir, seq + ".txt"), "w") as f:
+        f.write("\n".join(trk_rows) + "\n")
+    return seq, T, (H, W)
+
+
+def test_robmots_preproc_golden(tmp_path):
+    _install_pycoco_shim()
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = sys.modules["pycocotools.mask"]
+
+    def to_bbox_multi(d):
+        if isinstance(d, dict):
+            return RL.to_bbox(d)
+        return np.stack([RL.to_bbox(x) for x in d]) if len(d) \
+            else np.zeros((0, 4))
+
+    m.toBbox = to_bbox_multi
+    m.frPyObjects = lambda obj, h, w: (
+        [RL.from_bbox(b, h, w) for b in obj]
+        if isinstance(obj, np.ndarray) and obj.ndim == 2
+        else RL.fr_uncompressed(obj, h, w))
+    from trackeval.datasets import RobMOTS
+
+    from yolov7_tracker_tpu.eval import readers as R
+
+    root = str(tmp_path)
+    seq, T, size = synth_robmots(root)
+
+    ds = RobMOTS({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SUB_BENCHMARK": "mots_challenge",
+        "SPLIT_TO_EVAL": "train",
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+
+    seqmap = R.read_robmots_seqmap(
+        os.path.join(root, "gt", "train", "mots_challenge", "seqmap.txt"))
+    info = seqmap[seq]
+    raw = R.load_robmots_seq(
+        seq,
+        os.path.join(root, "gt", "train", "mots_challenge", "data",
+                     seq + ".txt"),
+        os.path.join(root, "trackers", "train", "ours", "data",
+                     "mots_challenge", seq + ".txt"),
+        info["length"], info["size"], "mots_challenge",
+        ignore_class_ids=info["ignore_class_ids"],
+        valid_class_ids=(1, 3, 16),
+    )
+    for cls in ("person", "car", "cat", "all"):
+        want = ds.get_preprocessed_seq_data(raw_ref, cls)
+        got = R.preprocess_robmots(raw, cls)
+        _compare_mots(got, want, T, label=f"robmots/{cls}")
+        _check_metrics(got, want)

@@ -1668,3 +1668,253 @@ def preprocess_burst_ow(raw: Dict, cls: str = "object") -> Dict:
     out = preprocess_tao(raw, cls)
     out["iou_type"] = "mask"
     return out
+
+
+# ---------------------------------------------------------------------------
+# RobMOTS (trackeval/datasets/rob_mots.py) — the unified multi-benchmark
+# format: one txt per sequence (`t id cls [score] h w rle`, 0-based
+# frames), per-sequence frame sizes and ignore classes from the seqmap,
+# COCO class ids (+100 offset marks ignore regions), 'all' superclass.
+# ---------------------------------------------------------------------------
+
+ROBMOTS_BOX_GT = ("waymo", "tao")   # sub-benchmarks with box gt
+COCO_CLASSES = {
+    1: "person", 2: "bicycle", 3: "car", 4: "motorcycle", 5: "airplane",
+    6: "bus", 7: "train", 8: "truck", 9: "boat", 10: "traffic light",
+    11: "fire hydrant", 12: "stop sign", 13: "parking meter",
+    14: "bench", 15: "bird", 16: "cat", 17: "dog", 18: "horse",
+    19: "sheep", 20: "cow", 21: "elephant", 22: "bear", 23: "zebra",
+    24: "giraffe", 25: "backpack", 26: "umbrella", 27: "handbag",
+    28: "tie", 29: "suitcase", 30: "frisbee", 31: "skis",
+    32: "snowboard", 33: "sports ball", 34: "kite", 35: "baseball bat",
+    36: "baseball glove", 37: "skateboard", 38: "surfboard",
+    39: "tennis racket", 40: "bottle", 41: "wine glass", 42: "cup",
+    43: "fork", 44: "knife", 45: "spoon", 46: "bowl", 47: "banana",
+    48: "apple", 49: "sandwich", 50: "orange", 51: "broccoli",
+    52: "carrot", 53: "hot dog", 54: "pizza", 55: "donut", 56: "cake",
+    57: "chair", 58: "couch", 59: "potted plant", 60: "bed",
+    61: "dining table", 62: "toilet", 63: "tv", 64: "laptop",
+    65: "mouse", 66: "remote", 67: "keyboard", 68: "cell phone",
+    69: "microwave", 70: "oven", 71: "toaster", 72: "sink",
+    73: "refrigerator", 74: "book", 75: "clock", 76: "vase",
+    77: "scissors", 78: "teddy bear", 79: "hair drier",
+    80: "toothbrush",
+}
+COCO_NAME_TO_ID = {v: k for k, v in COCO_CLASSES.items()}
+
+
+@dataclass
+class RobMotsRawSeq:
+    seq: str
+    sub_benchmark: str
+    num_timesteps: int
+    frame_size: tuple                   # (h, w)
+    ignore_class_ids: tuple
+    valid_class_ids: tuple
+    gt_ids: List[np.ndarray]
+    gt_classes: List[np.ndarray]
+    gt_dets: List                       # RLE lists (or (K,4) x0y0x1y1)
+    tracker_ids: List[np.ndarray]
+    tracker_classes: List[np.ndarray]
+    tracker_dets: List[list]            # RLE lists
+    tracker_confidences: List[np.ndarray]
+    similarity: List[np.ndarray] = field(default_factory=list)
+
+
+def _read_robmots_txt(path: str, num_timesteps: int, is_gt: bool,
+                      box_dets: bool):
+    ids = [np.empty(0, int) for _ in range(num_timesteps)]
+    classes = [np.empty(0, int) for _ in range(num_timesteps)]
+    dets = [(np.empty((0, 4)) if box_dets else [])
+            for _ in range(num_timesteps)]
+    conf = [np.empty(0) for _ in range(num_timesteps)]
+    per_frame: Dict[int, list] = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 7:
+                    continue
+                per_frame.setdefault(int(parts[0]), []).append(parts)
+    for t, rows in per_frame.items():
+        if t >= num_timesteps:
+            continue
+        ids[t] = np.asarray([int(r[1]) for r in rows], int)
+        classes[t] = np.asarray([int(r[2]) for r in rows], int)
+        if not is_gt:
+            conf[t] = np.asarray([float(r[3]) for r in rows], float)
+        # the unified layout is identical for gt and tracker rows
+        # (`t id cls score h w rle`; rob_mots.py indexes both with
+        # region[4:7] / det[4:8])
+        if box_dets:
+            dets[t] = np.asarray(
+                [[float(x) for x in r[4:8]] for r in rows],
+                float).reshape(-1, 4)
+        else:
+            dets[t] = [{"size": [int(r[4]), int(r[5])],
+                        "counts": r[6].encode("utf-8")}
+                       for r in rows]
+    return ids, classes, dets, conf
+
+
+def load_robmots_seq(seq: str, gt_path: str, result_path: str,
+                     num_timesteps: int, frame_size,
+                     sub_benchmark: str = "mots_challenge",
+                     ignore_class_ids=(), valid_class_ids=None
+                     ) -> RobMotsRawSeq:
+    """rob_mots.py:137-215. gt rows `t id cls h w rle` (waymo/tao gt
+    carry x0y0x1y1 boxes in cols 4:8 instead); tracker rows
+    `t id cls score h w rle`; 0-based frames. Gt columns differ from
+    the tracker's by the missing score (the reference indexes both with
+    region[4:7] because gt rows simply have no score column — the h/w/
+    rle land at 3:6 for gt). Similarity is mask IoU, except box-gt
+    sub-benchmarks compare gt boxes with toBbox of the tracker masks."""
+    # gt and tracker rows share one column layout; the gt score column
+    # is ignored
+    from . import rle as RL
+
+    box_gt = sub_benchmark in ROBMOTS_BOX_GT
+    g_ids, g_cls, g_dets, _ = _read_robmots_txt(
+        gt_path, num_timesteps, True, box_gt)
+    t_ids, t_cls, t_dets, t_conf = _read_robmots_txt(
+        result_path, num_timesteps, False, False)
+    sim = []
+    for g, tt in zip(g_dets, t_dets):
+        if box_gt:
+            if len(tt):
+                tb = np.stack([RL.to_bbox(d) for d in tt])
+                tb[:, 2] += tb[:, 0]
+                tb[:, 3] += tb[:, 1]
+            else:
+                tb = np.empty((0, 4))
+            sim.append(iou_xyxy_raw(np.asarray(g, float).reshape(-1, 4),
+                                    tb))
+        else:
+            sim.append(RL.iou(g, tt, [False] * len(tt))
+                       if len(g) and len(tt)
+                       else np.zeros((len(g), len(tt))))
+    if valid_class_ids is None:
+        valid_class_ids = tuple(sorted(COCO_CLASSES))
+    return RobMotsRawSeq(
+        seq=seq, sub_benchmark=sub_benchmark,
+        num_timesteps=num_timesteps, frame_size=tuple(frame_size),
+        ignore_class_ids=tuple(ignore_class_ids),
+        valid_class_ids=tuple(valid_class_ids),
+        gt_ids=g_ids, gt_classes=g_cls, gt_dets=g_dets,
+        tracker_ids=t_ids, tracker_classes=t_cls, tracker_dets=t_dets,
+        tracker_confidences=t_conf, similarity=sim)
+
+
+def preprocess_robmots(raw: RobMotsRawSeq, cls: str) -> Dict:
+    """rob_mots.py:251-398: class masks ('all' = ids < 100; waymo 'car'
+    pools the vehicle ids), ignore regions from class cls_id+100 and
+    100, Hungarian at 0.5 keeps matched dets, unmatched dets removed
+    when the class is sequence-ignored, too small (<= min(frame)/8) or
+    >50% inside the merged ignore region; 'all' additionally drops
+    unmatched dets of ignored/not-evaluated classes."""
+    from . import rle as RL
+
+    box_gt = raw.sub_benchmark in ROBMOTS_BOX_GT
+    cls_id = -1 if cls == "all" else COCO_NAME_TO_ID[cls]
+    ignore_id = cls_id + 100
+    h_sz, w_sz = raw.frame_size
+    min_size = min(raw.frame_size) / 8
+    out = {"gt_ids": [], "tracker_ids": [], "gt_dets": [],
+           "tracker_dets": [], "tracker_confidences": [],
+           "similarity_scores": []}
+    for t in range(raw.num_timesteps):
+        gcls = raw.gt_classes[t]
+        if cls == "all":
+            gm = gcls < 100
+            ig = gcls >= 100
+        elif raw.sub_benchmark == "waymo" and cls == "car":
+            gm = np.isin(gcls, np.array([3, 4, 6, 8]))
+            ig = (gcls == ignore_id) | (gcls == 100)
+        else:
+            gm = gcls == cls_id
+            ig = (gcls == ignore_id) | (gcls == 100)
+        gt_ids = raw.gt_ids[t][gm]
+        if box_gt:
+            gt_dets = np.asarray(raw.gt_dets[t], float).reshape(-1, 4)[gm]
+            ig_boxes = np.asarray(
+                raw.gt_dets[t], float).reshape(-1, 4)[ig]
+            ignore_regions = [
+                RL.from_bbox([b[0], b[1], b[2] - b[0], b[3] - b[1]],
+                             h_sz, w_sz) for b in ig_boxes]
+        else:
+            gt_dets = [d for d, m in zip(raw.gt_dets[t], gm) if m]
+            ignore_regions = [d for d, m in zip(raw.gt_dets[t], ig) if m]
+
+        tcls = raw.tracker_classes[t]
+        tm = (np.ones(len(tcls), bool) if cls == "all"
+              else tcls == cls_id)
+        trk_ids = raw.tracker_ids[t][tm]
+        trk_dets = [d for d, m in zip(raw.tracker_dets[t], tm) if m]
+        trk_conf = raw.tracker_confidences[t][tm]
+        trk_cls = tcls[tm]
+        sim = raw.similarity[t][gm][:, tm]
+
+        if len(trk_ids):
+            unmatched = np.arange(len(trk_ids))
+            if len(gt_ids):
+                scores = sim.copy()
+                scores[scores < 0.5 - EPS] = 0
+                rows, cols = linear_sum_assignment(-scores)
+                ok = scores[rows, cols] > EPS
+                unmatched = np.delete(unmatched, cols[ok], axis=0)
+            if cls_id in raw.ignore_class_ids:
+                to_remove = unmatched
+            else:
+                um_dets = [trk_dets[i] for i in unmatched]
+                if um_dets:
+                    bb = np.stack([RL.to_bbox(d) for d in um_dets])
+                    too_small = np.maximum(bb[:, 2], bb[:, 3]) \
+                        <= min_size + EPS
+                else:
+                    too_small = np.zeros(0, bool)
+                if ignore_regions:
+                    merged = RL.merge(ignore_regions, intersect=False)
+                    ioa = RL.iou(um_dets, [merged], [True]) \
+                        if um_dets else np.zeros((0, 1))
+                    in_ign = np.any(ioa > 0.5 + EPS, axis=1)
+                    to_remove = unmatched[too_small | in_ign]
+                else:
+                    to_remove = unmatched[too_small]
+            if cls == "all":
+                um_cls = np.asarray(
+                    [trk_cls[i] for i in unmatched], int)
+                bad = np.isin(um_cls, raw.ignore_class_ids) \
+                    | ~np.isin(um_cls, raw.valid_class_ids)
+                to_remove = np.concatenate(
+                    [to_remove, unmatched[bad]], axis=0)
+        else:
+            to_remove = np.array([], int)
+        rm = set(int(x) for x in to_remove)
+        out["tracker_ids"].append(np.delete(trk_ids, to_remove, axis=0))
+        out["tracker_dets"].append(
+            [d for i, d in enumerate(trk_dets) if i not in rm])
+        out["tracker_confidences"].append(
+            np.delete(trk_conf, to_remove, axis=0))
+        out["similarity_scores"].append(
+            np.delete(sim, to_remove, axis=1))
+        out["gt_ids"].append(gt_ids)
+        out["gt_dets"].append(gt_dets)
+    out = _relabel(out, raw.num_timesteps)
+    out.update(seq=raw.seq, cls=cls, frame_size=raw.frame_size)
+    return out
+
+
+def read_robmots_seqmap(path: str):
+    """seqmap.txt rows: `seq length h w [ignore_class_ids...]`
+    (rob_mots.py:108-135)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 4:
+                out[parts[0]] = {
+                    "length": int(parts[1]),
+                    "size": (int(parts[2]), int(parts[3])),
+                    "ignore_class_ids": [int(x) for x in parts[4:]],
+                }
+    return out

@@ -265,3 +265,17 @@ def to_bbox(rle: Rle) -> np.ndarray:
     r0 = 0 if spans.any() else int(rows_s.min())
     r1 = h - 1 if spans.any() else int(rows_e.max())
     return np.asarray([c0, r0, c1 - c0 + 1, r1 - r0 + 1], float)
+
+
+def from_bbox(box, h: int, w: int) -> Rle:
+    """pycocotools frPyObjects on an [x, y, w, h] box: the filled
+    rectangle as RLE."""
+    import numpy as _np
+
+    x0 = int(round(box[0]))
+    y0 = int(round(box[1]))
+    x1 = int(round(box[0] + box[2]))
+    y1 = int(round(box[1] + box[3]))
+    m = _np.zeros((h, w), _np.uint8)
+    m[max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = 1
+    return encode(m)
