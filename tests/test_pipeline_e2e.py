@@ -105,3 +105,50 @@ def test_apply_classifier_filters():
     assert set(out[:, 5].astype(int)) == {0, 2}
     assert apply_classifier(np.zeros((0, 6)), frame,
                             lambda c: c).shape == (0, 6)
+
+
+def test_multistream_matches_per_stream_steps():
+    """process_multistream advances S independent slabs exactly like S
+    separate step_frame calls on the same frames."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.pipeline import (PipelineConfig,
+                                             TrackingPipeline)
+    from yolov7_tracker_tpu.trackers import slab as S
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    pipe = TrackingPipeline(
+        PipelineConfig(model="yolov7-tiny", nc=4, img_size=160,
+                       detector_batch=2, dtype="float32"),
+        TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                      capacity=16, det_capacity=16))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 200, 280, 3), np.uint8)
+
+    slabs = pipe.init_multistream(2)
+    for _ in range(2):
+        slabs, outs_ms = pipe.process_multistream(slabs, frames)
+
+    singles = []
+    for si in range(2):
+        slab = pipe.init_tracker()
+        for _ in range(2):
+            slab, out = pipe.step_frame(slab, frames[si])
+        singles.append((slab, out))
+
+    for si in range(2):
+        want_slab, want_out = singles[si]
+        got_slab = jax.tree_util.tree_map(lambda x: x[si], slabs)
+        np.testing.assert_array_equal(
+            np.asarray(got_slab.state), np.asarray(want_slab.state))
+        np.testing.assert_allclose(
+            np.asarray(got_slab.det_tlwh),
+            np.asarray(want_slab.det_tlwh), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_slab.mean), np.asarray(want_slab.mean),
+            rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(outs_ms.valid[si]), np.asarray(want_out.valid))
