@@ -1,15 +1,18 @@
-"""Pallas TPU kernel for the auction assignment solver.
+"""Pallas TPU kernels for the auction assignment solver.
 
-The XLA while_loop implementation (ops/assignment.py) pays HBM traffic +
-op overhead per auction iteration (~7us for a 192x192 problem). This
-kernel keeps the whole solve — extended weight matrix, prices, partial
-assignment, all epsilon phases — resident in VMEM, so an iteration is a
-handful of VPU passes over on-chip data.
+These keep the whole solve — weight matrix, prices, partial assignment
+— resident in VMEM, so an iteration is a handful of VPU passes over
+on-chip data. They are NOT the production TPU backend on this stack:
+ops/assignment.py dispatches to the plain-XLA masked_assignment_v2,
+which measured FASTER end-to-end (1.1 ms vs 1.2-1.6 ms per 128x64
+solve) because the algorithmic iteration count is tiny (tens of
+sweeps) while Mosaic builds of these kernels cost 3-25 MINUTES per
+shape through the axon remote-compile path. The kernels remain as the
+VMEM-resident reference implementation and for hosts where Pallas
+compiles are cheap.
 
 Same semantics as ops.assignment.masked_assignment (lapjv cost-limit
-construction, eps-scaled Jacobi auction with warm-started phases,
-diagonal dummy reservation); the caller chooses the backend with
-``use_pallas``.
+construction, eps-scaled Jacobi auction with warm-started phases).
 
 Shapes: the (n + m) extended dimension pads to a multiple of 128 lanes;
 vectors live as (1, S) rows. Scalars (phase schedule, counters) ride in
