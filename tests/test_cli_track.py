@@ -234,3 +234,46 @@ def test_track_cli_external_detections(mot_dataset, tmp_path):
     idf1 = float(comb[0]["IDF1"])
     assert mota > 0.9, (mota, comb[0])
     assert idf1 > 0.9, (idf1, comb[0])
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    """The standalone evaluation CLI over a synthetic MOT17-layout
+    dataset: discovers sequences from seqinfo.ini, prints the table,
+    writes CSV + summary.json."""
+    import json as _json
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    gt_root = tmp_path / "gt"
+    trk_root = tmp_path / "trk"
+    for seq in ("S1", "S2"):
+        (gt_root / seq / "gt").mkdir(parents=True)
+        trk_root.mkdir(exist_ok=True)
+        gt_rows, trk_rows = [], []
+        for t in range(1, 21):
+            for i in range(4):
+                x, y = 50 + 60 * i + 2 * t, 40 + 30 * i
+                gt_rows.append(f"{t},{i + 1},{x},{y},30,60,1,1,1")
+                if rng.uniform() < 0.9:
+                    trk_rows.append(
+                        f"{t},{10 + i},{x + 1},{y - 1},30,60,0.9,-1,-1")
+        (gt_root / seq / "gt" / "gt.txt").write_text(
+            "\n".join(gt_rows) + "\n")
+        (gt_root / seq / "seqinfo.ini").write_text(
+            f"[Sequence]\nname={seq}\nseqLength=20\n")
+        (trk_root / f"{seq}.txt").write_text("\n".join(trk_rows) + "\n")
+
+    from yolov7_tracker_tpu.cli import evaluate
+
+    out = tmp_path / "out"
+    rc = evaluate.main([
+        "--benchmark", "MOT17",
+        "--gt_folder", str(gt_root),
+        "--trackers_folder", str(trk_root),
+        "--output_folder", str(out),
+    ])
+    assert rc == 0
+    summary = _json.loads((out / "summary.json").read_text())
+    assert summary["pedestrian"]["MOTA"] > 0.5
+    assert (out / "pedestrian_summary.csv").is_file()
