@@ -1,8 +1,11 @@
 """Oracles for the appearance/motion trackers (DeepSORT, BoT-SORT,
 UAVMOT, StrongSORT): numpy object-list reimplementations of the
-reference schedules, with the two documented deviations the slab
-implementation makes (correct lost-marking instead of the reference's
-u_tracks-vs-pool index bug; see trackers/deepsort.py docstring)."""
+reference schedules, including the reference's step-4 lost-marking
+quirk (strack_pool indexed with u_tracks0-relative indices,
+deepsort.py:174-177 / strongsort.py:194-197 / uavmot.py:227-230) and
+UAVMOT's matched_pair0.any() rematch gate — replicated exactly so these
+oracles, the slab trackers, and the reference's own code all agree
+(tests/test_reference_tracker_golden2.py)."""
 
 import math
 
@@ -120,9 +123,10 @@ class OracleDeepSORT(OracleBase):
             tr, det = u_tracks0[r], u_dets0[c]
             tr.update(det, self.frame_id)
             activated.append(tr)
-        # deviation: mark the actual unmatched tracks lost
+        # reference quirk: indexes strack_pool with u_tracks0-relative
+        # indices (deepsort.py:174-177)
         for i in u_t1:
-            tr = u_tracks0[i]
+            tr = pool[i]
             tr.state = LOST
             lost.append(tr)
         u_det1 = [u_dets0[i] for i in u_d1]
@@ -273,7 +277,9 @@ class OracleUAVMOT(OracleBase):
         self.multi_predict(pool)
         cost = iou_dist(pool, d_high)
         m_a, u_t0, u_d0 = linear_assignment_host(cost, 0.7)
-        if len(m_a):
+        # matched_pair0.any() gate (uavmot.py:182): a lone (0, 0) match
+        # reads as "nothing matched" and skips the rematch
+        if np.asarray(m_a).any():
             t_xy = np.stack([t.mean[:2] for t in pool]) if pool else np.zeros((0, 2))
             d_xy = np.stack(
                 [d.tlwh[:2] + np.floor(d.tlwh[2:] / 2) for d in d_high]
@@ -305,8 +311,8 @@ class OracleUAVMOT(OracleBase):
             elif tr.state == LOST:
                 tr.re_activate(det, self.frame_id)
                 refind.append(tr)
-        for i in u_t1:  # deviation: correct lost-marking
-            tr = u_tracks0[i]
+        for i in u_t1:  # reference quirk: pool indexed (uavmot.py:227)
+            tr = pool[i]
             tr.state = LOST
             lost.append(tr)
         m2, u_t2, u_d2 = linear_assignment_host(
@@ -387,8 +393,8 @@ class OracleStrongSORT(OracleBase):
         for r, c in m1:
             u_tracks0[r].update(u_dets0[c], self.frame_id)
             activated.append(u_tracks0[r])
-        for i in u_t1:  # deviation: correct lost-marking
-            tr = u_tracks0[i]
+        for i in u_t1:  # reference quirk: pool indexed (strongsort.py:194)
+            tr = pool[i]
             tr.state = LOST
             lost.append(tr)
         u_det1 = [u_dets0[i] for i in u_d1]

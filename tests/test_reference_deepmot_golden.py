@@ -1,0 +1,224 @@
+"""DeepMOT vs the reference's own code, with OUR trained DHN.
+
+No trained DHN exists anywhere (the reference's release declares
+DHN.pth missing), so weight-exact parity was previously impossible.
+But the architectures match exactly (reid/dhn.py mirrors Munkrs,
+deepmot.py:10-140: 2x 2-layer biGRU + 3 FC + sigmoid), so this test
+ports the slab's trained flax DHN weights (weights/dhn_h32.msgpack)
+into the reference's torch Munkrs and runs tracker/deepmot.py
+UNMODIFIED over the lap/cython_bbox shims — closing the last tracker's
+reference-code golden (8/8).
+
+One documented deviation remains: static XLA shapes mean the slab DHN
+sees the cost matrix compacted into a fixed (T, D) pad (reference rows
+in strack_pool order via slab.pool_order_rank), while the reference
+runs the GRU over the exact (n, m) matrix. The golden therefore feeds
+the reference's Munkrs the same padded matrix (pad-policy wrapper
+below); everything else — costs, DHN weights, association schedule,
+id bookkeeping, the step-4 mis-indexing — is the reference's own code.
+"""
+
+import functools
+import os
+import types
+
+import numpy as np
+import pytest
+
+from tests.test_reference_tracker_golden import (REF_TRACKER,
+                                                 _install_shims,
+                                                 pytestmark)  # noqa: F401
+from tests.test_trackers_golden import compare, synth_stream
+
+pytestmark = list(pytestmark) + [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isfile("weights/dhn_h32.msgpack"),
+        reason="trained DHN weights not present",
+    ),
+]
+
+HIDDEN = 32
+CAP, DET_CAP = 48, 24
+
+
+def _load_flax_dhn():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from yolov7_tracker_tpu.utils.checkpoint import load_variables
+
+    return load_variables("weights/dhn_h32.msgpack")
+
+
+def flax_to_munkrs_state(variables):
+    """flax DHN params -> torch Munkrs state_dict.
+
+    torch GRU gate order is (r, z, n) with weights (3H, in) and two
+    bias vectors; flax GRUCell holds per-gate Dense kernels (in, H)
+    with input-side biases only (hr/hz are bias-free, hn biased), so
+    bias_ih absorbs the flax input bias and bias_hh is zero except the
+    n-gate (torch: n = tanh(W_in x + b_in + r*(W_hn h + b_hn)), flax:
+    in(x) + r*hn(h) with hn.bias — identical placement)."""
+    import torch
+
+    p = variables["params"]
+    sd = {}
+
+    def gru(dst, src_l0f, src_l0b, src_l1f, src_l1b):
+        for layer, (fwd, bwd) in enumerate(
+            ((src_l0f, src_l0b), (src_l1f, src_l1b))
+        ):
+            for suffix, cell in (("", fwd), ("_reverse", bwd)):
+                w_ih = np.concatenate(
+                    [cell["ir"]["kernel"].T, cell["iz"]["kernel"].T,
+                     cell["in"]["kernel"].T], axis=0)
+                w_hh = np.concatenate(
+                    [cell["hr"]["kernel"].T, cell["hz"]["kernel"].T,
+                     cell["hn"]["kernel"].T], axis=0)
+                b_ih = np.concatenate(
+                    [cell["ir"]["bias"], cell["iz"]["bias"],
+                     cell["in"]["bias"]])
+                b_hh = np.concatenate(
+                    [np.zeros(HIDDEN), np.zeros(HIDDEN),
+                     cell["hn"]["bias"]])
+                key = f"{dst}.weight_ih_l{layer}{suffix}"
+                sd[key] = torch.tensor(np.asarray(w_ih, np.float32))
+                sd[f"{dst}.weight_hh_l{layer}{suffix}"] = torch.tensor(
+                    np.asarray(w_hh, np.float32))
+                sd[f"{dst}.bias_ih_l{layer}{suffix}"] = torch.tensor(
+                    np.asarray(b_ih, np.float32))
+                sd[f"{dst}.bias_hh_l{layer}{suffix}"] = torch.tensor(
+                    np.asarray(b_hh, np.float32))
+
+    for dst, src in (("lstm_row", p["lstm_row"]),
+                     ("lstm_col", p["lstm_col"])):
+        gru(dst, src["l0_fwd"], src["l0_bwd"], src["l1_fwd"],
+            src["l1_bwd"])
+    for i in (1, 2, 3):
+        sd[f"hidden2tag_{i}.weight"] = __import__("torch").tensor(
+            np.asarray(p[f"hidden2tag_{i}"]["kernel"].T, np.float32))
+        sd[f"hidden2tag_{i}.bias"] = __import__("torch").tensor(
+            np.asarray(p[f"hidden2tag_{i}"]["bias"], np.float32))
+    return sd
+
+
+def _make_munkrs(variables):
+    _install_shims()
+    import deepmot as ref_dm
+
+    m = ref_dm.Munkrs(element_dim=1, hidden_dim=HIDDEN, target_size=1,
+                      bidirectional=True, minibatch=1, is_cuda=False,
+                      is_train=False)
+    m.load_state_dict(flax_to_munkrs_state(variables))
+    m.eval()
+    return m
+
+
+def test_dhn_weight_port_forward_parity():
+    """torch Munkrs with ported weights == flax DHN on the same padded
+    matrix — validates the GRU/dense weight mapping bit-for-bit."""
+    import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from yolov7_tracker_tpu.reid.dhn import DHN
+
+    variables = _load_flax_dhn()
+    munkrs = _make_munkrs(variables)
+    rng = np.random.default_rng(0)
+    for shape in ((8, 12), (CAP, DET_CAP)):
+        d = rng.uniform(0, 1, shape).astype(np.float32)
+        with torch.no_grad():
+            want = munkrs(torch.tensor(d)[None]).numpy()[0]
+        got = np.asarray(DHN(hidden=HIDDEN).apply(variables, d))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=str(shape))
+
+
+class _PaddedDHN:
+    """Wrapper giving the reference's Munkrs the slab's pad policy:
+    embed the (1, n, m) cost at the top-left of a (1, CAP, DET_CAP)
+    matrix padded with 1.0, forward, slice back."""
+
+    def __init__(self, munkrs):
+        self.m = munkrs
+
+    def to(self, device):
+        return self
+
+    def __call__(self, dist):
+        import torch
+
+        _, n, mm = dist.shape
+        pad = torch.ones((1, CAP, DET_CAP), dtype=dist.dtype)
+        pad[:, :n, :mm] = dist
+        with torch.no_grad():
+            out = self.m(pad)
+        return out[:, :n, :mm]
+
+
+def run_reference_deepmot(stream, variables, conf=0.5):
+    _install_shims()
+    import deepmot as ref_dm
+
+    import basetrack
+
+    basetrack.BaseTrack._count = 0
+    munkrs = _make_munkrs(variables)
+    opts = types.SimpleNamespace(
+        conf_thresh=conf, track_buffer=30, kalman_format="default",
+        img_size=800, reid_model_path="", dhn_path="",
+    )
+    # bypass the ctor's cuda Munkrs + torch.load(dhn_path)
+    tr = ref_dm.DeepMOT.__new__(ref_dm.DeepMOT)
+    ref_dm.BaseTracker.__init__(tr, opts, frame_rate=30)
+    tr.DHN = _PaddedDHN(munkrs)
+    tr.device = __import__("torch").device("cpu")
+    tr.filter_small_area = False
+    tr.low_conf_thresh = max(0.15, conf - 0.3)
+    tr.use_apperance_model = False
+    img = np.zeros((800, 800, 3), np.uint8)
+    results = []
+    for dets in stream:
+        outs = tr.update(dets.copy(), img)
+        results.append({int(t.track_id): (np.asarray(t.tlwh, float),
+                                          float(t.score))
+                        for t in outs})
+    return results
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_deepmot_matches_reference_code(seed):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from yolov7_tracker_tpu.trackers import (TrackerConfig, build_tracker,
+                                             init_slab)
+    from yolov7_tracker_tpu.trackers import slab as S
+    from yolov7_tracker_tpu.trackers.deepmot import deepmot_step
+
+    variables = _load_flax_dhn()
+    stream = synth_stream(seed, frames=40)
+    want = run_reference_deepmot(stream, variables)
+
+    cfg = TrackerConfig(tracker="deepmot", conf_thresh=0.5,
+                        capacity=CAP, det_capacity=DET_CAP,
+                        kalman_format="default", dhn_hidden=HIDDEN)
+    step = jax.jit(functools.partial(
+        deepmot_step, cfg=cfg, dhn_variables=variables,
+        img_hw=(800, 800)))
+    slab = init_slab(cfg)
+    got = []
+    for dets in stream:
+        det_slab = S.make_det_slab(cfg, dets[:, :4], dets[:, 4],
+                                   dets[:, 5], np.ones(len(dets), bool))
+        slab, out = step(slab, det_slab)
+        valid = np.asarray(out.valid)
+        ids = np.asarray(out.track_id)
+        tlwh = np.asarray(out.tlwh)
+        score = np.asarray(out.score)
+        got.append({int(ids[i]): (tlwh[i], float(score[i]))
+                    for i in range(len(ids)) if valid[i]})
+    compare(got, want, box_atol=3.0)

@@ -87,10 +87,21 @@ class DHN(nn.Module):
 
 
 def compact_cost(cost: jnp.ndarray, row_mask, col_mask,
-                 pad_value: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 pad_value: float = 1.0,
+                 row_key=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Permute valid rows/cols to the top-left (stable), pad the rest.
-    Returns (compacted cost, row perm, col perm)."""
-    rperm = jnp.argsort(~row_mask, stable=True)
+    Returns (compacted cost, row perm, col perm).
+
+    row_key: optional (N,) sort key replacing slot order — the DHN is
+    not permutation-equivariant, so DeepMOT passes the reference's
+    strack_pool order (slab.pool_order_rank) to present rows to the GRU
+    in the same sequence the reference does (deepmot.py:221-233)."""
+    if row_key is not None:
+        rperm = jnp.argsort(jnp.where(row_mask, row_key,
+                                      row_key.max() + 1
+                                      + jnp.arange(row_key.shape[0])))
+    else:
+        rperm = jnp.argsort(~row_mask, stable=True)
     cperm = jnp.argsort(~col_mask, stable=True)
     c = cost[rperm][:, cperm]
     rv = row_mask[rperm]

@@ -14,9 +14,10 @@ the documented deviation; the reference ships no DHN.pth). The frame's
 ``TrackerConfig.extra_dim``-free ``img_hw`` passed at build time via the
 ``img_hw`` keyword.
 
-Deviation (documented): the reference's step-4 lost-marking indexes
-``strack_pool`` with ``u_tracks0``-relative indices (deepmot.py:268-272);
-we mark the actual unmatched Tracked rows lost.
+Reference quirk replicated exactly: the step-4 lost-marking indexes
+``strack_pool`` with ``u_tracks0``-relative indices (deepmot.py:268-272,
+the same off-by-list indexing as deepsort.py:174-177) — reproduced via
+the slab's list-order keys (slab.misindexed_lost_mask).
 """
 
 from __future__ import annotations
@@ -58,25 +59,32 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
 
     pmask = S.pool_mask(slab)
     slab = S.predict_pool(slab, fmt, pmask)
+    pool_rank = S.pool_order_rank(slab, pmask)
 
     # stage 1: ecu+iou cost -> DHN -> match 1 - DHN @0.9
     cost = ecu_iou_distance(slab, dets, fmt, img_hw)
     if dhn_variables is not None:
-        comp, rperm, cperm = dhn_mod.compact_cost(cost, pmask, high)
+        comp, rperm, cperm = dhn_mod.compact_cost(
+            cost, pmask, high, row_key=pool_rank)
         scores = dhn_mod.DHN(hidden=cfg.dhn_hidden).apply(
             dhn_variables, comp
         )
         cost = 1.0 - dhn_mod.uncompact(scores, rperm, cperm)
     r2c, c2r = masked_assignment(cost, pmask, high, 0.9)
     was_tracked = slab.state == S.TRACKED
-    slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
+    slab = S.apply_matches(slab, dets, r2c, fmt, cfg, pool_rank=pool_rank)
 
     # stage 2
     u_tracks0 = pmask & (r2c < 0) & was_tracked
     cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     r2c2, _ = masked_assignment(cost2, u_tracks0, low, 0.5)
     slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
+    # reference step-4 mis-indexed lost-marking (deepmot.py:268-272)
+    wrong_lost = S.misindexed_lost_mask(
+        slab, pool_rank, u_tracks0, u_tracks0 & (r2c2 < 0), pmask
+    )
+    slab = S.mark_lost_ordered(slab, wrong_lost, pool_rank,
+                               dets.tlbr.shape[0])
 
     # stage 3: unconfirmed vs u_dets0 @0.7
     umask = S.unconfirmed_mask(slab)

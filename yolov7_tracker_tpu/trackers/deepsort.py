@@ -9,10 +9,13 @@ Schedule:
   3. unconfirmed vs leftovers, IoU @0.9; births if score > conf_thresh
      (no +0.1 here, :195-199); prune lost; dedup.
 
-Deviation (documented): the reference's step 4 indexes ``strack_pool``
-with indices that belong to the filtered ``u_tracks0`` list
-(deepsort.py:174-177), marking arbitrary pool members lost; we mark the
-actual unmatched tracks lost instead.
+Reference quirk replicated exactly: step 4 indexes ``strack_pool`` with
+indices that belong to the filtered ``u_tracks0`` list
+(deepsort.py:174-177), marking the pool members at those POSITIONS lost
+rather than the unmatched tracks themselves. The slab carries the
+reference's list-order keys (slab.ins_seq/lost_seq) to reproduce the
+affected set bit-for-bit (see slab.misindexed_lost_mask); golden vs the
+reference's own code in tests/test_reference_tracker_golden2.py.
 
 Features: per-track ring buffer (budget 100, no EMA —
 use_avg_of_feature=False, deepsort.py:112).
@@ -42,6 +45,7 @@ def deepsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
 
     pmask = S.pool_mask(slab)
     slab = S.predict_pool(slab, fmt, pmask)
+    pool_rank = S.pool_order_rank(slab, pmask)
 
     # stage 1: gated appearance cascade @0.9
     app = A.nearest_embedding_distance(
@@ -52,7 +56,8 @@ def deepsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
         cost, slab, pmask, dmask, 0.9, cfg.max_time_lost
     )
     was_tracked = slab.state == S.TRACKED
-    slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
+    slab = S.apply_matches(slab, dets, r2c, fmt, cfg, pool_rank=pool_rank,
+                           cascade_refind_order=True)
 
     # stage 2: IoU on unmatched Tracked rows @0.5
     u_tracks0 = pmask & (r2c < 0) & was_tracked
@@ -60,7 +65,12 @@ def deepsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
     cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     r2c2, c2r2 = masked_assignment(cost2, u_tracks0, u_dets0, 0.5)
     slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
+    # reference step-4 mis-indexed lost-marking (deepsort.py:174-177)
+    wrong_lost = S.misindexed_lost_mask(
+        slab, pool_rank, u_tracks0, u_tracks0 & (r2c2 < 0), pmask
+    )
+    slab = S.mark_lost_ordered(slab, wrong_lost, pool_rank,
+                               dets.tlbr.shape[0])
 
     # stage 3: unconfirmed @0.9
     umask = S.unconfirmed_mask(slab)

@@ -55,6 +55,16 @@ class TrackSlab(NamedTuple):
     feat_hist: jnp.ndarray      # (T, H, F) feature ring buffer (H=0 if unused)
     feat_count: jnp.ndarray     # (T,) int32 features stored in ring
     extra: jnp.ndarray          # (T, E) tracker-specific state (E=0 default)
+    # reference list-order keys: the reference's tracked_stracks /
+    # lost_stracks are python lists whose ORDER is observable through the
+    # step-4 mis-indexed lost-marking shared by deepsort.py:174-177,
+    # strongsort.py:198-201 and uavmot.py:227-230 (strack_pool indexed
+    # with u_tracks0-relative indices). ins_seq is the position key in
+    # tracked_stracks (set at birth, refreshed on re-activate — joint_
+    # stracks appends refinds at the tail, basetrack.py:540-550);
+    # lost_seq the position key in lost_stracks (set when marked lost).
+    ins_seq: jnp.ndarray        # (T,) int32 tracked-list order key
+    lost_seq: jnp.ndarray       # (T,) int32 lost-list order key
     next_id: jnp.ndarray        # () int32 id counter
     frame: jnp.ndarray          # () int32 current frame number
 
@@ -132,6 +142,8 @@ def init_slab(cfg: TrackerConfig) -> TrackSlab:
         feat_hist=jnp.zeros((t, h, f), jnp.float32),
         feat_count=jnp.zeros((t,), jnp.int32),
         extra=jnp.zeros((t, cfg.extra_dim), jnp.float32),
+        ins_seq=jnp.zeros((t,), jnp.int32),
+        lost_seq=jnp.zeros((t,), jnp.int32),
         next_id=jnp.int32(0),
         frame=jnp.int32(0),
     )
@@ -191,6 +203,86 @@ def unconfirmed_mask(slab: TrackSlab) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# reference list-order replication (deepsort/strongsort/uavmot only)
+# ---------------------------------------------------------------------------
+
+# cascade depth headroom for refind ordering: matching_cascade refinds
+# append in (time_since_update, pool position) order; tsu is bounded by
+# max_time_lost + 1 (default 31). 66 levels leaves margin for custom
+# track_buffer values while keeping frame * K inside int32 for ~200k
+# frames at default capacities.
+_SEQ_LEVELS = 66
+
+
+def _seq_base(slab: TrackSlab, det_capacity: int) -> jnp.ndarray:
+    """Per-frame base for ins_seq/lost_seq. Within a frame the offsets
+    are: births (< D, det-slot order), then refinds
+    (D + level*T + pool position), matching the reference's append order
+    (births enter tracked_stracks via joint(activated) before
+    joint(refind); cascade refinds order by level then row)."""
+    k = det_capacity + _SEQ_LEVELS * slab.capacity
+    return slab.frame * k
+
+
+def pool_order_rank(slab: TrackSlab, pmask: jnp.ndarray) -> jnp.ndarray:
+    """(T,) rank of each slot in the reference's strack_pool order:
+    tracked_stracks (ascending ins_seq) followed by lost_stracks
+    (ascending lost_seq); non-pool slots rank after all pool members
+    (joint_stracks(tracked, lost), basetrack.py:400-409)."""
+    t = slab.capacity
+    is_lost = slab.state == LOST
+    key = jnp.where(is_lost, slab.lost_seq, slab.ins_seq)
+    order = jnp.lexsort(
+        (key, is_lost.astype(jnp.int32), (~pmask).astype(jnp.int32))
+    )
+    return (
+        jnp.zeros((t,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(t, dtype=jnp.int32))
+    )
+
+
+def misindexed_lost_mask(
+    slab: TrackSlab,
+    pool_rank: jnp.ndarray,
+    u0_mask: jnp.ndarray,
+    unmatched2_mask: jnp.ndarray,
+    pmask: jnp.ndarray,
+) -> jnp.ndarray:
+    """The reference's step-4 lost-marking bug, replicated exactly:
+    ``for idx in u_tracks1_idx: strack_pool[idx].mark_lost()`` where the
+    idx values are positions within the FILTERED u_tracks0 list, not the
+    pool (deepsort.py:174-177, strongsort.py:198-201, uavmot.py:227-230)
+    — so the tracks actually marked lost are the pool members at those
+    positions. u0_mask selects the u_tracks0 members, unmatched2_mask
+    the subset unmatched in stage 2 (whose u_tracks0 positions form
+    u_tracks1_idx)."""
+    t = slab.capacity
+    u0_by_rank = jnp.zeros((t,), bool).at[pool_rank].set(u0_mask)
+    u0_int = u0_by_rank.astype(jnp.int32)
+    pos_by_rank = jnp.cumsum(u0_int) - u0_int  # u_tracks0 position per rank
+    pos = pos_by_rank[pool_rank]
+    tgt = jnp.zeros((t,), bool).at[
+        jnp.where(unmatched2_mask, pos, t)
+    ].set(True, mode="drop")
+    return pmask & tgt[pool_rank]
+
+
+def mark_lost_ordered(
+    slab: TrackSlab, mask: jnp.ndarray, pool_rank: jnp.ndarray,
+    det_capacity: int,
+) -> TrackSlab:
+    """mark_lost + lost-list position key: newly lost tracks append to
+    lost_stracks in marking order (= ascending pool position, since
+    u_tracks1_idx iterates ascending)."""
+    base = _seq_base(slab, det_capacity)
+    return slab._replace(
+        state=jnp.where(mask, LOST, slab.state),
+        lost_seq=jnp.where(mask, base + pool_rank, slab.lost_seq),
+    )
+
+
+# ---------------------------------------------------------------------------
 # lifecycle ops (all masked)
 # ---------------------------------------------------------------------------
 
@@ -222,6 +314,8 @@ def apply_matches(
     fmt: str,
     cfg: TrackerConfig,
     allow_reactivate: bool = True,
+    pool_rank: Optional[jnp.ndarray] = None,
+    cascade_refind_order: bool = False,
 ) -> TrackSlab:
     """Commit matched (track, det) pairs.
 
@@ -229,6 +323,10 @@ def apply_matches(
     with the det measurement, score refresh, tracklet_len += 1. Lost rows
     follow STrack.re_activate (:273-294): same KF update, tracklet_len = 0.
     Both set state=Tracked, is_activated=True, time_since_update=0.
+
+    pool_rank (order-replicating trackers only): refinds re-enter
+    tracked_stracks at the tail (joint_stracks appends them after this
+    frame's births), so their ins_seq is refreshed to base + D + rank.
     """
     matched = row_to_col >= 0
     det_idx = jnp.clip(row_to_col, 0, dets.tlbr.shape[0] - 1)
@@ -278,11 +376,28 @@ def apply_matches(
                 upd & has_feat, slab.feat_count + 1, slab.feat_count
             )
 
+    new_ins_seq = slab.ins_seq
+    if pool_rank is not None:
+        d_cap = dets.tlbr.shape[0]
+        refind = upd & ~was_tracked
+        # refind list order: plain linear_assignment iterates matches by
+        # ascending pool row (level 0); matching_cascade accumulates
+        # matches level-by-level, i.e. ascending time_since_update then
+        # pool row (matching.py:244-266)
+        level = (jnp.clip(slab.time_since_update, 0, _SEQ_LEVELS - 2)
+                 if cascade_refind_order else 0)
+        new_ins_seq = jnp.where(
+            refind,
+            _seq_base(slab, d_cap) + d_cap
+            + level * slab.capacity + pool_rank,
+            slab.ins_seq,
+        )
     return slab._replace(
         mean=jnp.where(m1, new_mean, slab.mean),
         cov=jnp.where(m2, new_cov, slab.cov),
         det_tlwh=jnp.where(m1, det_tlwh, slab.det_tlwh),
         score=jnp.where(upd, dets.score[det_idx], slab.score),
+        ins_seq=new_ins_seq,
         state=jnp.where(upd, TRACKED, slab.state),
         is_activated=jnp.where(upd, True, slab.is_activated),
         frame_id=jnp.where(upd, slab.frame, slab.frame_id),
@@ -369,6 +484,12 @@ def init_new_tracks(
         start_frame=scat(slab.start_frame, jnp.full((d,), slab.frame, jnp.int32)),
         tracklet_len=scat(slab.tracklet_len, jnp.zeros((d,), jnp.int32)),
         time_since_update=scat(slab.time_since_update, jnp.zeros((d,), jnp.int32)),
+        # tracked-list position: births append in det order, before this
+        # frame's refinds (offset < d; refinds use d + pool_rank)
+        ins_seq=scat(
+            slab.ins_seq,
+            _seq_base(slab, d) + jnp.arange(d, dtype=jnp.int32),
+        ),
         next_id=slab.next_id + jnp.sum(placeable.astype(jnp.int32)),
     )
     if cfg.feature_dim > 0:

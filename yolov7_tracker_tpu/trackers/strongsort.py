@@ -15,11 +15,13 @@ Features are EMA-smoothed (use_avg default True) and compared with plain
 euclidean distance on the *raw-magnitude* det features (matching.py:97-98
 — only cosine normalizes), matching the reference.
 
-Deviation (documented): the reference's step-4 lost-marking indexes
+Reference quirk replicated exactly: the step-4 lost-marking indexes
 ``strack_pool`` with ``u_tracks0``-relative indices (strongsort.py:
-194-197); we mark the actual unmatched Tracked rows lost. AFLink and GSI
-are flagged TODO in the reference (:34-39) and surfaced here via
-eval-time postprocessing (see reid/aflink.py, eval/gsi.py).
+194-197) — the slab reproduces the affected set via the list-order keys
+(slab.misindexed_lost_mask), golden vs the reference's own code in
+tests/test_reference_tracker_golden2.py. AFLink and GSI are flagged
+TODO in the reference (:34-39) and surfaced here via eval-time
+postprocessing (see reid/aflink.py, eval/gsi.py).
 """
 
 from __future__ import annotations
@@ -49,13 +51,14 @@ def strongsort_step(slab: S.TrackSlab, dets: S.DetSlab,
     pmask = S.pool_mask(slab)
     slab = A.apply_gmc(slab, dets.warp, pmask)  # ECC before predict
     slab = S.predict_pool(slab, fmt, pmask)
+    pool_rank = S.pool_order_rank(slab, pmask)
 
     # stage 1: fused motion+appearance @0.7
     cost = _fused(slab, dets, fmt, cfg.gamma)
     cost = jnp.where(dmask[None, :], cost, 1e9)
     r2c, c2r = masked_assignment(cost, pmask, dmask, 0.7)
     was_tracked = slab.state == S.TRACKED
-    slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
+    slab = S.apply_matches(slab, dets, r2c, fmt, cfg, pool_rank=pool_rank)
 
     # stage 2: IoU @0.5 over unmatched Tracked rows
     u_tracks0 = pmask & (r2c < 0) & was_tracked
@@ -63,7 +66,12 @@ def strongsort_step(slab: S.TrackSlab, dets: S.DetSlab,
     cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     r2c2, c2r2 = masked_assignment(cost2, u_tracks0, u_dets0, 0.5)
     slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
+    # reference step-4 mis-indexed lost-marking (strongsort.py:194-197)
+    wrong_lost = S.misindexed_lost_mask(
+        slab, pool_rank, u_tracks0, u_tracks0 & (r2c2 < 0), pmask
+    )
+    slab = S.mark_lost_ordered(slab, wrong_lost, pool_rank,
+                               dets.tlbr.shape[0])
 
     # stage 3: unconfirmed with fused cost @0.7
     umask = S.unconfirmed_mask(slab)

@@ -10,10 +10,15 @@ angle] within radius 400px (matching.py:344-386); track centers come
 from the KF mean, det centers from the floor-div xywh quirk
 (AMF_STrack.get_xy, uavmot.py:59-63).
 
-Deviation (documented): the reference's step-4 lost-marking indexes
-``strack_pool`` with ``u_tracks0``-relative indices (uavmot.py:227-230,
-same off-by-list bug as deepsort.py:174-177); we mark the actual
-unmatched Tracked rows lost.
+Reference quirks replicated exactly (golden vs the reference's own code
+in tests/test_reference_tracker_golden2.py):
+  * the step-4 lost-marking indexes ``strack_pool`` with
+    ``u_tracks0``-relative indices (uavmot.py:227-230, same off-by-list
+    indexing as deepsort.py:174-177) — reproduced via the slab's
+    list-order keys (slab.misindexed_lost_mask);
+  * the AMF rematch gate is ``matched_pair0.any()`` (uavmot.py:182):
+    a lone (0, 0) match counts as "nothing matched" and skips the
+    structure-fused rematch.
 """
 
 from __future__ import annotations
@@ -39,11 +44,21 @@ def uavmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
 
     pmask = S.pool_mask(slab)
     slab = S.predict_pool(slab, fmt, pmask)
+    pool_rank = S.pool_order_rank(slab, pmask)
 
     # stage 1: IoU @0.7, then structure-fused rematch @0.8
     cost = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     r2c_a, _ = masked_assignment(cost, pmask, high, 0.7)
-    any_matched = jnp.any(r2c_a >= 0)
+    # matched_pair0.any() (uavmot.py:182): the rematch runs only when
+    # some match has a NONZERO index in the reference's (K, 2) pair
+    # array — rows are strack_pool positions, cols are D_high
+    # positions, so a lone (pool[0], D_high[0]) match is treated as
+    # "nothing matched" by numpy's any() and skips the rematch
+    high_pos = jnp.cumsum(high.astype(jnp.int32)) - 1
+    det_idx_a = jnp.clip(r2c_a, 0, dets.tlbr.shape[0] - 1)
+    any_matched = jnp.any(
+        (r2c_a >= 0) & ((pool_rank > 0) | (high_pos[det_idx_a] > 0))
+    )
 
     track_xy = slab.mean[:, :2]
     det_xy = boxops.tlwh_to_xywh(dets.tlwh)[:, :2]
@@ -60,14 +75,19 @@ def uavmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
         mode="drop",
     )
     was_tracked = slab.state == S.TRACKED
-    slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
+    slab = S.apply_matches(slab, dets, r2c, fmt, cfg, pool_rank=pool_rank)
 
     # stage 2: Tracked leftovers vs low @0.5
     u_tracks0 = pmask & (r2c < 0) & was_tracked
     cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     r2c2, _ = masked_assignment(cost2, u_tracks0, low, 0.5)
     slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
+    # reference step-4 mis-indexed lost-marking (uavmot.py:227-230)
+    wrong_lost = S.misindexed_lost_mask(
+        slab, pool_rank, u_tracks0, u_tracks0 & (r2c2 < 0), pmask
+    )
+    slab = S.mark_lost_ordered(slab, wrong_lost, pool_rank,
+                               dets.tlbr.shape[0])
 
     # stage 3: unconfirmed vs u_dets0 @0.7
     umask = S.unconfirmed_mask(slab)
