@@ -162,3 +162,59 @@ def test_non_overlap_golden(tmp_path):
     want_nms = butils.mask_NMS({k: v.copy() for k, v in td.items()})
     got_nms = B.mask_nms({k: v.copy() for k, v in td.items()})
     assert list(got_nms["ids"]) == list(want_nms["ids"])
+
+
+def test_vizualize_golden(tmp_path):
+    """Label PNGs golden vs the vendored vizualize/save_as_png chain:
+    per-class and all-class palettized frames match pixel-for-pixel
+    (indices AND palette colors)."""
+    butils = _vendored_butils()
+    from PIL import Image
+
+    from yolov7_tracker_tpu.eval import baselines as B
+
+    det_file = str(tmp_path / "in" / "seq01.txt")
+    os.makedirs(os.path.dirname(det_file))
+    synth_dets(det_file)
+
+    # colormap itself matches the vendored literal table
+    from trackeval.baselines.pascal_colormap import pascal_colormap as ref_cmap
+
+    want_cmap = (np.array(ref_cmap).reshape(-1, 3) * 255).round().astype(
+        np.uint8)
+    np.testing.assert_array_equal(B.pascal_colormap(), want_cmap)
+
+    # vendored per-class + all-class rendering (vizualize.do_sequence
+    # body, driven directly to avoid its global config)
+    data_ref = butils.load_seq(det_file)
+    im_h, im_w = butils.get_frame_size(data_ref)
+    ref_out = tmp_path / "ref"
+    for cls, cls_data in data_ref.items():
+        if cls >= 100:
+            continue
+        for t, td in enumerate(cls_data):
+            butils.save_as_png(
+                td, str(ref_out / str(cls) / (str(t).zfill(5) + ".png")),
+                im_h, im_w)
+    comb = butils.combine_classes(data_ref)
+    for t, td in enumerate(comb):
+        butils.save_as_png(
+            td, str(ref_out / "all_classes" / (str(t).zfill(5) + ".png")),
+            im_h, im_w)
+
+    got_out = tmp_path / "got"
+    B.visualize_sequence(det_file, str(got_out))
+
+    ref_pngs = sorted(p.relative_to(ref_out)
+                      for p in ref_out.rglob("*.png"))
+    got_pngs = sorted(p.relative_to(got_out)
+                      for p in got_out.rglob("*.png"))
+    assert ref_pngs == got_pngs and len(ref_pngs) > 0
+    for rel in ref_pngs:
+        w_im = Image.open(ref_out / rel)
+        g_im = Image.open(got_out / rel)
+        np.testing.assert_array_equal(
+            np.asarray(g_im), np.asarray(w_im), err_msg=str(rel))
+        np.testing.assert_array_equal(
+            np.asarray(g_im.convert("RGB")),
+            np.asarray(w_im.convert("RGB")), err_msg=str(rel))

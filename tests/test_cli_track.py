@@ -277,3 +277,75 @@ def test_evaluate_cli_end_to_end(tmp_path):
     summary = _json.loads((out / "summary.json").read_text())
     assert summary["pedestrian"]["MOTA"] > 0.5
     assert (out / "pedestrian_summary.csv").is_file()
+
+
+def test_evaluate_cli_robmots_end_to_end(tmp_path):
+    """RobMOTS scored through the evaluate CLI on a synthetic fixture,
+    golden vs the vendored TrackEval (verdict r2 item 3): the CLI reads
+    the RobMOTS seqmap/clsmap, routes the reference's folder layout
+    (rob_mots.py:93-135), and the 'all'-class HOTA/CLEAR match the
+    vendored RobMOTS dataset + metrics end to end."""
+    import json as _json
+
+    from tests.test_readers import _install_pycoco_shim, synth_robmots
+
+    root = str(tmp_path)
+    seq, T, size = synth_robmots(root)
+
+    from yolov7_tracker_tpu.cli import evaluate
+
+    out = tmp_path / "out"
+    rc = evaluate.main([
+        "--benchmark", "RobMOTS",
+        "--sub_benchmark", "mots_challenge",
+        "--split", "train",
+        "--gt_folder", os.path.join(root, "gt"),
+        "--trackers_folder", os.path.join(root, "trackers", "train",
+                                          "ours"),
+        "--metrics", "hota", "clear", "identity", "count",
+        "--output_folder", str(out),
+    ])
+    assert rc == 0
+    summary = _json.loads((out / "summary.json").read_text())
+    # classes expand from clsmap.txt (person/car/cat) + 'all'
+    assert set(summary) == {"person", "car", "cat", "all"}
+
+    # golden: vendored TrackEval RobMOTS dataset -> HOTA/CLEAR
+    _install_pycoco_shim()
+    import sys as _sys
+
+    from yolov7_tracker_tpu.eval import rle as RL
+
+    m = _sys.modules["pycocotools.mask"]
+
+    def to_bbox_multi(d):
+        if isinstance(d, dict):
+            return RL.to_bbox(d)
+        return (np.stack([RL.to_bbox(x) for x in d]) if len(d)
+                else np.zeros((0, 4)))
+
+    m.toBbox = to_bbox_multi
+    m.frPyObjects = lambda obj, h, w: (
+        [RL.from_bbox(b, h, w) for b in obj]
+        if isinstance(obj, np.ndarray) and obj.ndim == 2
+        else RL.fr_uncompressed(obj, h, w))
+    from trackeval.datasets import RobMOTS
+    from trackeval.metrics import CLEAR, HOTA
+
+    ds = RobMOTS({
+        "GT_FOLDER": os.path.join(root, "gt"),
+        "TRACKERS_FOLDER": os.path.join(root, "trackers"),
+        "SUB_BENCHMARK": "mots_challenge",
+        "SPLIT_TO_EVAL": "train",
+        "PRINT_CONFIG": False,
+    })
+    raw_ref = ds.get_raw_seq_data("ours", seq)
+    for cls in ("person", "car", "all"):
+        want = ds.get_preprocessed_seq_data(raw_ref, cls)
+        want_h = float(np.mean(HOTA().eval_sequence(want)["HOTA"]))
+        want_c = CLEAR({"PRINT_CONFIG": False}).eval_sequence(want)
+        np.testing.assert_allclose(summary[cls]["HOTA"], want_h,
+                                   atol=1e-9, err_msg=f"{cls} HOTA")
+        np.testing.assert_allclose(summary[cls]["MOTA"],
+                                   float(want_c["MOTA"]),
+                                   atol=1e-9, err_msg=f"{cls} MOTA")

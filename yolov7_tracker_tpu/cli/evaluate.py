@@ -52,7 +52,13 @@ def main(argv=None):
     p.add_argument("--benchmark", default="MOT17",
                    help="MOT17/MOT20/VisDrone/KITTI/KittiMOTS/MOTS/"
                         "BDD100K/HT/PersonPath22/DAVIS/TAO/TAO_OW/"
-                        "YouTubeVIS/BURST/BURST_OW")
+                        "YouTubeVIS/BURST/BURST_OW/RobMOTS")
+    p.add_argument("--sub_benchmark", default="mots_challenge",
+                   help="RobMOTS only: mots_challenge/kitti_mots/"
+                        "bdd_mots/davis_unsupervised/youtube_vis/ovis/"
+                        "waymo/tao (rob_mots.py:46)")
+    p.add_argument("--split", default="train",
+                   help="RobMOTS only: gt split folder")
     p.add_argument("--gt_folder", required=True)
     p.add_argument("--trackers_folder", required=True)
     p.add_argument("--seqmap", default="",
@@ -70,7 +76,37 @@ def main(argv=None):
 
     from ..eval import evaluator
 
-    if args.seqmap:
+    seq_meta_extra = None
+    result_loc_format = None
+    gt_loc_format = args.gt_loc_format
+    if args.benchmark == "RobMOTS":
+        # reference layout (rob_mots.py:93-135 + run_rob_mots.py):
+        #   gt:      GT_FOLDER/{split}/{sub}/data/{seq}.txt
+        #   tracker: TRACKERS_FOLDER(/data)/{sub}/{seq}.txt
+        #   seqmap:  GT_FOLDER/{split}/{sub}/seqmap.txt (seq len h w ig…)
+        #   clsmap:  GT_FOLDER/{split}/{sub}/clsmap.txt (valid class ids)
+        from ..eval import readers as R
+
+        sub_dir = os.path.join(args.gt_folder, args.split,
+                               args.sub_benchmark)
+        seqmap_path = args.seqmap or os.path.join(sub_dir, "seqmap.txt")
+        seqs = R.read_robmots_seqmap(seqmap_path)
+        clsmap_path = os.path.join(sub_dir, "clsmap.txt")
+        valid_ids = None
+        if os.path.isfile(clsmap_path):
+            with open(clsmap_path) as f:
+                valid_ids = tuple(
+                    int(float(x)) for x in f.read().split())
+        seq_meta_extra = {"sub_benchmark": args.sub_benchmark,
+                          "valid_class_ids": valid_ids}
+        if gt_loc_format == p.get_default("gt_loc_format"):
+            gt_loc_format = os.path.join(sub_dir, "data", "{seq}.txt")
+        result_loc_format = os.path.join(
+            "{results_folder}", "data", args.sub_benchmark, "{seq}.txt")
+        if args.classes is None and valid_ids is not None:
+            args.classes = [R.COCO_CLASSES[i] for i in valid_ids
+                            if i in R.COCO_CLASSES] + ["all"]
+    elif args.seqmap:
         seqs = read_seqmap(args.seqmap)
     else:
         seqs = discover_seqs(args.gt_folder, args.gt_loc_format)
@@ -82,11 +118,13 @@ def main(argv=None):
     table = evaluator.evaluate_benchmark(
         args.gt_folder, args.trackers_folder, seqs,
         benchmark=args.benchmark, classes=args.classes,
-        gt_loc_format=args.gt_loc_format,
+        gt_loc_format=gt_loc_format,
         num_parallel=args.num_parallel,
         output_folder=args.output_folder or None,
         metric_names=tuple(args.metrics),
         result_ext=args.result_ext,
+        result_loc_format=result_loc_format,
+        seq_meta_extra=seq_meta_extra,
     )
     classes = args.classes or list(
         evaluator.D.BENCHMARKS[args.benchmark]["eval_classes"])

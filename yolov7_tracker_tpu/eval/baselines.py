@@ -239,3 +239,88 @@ def non_overlap_sequence(data: Dict[int, List[Dict]]) -> List[list]:
                 td["scores"][i], td["im_hs"][i], td["im_ws"][i],
                 td["mask_rles"][i]])
     return out_rows
+
+
+# ---------------------------------------------------------------------------
+# Visualization (trackeval/baselines/vizualize.py + pascal_colormap.py):
+# RobMOTS-format txt -> per-class and all-class DAVIS-style label PNGs.
+# ---------------------------------------------------------------------------
+
+def pascal_colormap() -> np.ndarray:
+    """(256, 3) uint8 PASCAL VOC label colormap — the standard
+    bit-reversal construction; reproduces the literal float table in
+    trackeval/baselines/pascal_colormap.py (0.5020 = 128/255, ...)."""
+    cmap = np.zeros((256, 3), np.uint8)
+    for i in range(256):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+def label_image(t_data: Dict, im_h: int, im_w: int) -> np.ndarray:
+    """(H, W) uint8 label map: pixel = track id + 1, later masks painted
+    over earlier ones (baseline_utils.save_as_png:288-300)."""
+    png = np.zeros((im_h, im_w), np.uint8)
+    for i in range(len(t_data.get("mask_rles", []))):
+        m = RL.decode({
+            "size": [int(t_data["im_hs"][i]), int(t_data["im_ws"][i])],
+            "counts": str(t_data["mask_rles"][i]).encode()})
+        png[m.astype(bool)] = int(t_data["ids"][i]) + 1
+    return png
+
+
+def save_as_png(t_data: Dict, out_file: str, im_h: int, im_w: int):
+    """Write one timestep's masks as a palettized PNG (DAVIS format)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    im = Image.fromarray(label_image(t_data, im_h, im_w), mode="P")
+    im.putpalette(pascal_colormap().flatten().tolist())
+    im.save(out_file)
+
+
+def get_frame_size(data: Dict[int, List[Dict]]):
+    """First available (h, w) in the data (baseline_utils:313-321)."""
+    for cls_data in data.values():
+        for td in cls_data:
+            if len(td["im_hs"]) > 0:
+                return int(td["im_hs"][0]), int(td["im_ws"][0])
+    return None
+
+
+def visualize_sequence(seq_file: str, out_fol: str,
+                       class_names: Dict[int, str] | None = None):
+    """vizualize.py:31-64: per-class PNG folders (ids < 100 only), then
+    an 'all_classes' folder over the class-combined data."""
+    data = load_robmots_dets(seq_file)
+    size = get_frame_size(data)
+    if size is None:
+        return
+    im_h, im_w = size
+    for cls, cls_data in data.items():
+        if cls >= 100:
+            continue
+        name = (class_names or {}).get(cls, str(cls))
+        for t, td in enumerate(cls_data):
+            save_as_png(td, os.path.join(out_fol, name,
+                                         str(t).zfill(5) + ".png"),
+                        im_h, im_w)
+    # class-combined pass (baseline_utils.combine_classes)
+    num_t = max(len(v) for v in data.values())
+    for t in range(num_t):
+        fields = {"ids": [], "im_hs": [], "im_ws": [], "mask_rles": []}
+        for cls_data in data.values():
+            if t >= len(cls_data):
+                continue
+            td = cls_data[t]
+            for k in fields:
+                fields[k].extend(list(td[k]))
+        save_as_png(fields, os.path.join(out_fol, "all_classes",
+                                         str(t).zfill(5) + ".png"),
+                    im_h, im_w)

@@ -109,6 +109,11 @@ BENCHMARKS = {
     "BURST": {"classes": {}, "eval_classes": [], "distractors": []},
     "BURST_OW": {"classes": {"object": 1}, "eval_classes": ["object"],
                  "distractors": []},
+    # RobMOTS (trackeval/datasets/rob_mots.py:68-108): valid classes
+    # come from the split's clsmap.txt at runtime; 'all' (ids < 100) is
+    # always evaluable. The CLI expands eval_classes from the clsmap.
+    "RobMOTS": {"classes": {"all": -1}, "eval_classes": ["all"],
+                "distractors": []},
 }
 
 

@@ -78,7 +78,24 @@ def eval_sequence(seq: str, gt_path: str, result_path: str,
                   num_timesteps: int, benchmark: str,
                   classes: Sequence[str],
                   metric_names: Sequence[str] = DEFAULT_METRICS,
+                  seq_meta: Optional[Dict] = None,
                   ) -> Dict[str, Dict]:
+    if benchmark == "RobMOTS":
+        # needs per-seq metadata from the RobMOTS seqmap (frame size,
+        # ignore classes) plus benchmark config (sub_benchmark, clsmap)
+        from . import readers as R
+
+        meta = seq_meta or {}
+        raw = R.load_robmots_seq(
+            seq, gt_path, result_path, num_timesteps,
+            frame_size=meta.get("size", (1080, 1920)),
+            sub_benchmark=meta.get("sub_benchmark", "mots_challenge"),
+            ignore_class_ids=tuple(meta.get("ignore_class_ids", ())),
+            valid_class_ids=meta.get("valid_class_ids"),
+        )
+        return {cls: _run_metrics(R.preprocess_robmots(raw, cls),
+                                  metric_names)
+                for cls in classes}
     load, pre_fn = _READERS.get(benchmark, (None, None))
     if load is not None:
         raw = load(seq, gt_path, result_path, num_timesteps)
@@ -88,11 +105,15 @@ def eval_sequence(seq: str, gt_path: str, result_path: str,
     for cls in classes:
         pre = (pre_fn(raw, cls) if pre_fn is not None
                else D.preprocess_sequence(raw, benchmark, cls))
-        res = {}
-        for name in metric_names:
-            res.update(METRIC_FNS[name](pre))
-        out[cls] = res
+        out[cls] = _run_metrics(pre, metric_names)
     return out
+
+
+def _run_metrics(pre: Dict, metric_names: Sequence[str]) -> Dict:
+    res = {}
+    for name in metric_names:
+        res.update(METRIC_FNS[name](pre))
+    return res
 
 
 def evaluate_benchmark(
@@ -107,11 +128,15 @@ def evaluate_benchmark(
     metric_names: Sequence[str] = DEFAULT_METRICS,
     result_ext: Optional[str] = None,
     result_loc_format: Optional[str] = None,
+    seq_meta_extra: Optional[Dict] = None,
 ):
     """Evaluate result files against gt.
 
     Args:
-      seqs: {seq_name: num_timesteps}.
+      seqs: {seq_name: num_timesteps} — or, for benchmarks needing
+        per-seq metadata (RobMOTS), {seq_name: meta_dict} where
+        meta_dict has at least "length" (e.g. from
+        readers.read_robmots_seqmap).
       num_parallel: >1 enables a process pool over sequences
         (trackeval eval.py:82-103).
       result_ext: result-file extension; default ".txt" except for
@@ -119,6 +144,8 @@ def evaluate_benchmark(
       result_loc_format: full result-path template with {results_folder}
         and {seq}; overrides result_ext. TAO defaults to the single
         shared {results_folder}/results.json.
+      seq_meta_extra: benchmark-level metadata merged into every seq's
+        meta (RobMOTS: sub_benchmark, valid_class_ids).
 
     Returns {cls: {seq: res, 'COMBINED_SEQ': res}} plus a class-averaged
     summary under 'cls_comb_cls_av' when multiple classes.
@@ -130,18 +157,26 @@ def evaluate_benchmark(
         result_loc_format = ("{results_folder}/results.json"
                              if benchmark in ("TAO", "TAO_OW", "YouTubeVIS")
                              else "{results_folder}/{seq}" + result_ext)
+
+    def norm(v):
+        if isinstance(v, dict):
+            meta = dict(v, **(seq_meta_extra or {}))
+            return meta["length"], meta
+        return v, (dict(seq_meta_extra) if seq_meta_extra else None)
+
     jobs = [
         (
             seq,
             gt_loc_format.format(gt_folder=gt_folder, seq=seq),
             result_loc_format.format(results_folder=results_folder,
                                      seq=seq),
-            n,
+            norm(v)[0],
             benchmark,
             classes,
             metric_names,
+            norm(v)[1],
         )
-        for seq, n in seqs.items()
+        for seq, v in seqs.items()
     ]
     # per-sequence error capture (trackeval eval.py:191-209: log and
     # continue rather than aborting the whole run)
