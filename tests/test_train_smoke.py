@@ -397,3 +397,101 @@ def test_gradient_accumulation_semantics():
     )
     assert moved, "first warmup batch (accumulate=1) must step"
     assert int(fresh.ema_count) == 1
+
+
+def test_artifact_store_roundtrip(tmp_path):
+    """Content addressing, aliases, lineage, resolve, bbox panel — the
+    local wandb-artifact analogue (utils/artifacts.py)."""
+    from yolov7_tracker_tpu.utils.artifacts import (
+        ArtifactStore, digest_path, log_bbox_panel,
+    )
+
+    store = ArtifactStore(str(tmp_path / "store"))
+    f1 = tmp_path / "w.bin"
+    f1.write_bytes(b"weights-v1")
+    ref1 = store.log_artifact(str(f1), "m", aliases=("latest",),
+                              metadata={"epoch": 0})
+    # same content -> same digest, no duplicate object
+    ref_dup = store.log_artifact(str(f1), "m", aliases=("latest",))
+    assert ref1 == ref_dup
+    f1.write_bytes(b"weights-v2")
+    ref2 = store.log_artifact(str(f1), "m", aliases=("latest", "best"),
+                              parents=[ref1])
+    assert ref1 != ref2
+    # resolve by alias and by digest prefix
+    assert open(store.resolve("m:latest"), "rb").read() == b"weights-v2"
+    assert open(store.resolve("artifact:m:best"), "rb").read() \
+        == b"weights-v2"
+    d1 = ref1.split(":")[1]
+    assert open(store.resolve(f"m:{d1}"), "rb").read() == b"weights-v1"
+    # lineage walks back to the parent
+    chain = store.lineage(ref2)
+    assert ref1 in chain and ref2 in chain
+    assert len(store.versions("m")) == 2
+    # directory artifact digests are stable and content-sensitive
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "a.txt").write_text("a")
+    dg = digest_path(str(d))
+    assert dg == digest_path(str(d))
+    (d / "a.txt").write_text("b")
+    assert dg != digest_path(str(d))
+    # bbox media panel
+    imgs = np.zeros((2, 32, 32, 3), np.uint8)
+    boxes = [np.array([[4, 4, 20, 20]]), np.array([[8, 8, 28, 24]])]
+    ref_m = log_bbox_panel(store, imgs, boxes,
+                           str(tmp_path / "panel.png"),
+                           labels=[["person"], ["car"]])
+    assert os.path.isfile(store.resolve(ref_m))
+
+
+def test_train_cli_artifact_resume(tiny_dataset, tmp_path):
+    """train -> interrupt -> resume-from-artifact round trip (verdict r2
+    item 6): the second run restores the checkpoint through the store,
+    continues at the next epoch, and extends the lineage chain."""
+    import json
+
+    import yaml
+
+    from yolov7_tracker_tpu.cli import train as train_cli
+    from yolov7_tracker_tpu.utils.artifacts import ArtifactStore
+
+    data_yaml = tmp_path / "data.yaml"
+    yaml.safe_dump({"train": tiny_dataset, "nc": 2},
+                   open(data_yaml, "w"))
+    store_dir = str(tmp_path / "store")
+    common = [
+        "--model", "yolov7-tiny",
+        "--data", str(data_yaml),
+        "--img", "96",
+        "--batch", str(len(jax.devices())),
+        "--max_labels", "16",
+        "--ckpt_dir", str(tmp_path / "runs"),
+        "--eval_every", "0",
+        "--artifacts", store_dir,
+        "--run_name", "tiny",
+    ]
+    run1 = train_cli.main(common + ["--epochs", "1"])
+    store = ArtifactStore(store_dir)
+    v1 = store.versions("tiny-ckpt")
+    assert len(v1) == 1 and v1[0]["metadata"]["epoch"] == 0
+    # jsonl carries the artifact events
+    events = [json.loads(l)
+              for l in open(os.path.join(run1, "metrics.jsonl"))
+              if json.loads(l).get("event")]
+    kinds = {e["kind"] for e in events}
+    assert {"dataset", "checkpoint"} <= kinds
+
+    run2 = train_cli.main(common + [
+        "--epochs", "2", "--resume", "artifact:tiny-ckpt:latest",
+    ])
+    v2 = store.versions("tiny-ckpt")
+    assert len(v2) == 2
+    newest = v2[-1]
+    assert newest["metadata"]["epoch"] == 1  # resumed at epoch 1
+    # lineage: epoch-1 ckpt -> (dataset, epoch-0 ckpt)
+    ref = f"tiny-ckpt:{newest['digest'][:12]}"
+    chain = store.lineage(ref)
+    assert any(c.startswith("tiny-data:") for c in chain)
+    assert f"tiny-ckpt:{v1[0]['digest'][:12]}" in chain
+    assert os.path.isfile(os.path.join(run2, "last.msgpack"))

@@ -29,7 +29,15 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--max_labels", type=int, default=128)
     p.add_argument("--ckpt_dir", type=str, default="./runs/train")
-    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint path, or artifact:<name>:<alias> to "
+                        "resume from the local artifact store")
+    p.add_argument("--artifacts", type=str, default="",
+                   help="artifact-store root; enables dataset/checkpoint"
+                        " artifact logging with lineage (local wandb "
+                        "analogue, utils/artifacts.py)")
+    p.add_argument("--run_name", type=str, default="",
+                   help="artifact name prefix (default: model name)")
     p.add_argument("--eval_every", type=int, default=1,
                    help="epochs between val mAP evals; 0 disables")
     p.add_argument("--n_devices", type=int, default=0,
@@ -87,9 +95,32 @@ def main(argv=None):
         epochs=opts.epochs, steps_per_epoch=steps_per_epoch,
         batch_size=opts.batch,
     )
+    store = None
+    run_name = opts.run_name or opts.model
+    if opts.artifacts:
+        from ..utils.artifacts import ArtifactStore
+
+        store = ArtifactStore(opts.artifacts)
+
     state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg)
+    start_epoch = 0
+    resume_ref = None
     if opts.resume:
-        state = checkpoint.load_train_state(opts.resume, state)
+        resume_path = opts.resume
+        if opts.resume.startswith("artifact:"):
+            if store is None:
+                raise SystemExit("--resume artifact:... needs --artifacts")
+            # pin the alias to its digest NOW — 'latest' will re-point
+            # to the checkpoints this run logs
+            resume_ref = store.resolve_ref(opts.resume)
+            resume_path = store.resolve(opts.resume)
+        state = checkpoint.load_train_state(resume_path, state)
+        meta_path = os.path.join(resume_path, "meta.json")
+        if os.path.isfile(meta_path):
+            import json as _json
+
+            with open(meta_path) as f:
+                start_epoch = int(_json.load(f).get("epoch", -1)) + 1
 
     hyp = Hyp(**hyp_kw)
     step_fns = {}
@@ -120,12 +151,23 @@ def main(argv=None):
     from ..utils.logging import MetricsLogger
 
     logger = MetricsLogger(run_dir)
+    data_ref = None
+    last_ckpt_ref = resume_ref
+    if store is not None:
+        # dataset artifact: the data yaml is the run's dataset identity
+        # (wandb_utils.py:176-198 logs the dataset as an artifact)
+        data_ref = store.log_artifact(
+            opts.data, f"{run_name}-data", type="dataset",
+            metadata={"nc": int(data_cfg.get("nc", 80)),
+                      "n_images": len(dataset)},
+        )
+        logger.log_event({"artifact": data_ref, "kind": "dataset"})
     print(f"training {opts.model} on {len(dataset)} images, "
           f"{steps_per_epoch} steps/epoch, mesh={mesh.shape}")
 
     nc = int(data_cfg.get("nc", 80))
     maps = np.zeros(nc)  # per-class mAPs from the latest eval
-    for epoch in range(opts.epochs):
+    for epoch in range(start_epoch, opts.epochs):
         if opts.image_weights:
             from ..train.datasets import (
                 labels_to_class_weights, labels_to_image_weights,
@@ -174,10 +216,21 @@ def main(argv=None):
             f"(box {m['box']:.4f} obj {m['obj']:.4f} cls {m['cls']:.4f}) "
             f"{time.time()-t0:.1f}s"
         )
-        checkpoint.save_train_state(
+        ckpt_path = checkpoint.save_train_state(
             run_dir, state, int(state.step),
             {"epoch": epoch, "loss": m["loss"]},
         )
+        if store is not None:
+            parents = [r for r in (data_ref, last_ckpt_ref) if r]
+            last_ckpt_ref = store.log_artifact(
+                ckpt_path, f"{run_name}-ckpt", type="checkpoint",
+                aliases=("latest", f"epoch-{epoch}"),
+                metadata={"epoch": epoch, "loss": m["loss"],
+                          "step": int(state.step), "run_dir": run_dir},
+                parents=parents,
+            )
+            logger.log_event({"artifact": last_ckpt_ref,
+                              "kind": "checkpoint", "epoch": epoch})
         if (data_cfg.get("val") and opts.eval_every > 0
                 and (epoch + 1) % opts.eval_every == 0):
             from .test import evaluate_map
@@ -197,11 +250,19 @@ def main(argv=None):
             print(f"  val: mAP50 {res['map50']:.4f} mAP {res['map']:.4f}")
             if fit > best_fitness:
                 best_fitness = fit
-                checkpoint.save_variables(
+                best_path = checkpoint.save_variables(
                     os.path.join(run_dir, "best.msgpack"),
                     {"params": state.ema_params,
                      "batch_stats": state.batch_stats},
                 )
+                if store is not None:
+                    store.log_artifact(
+                        best_path, f"{run_name}-best", type="model",
+                        aliases=("latest", "best"),
+                        metadata={"epoch": epoch, "fitness": float(fit),
+                                  "map50": float(res["map50"])},
+                        parents=[r for r in (last_ckpt_ref,) if r],
+                    )
     checkpoint.save_variables(
         os.path.join(run_dir, "last.msgpack"),
         {"params": state.ema_params, "batch_stats": state.batch_stats},

@@ -40,6 +40,14 @@ class MetricsLogger:
                 if k not in ("step", "time"):
                     self._tb.add_scalar(k, v, step)
 
+    def log_event(self, record: Dict):
+        """Non-scalar JSONL record (artifact refs, lineage events) —
+        distinguishable from metric rows by the 'event' marker."""
+        rec = {"event": True, "time": time.time()}
+        rec.update(record)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
@@ -53,6 +61,7 @@ def plot_results(jsonl_path: str, out_png: Optional[str] = None):
     import matplotlib.pyplot as plt
 
     rows = [json.loads(l) for l in open(jsonl_path)]
+    rows = [r for r in rows if not r.get("event")]  # skip artifact events
     keys = sorted({k for r in rows for k in r} - {"step", "time"})
     if not keys:
         return None
