@@ -151,6 +151,7 @@ def test_pallas_auction_interpret_matches_host():
             assert int(np.asarray(c2r)[j]) == i
 
 
+@pytest.mark.slow  # Pallas interpret run; the TPU default dispatches to the XLA v2 solver, covered fast
 def test_pallas_auction_v2_interpret_matches_host():
     """The private-dummy rectangular kernel (the TPU default backend,
     ops/assignment.py solve_assignment): same matching as the scipy host

@@ -83,6 +83,7 @@ def test_nms_batched():
         assert int(counts[b]) == want.shape[0]
 
 
+@pytest.mark.slow  # multi-minute compile; raw-vs-decoded parity (fast lane keeps the decoded-path NMS goldens)
 def test_nms_from_raw_matches_decoded():
     """The fused score-first NMS (raw head inputs, top-k before decode)
     produces identical detections to decode-everything + nms on a real

@@ -36,6 +36,7 @@ def test_detect_batch_shapes(pipe):
     assert (b >= 0).all()
 
 
+@pytest.mark.slow  # full-sequence compile; detect/track/writer stages covered by faster fast-lane tests
 def test_run_sequence_and_writer(pipe, tmp_path):
     frames = [
         np.random.default_rng(i).integers(0, 255, (120, 160, 3), np.uint8)

@@ -137,6 +137,7 @@ def test_track_ids_sequential():
     assert all_ids == list(range(all_ids[0], all_ids[0] + len(all_ids)))
 
 
+@pytest.mark.slow  # scan-vs-loop equivalence compile; per-step goldens cover semantics fast
 def test_scan_equivalence():
     """Running the tracker under lax.scan gives identical output to the
     per-frame python loop (whole-sequence on-device path)."""

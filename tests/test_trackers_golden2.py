@@ -81,7 +81,8 @@ def test_botsort_matches_oracle(seed):
     compare(got, want)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize(
+    "seed", [0, pytest.param(1, marks=pytest.mark.slow)])
 def test_uavmot_matches_oracle(seed):
     stream = synth_stream(seed)
     cfg = TrackerConfig(tracker="uavmot", conf_thresh=0.5, capacity=64,
@@ -91,6 +92,8 @@ def test_uavmot_matches_oracle(seed):
     compare(got, want)
 
 
+@pytest.mark.slow  # superseded in the fast lane by the reference-code
+# golden (test_reference_tracker_golden2) + the perfect-detector gate
 @pytest.mark.parametrize("seed", [0])
 def test_deepsort_matches_oracle(seed):
     stream = synth_stream_feat(seed)
@@ -102,6 +105,8 @@ def test_deepsort_matches_oracle(seed):
     compare(got, want)
 
 
+@pytest.mark.slow  # superseded in the fast lane by the reference-code
+# golden (test_reference_tracker_golden2) + the perfect-detector gate
 @pytest.mark.parametrize("seed", [0])
 def test_strongsort_matches_oracle(seed):
     # shorter horizon: the NSA-KF + euclidean-feature cost chain amplifies
@@ -117,6 +122,7 @@ def test_strongsort_matches_oracle(seed):
     compare(got, want, box_atol=2.0)
 
 
+@pytest.mark.slow  # DHN compile; DeepMOT covered by the reference-code golden + oracle gate
 def test_deepmot_runs():
     """DeepMOT without DHN weights == ecu_iou cost; smoke + sanity."""
     stream = synth_stream(2)

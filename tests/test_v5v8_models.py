@@ -295,6 +295,7 @@ def test_forward_parity(name):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # v8 pipeline compile; v8 forward parity + param counts stay fast
 def test_v8_tracking_pipeline_smoke():
     """A v8 detector drops into the same compiled tracking pipeline."""
     from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
