@@ -73,8 +73,13 @@ def build_pipeline(model, img, batch):
 
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
                           detector_batch=batch)
+    # det_capacity defaults to the CLI parity value (300 = NMS max_det,
+    # cli/track.py) so the benchmarked association problem is the
+    # semantics-faithful one; BENCH_DET_CAP=64 reproduces the lighter
+    # r2 configuration (reported in detail as fps_detcap64).
+    det_cap = int(os.environ.get("BENCH_DET_CAP", "300"))
     tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
-                         capacity=128, det_capacity=64)
+                         capacity=128, det_capacity=det_cap)
     return TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec)
 
 
@@ -203,6 +208,37 @@ def main():
     pipelined_fps = n_frames / pipelined_time
     assert len(results) == n_frames
 
+    # ---- timed 2b: simulated co-located H2D at BENCH_H2D_GBPS ----------
+    # Models a co-located deployment's staging DMA: frames stay device-
+    # resident (the tunnel cannot carry pixels at PCIe rate, see
+    # h2d_note), but each batch is enqueued only after the wall-clock a
+    # PCIe-class link would need to stage it (bytes / gbps). Because
+    # dispatch is async, the simulated staging of batch i+1 overlaps
+    # batch i's device compute exactly like a double-buffered DMA —
+    # throughput degrades only when the link, not compute, is the
+    # bottleneck (sweep BENCH_H2D_GBPS down to find the knee).
+    h2d_gbps = float(os.environ.get("BENCH_H2D_GBPS", "16.0"))
+    batch_bytes = float(np.prod(host_frames[0].shape))
+    t_stage = batch_bytes / (h2d_gbps * 1e9)
+    slab = pipe.init_tracker()
+    results = []
+    t0 = time.time()
+    prev = None
+    for _ in range(n_batches):
+        t_dma_done = time.time() + t_stage
+        slab, outs = pipe.process_batch(slab, dev_frames, warps)
+        packed = pipe.pack_output(outs)
+        packed.copy_to_host_async()
+        if prev is not None:
+            results.extend(emit(pipe.unpack_output(np.asarray(prev))))
+        rem = t_dma_done - time.time()  # wait out the simulated DMA
+        if rem > 0:
+            time.sleep(rem)
+        prev = packed
+    results.extend(emit(pipe.unpack_output(np.asarray(prev))))
+    sim_h2d_fps = n_frames / (time.time() - t0)
+    assert len(results) == n_frames
+
     # ---- timed 3: multi-stream serving (16 independent sequences, one
     # frame each per fused call: detector batch across streams + vmapped
     # tracker step — the production many-camera configuration)
@@ -272,8 +308,12 @@ def main():
         "unit": "fps",
         "vs_baseline": round(compute_fps / baseline, 2),
         "detail": {
+            "det_capacity": pipe.tcfg.det_capacity,
             "multistream_fps": round(multistream_fps, 2),
             "pipelined_host_fps": round(pipelined_fps, 2),
+            "simulated_h2d_fps": round(sim_h2d_fps, 2),
+            "simulated_h2d_gbps": h2d_gbps,
+            "frame_mb": round(frame_mb, 2),
             "h2d_ms_per_frame": round(h2d_ms, 2),
             "h2d_mb_per_s": round(frame_mb / (h2d_ms / 1e3), 1),
             "h2d_note": (
@@ -312,8 +352,10 @@ def seqpar_main():
 
     nseq = int(os.environ.get("BENCH_NSEQ", "16"))
     sp_frames = int(os.environ.get("BENCH_SEQPAR_FRAMES", "256"))
-    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
-                         capacity=128, det_capacity=64)
+    tcfg = TrackerConfig(
+        tracker="bytetrack", conf_thresh=0.5, capacity=128,
+        det_capacity=int(os.environ.get("BENCH_DET_CAP", "300")),
+    )
     step, tcfg = build_tracker(tcfg)
     d = tcfg.det_capacity
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)

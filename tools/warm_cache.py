@@ -42,7 +42,8 @@ def main():
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
                           detector_batch=batch)
     tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
-                         capacity=128, det_capacity=64)
+                         capacity=128,
+                         det_capacity=int(os.environ.get("BENCH_DET_CAP", "300")))
     pipe = TrackingPipeline(pcfg, tcfg)
     log("pipeline built")
 

@@ -16,6 +16,7 @@ Reference quirks kept: stage 2 runs over ALL stage-1-unmatched pool rows
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops
@@ -58,18 +59,26 @@ def botsort_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
     r2c, c2r = masked_assignment(cost, pmask, high, 0.9)
     slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
 
-    # stage 2: ALL unmatched pool rows vs low @0.5 (botsort.py:411)
+    # stages 2 + 3 solved in LOCKSTEP (exact semantics, see
+    # bytetrack.py): stage 2 (ALL unmatched pool rows vs low @0.5,
+    # botsort.py:411) and stage 3 (unconfirmed vs u_dets0 @0.7) both
+    # depend only on stage 1 — stage-3 rows (unconfirmed) are outside
+    # the pool and its cols are stage-1 leftovers, so the two
+    # independent solves batch into one vmapped auction.
     u_tracks0 = pmask & (r2c < 0)
-    cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
-    r2c2, _ = masked_assignment(cost2, u_tracks0, low, 0.5)
-    slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
-
-    # stage 3: unconfirmed vs u_dets0 @0.7
     umask = S.unconfirmed_mask(slab)
     u_high = high & (c2r < 0)
+    cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     cost3 = _fused_cost(slab, dets, fmt, use_app)
-    r2c3, _ = masked_assignment(cost3, umask, u_high, 0.7)
+    r2c_b, _ = jax.vmap(masked_assignment)(
+        jnp.stack([cost2, cost3]),
+        jnp.stack([u_tracks0, umask]),
+        jnp.stack([low, u_high]),
+        jnp.asarray([0.5, 0.7], jnp.float32),
+    )
+    r2c2, r2c3 = r2c_b[0], r2c_b[1]
+    slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
+    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
     slab = S.apply_matches(slab, dets, r2c3, fmt, cfg)
     slab = S.mark_removed(slab, umask & (r2c3 < 0))
 

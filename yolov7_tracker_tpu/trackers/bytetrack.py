@@ -14,6 +14,7 @@ Stages:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops
@@ -44,20 +45,32 @@ def bytetrack_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
     was_tracked = slab.state == S.TRACKED
     slab = S.apply_matches(slab, dets, r2c, fmt, cfg)
 
-    # stage 2: unmatched *Tracked* rows vs low dets @0.5 (IoU only)
+    # stages 2 + 3 solved in LOCKSTEP (latency optimization, exact
+    # semantics): stage 2 (unmatched *Tracked* rows vs low dets @0.5)
+    # and stage 3 (unconfirmed vs leftover high dets @0.7) both depend
+    # only on stage 1 — their row sets are disjoint from every row
+    # updated in stages 1-2 (stage-2 rows are stage-1-unmatched, so
+    # their KF boxes are untouched; unconfirmed tracks are outside the
+    # pool entirely), so both cost matrices equal the post-stage-1 IoU
+    # matrix and the two independent solves batch into one vmapped
+    # auction whose sweeps amortize across the pair.
+    cost23 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
     u_tracks0 = pmask & (r2c < 0) & was_tracked
-    cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
-    r2c2, _ = masked_assignment(cost2, u_tracks0, low, 0.5)
-    slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
-
-    # unmatched after stage 2 -> Lost
-    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
-
-    # stage 3: unconfirmed vs leftover high dets @0.7
     umask = S.unconfirmed_mask(slab)
     u_high = high & (c2r < 0)
-    cost3 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
-    r2c3, c2r3 = masked_assignment(cost3, umask, u_high, 0.7)
+    r2c_b, c2r_b = jax.vmap(
+        masked_assignment, in_axes=(None, 0, 0, 0)
+    )(
+        cost23,
+        jnp.stack([u_tracks0, umask]),
+        jnp.stack([low, u_high]),
+        jnp.asarray([0.5, 0.7], jnp.float32),
+    )
+    r2c2, r2c3 = r2c_b[0], r2c_b[1]
+    c2r3 = c2r_b[1]
+    slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
+    # unmatched after stage 2 -> Lost
+    slab = S.mark_lost(slab, u_tracks0 & (r2c2 < 0))
     slab = S.apply_matches(slab, dets, r2c3, fmt, cfg)
     slab = S.mark_removed(slab, umask & (r2c3 < 0))
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import boxes as boxops
@@ -74,10 +75,23 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
     was_tracked = slab.state == S.TRACKED
     slab = S.apply_matches(slab, dets, r2c, fmt, cfg, pool_rank=pool_rank)
 
-    # stage 2
+    # stages 2 + 3 solved in LOCKSTEP (exact semantics, see
+    # bytetrack.py): both depend only on stage 1, so the two
+    # independent solves batch into one vmapped auction.
     u_tracks0 = pmask & (r2c < 0) & was_tracked
-    cost2 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
-    r2c2, _ = masked_assignment(cost2, u_tracks0, low, 0.5)
+    umask = S.unconfirmed_mask(slab)
+    u_high = high & (c2r < 0)
+    cost23 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
+    r2c_b, c2r_b = jax.vmap(
+        masked_assignment, in_axes=(None, 0, 0, 0)
+    )(
+        cost23,
+        jnp.stack([u_tracks0, umask]),
+        jnp.stack([low, u_high]),
+        jnp.asarray([0.5, 0.7], jnp.float32),
+    )
+    r2c2, r2c3 = r2c_b[0], r2c_b[1]
+    c2r3 = c2r_b[1]
     slab = S.apply_matches(slab, dets, r2c2, fmt, cfg)
     # reference step-4 mis-indexed lost-marking (deepmot.py:268-272)
     wrong_lost = S.misindexed_lost_mask(
@@ -85,12 +99,6 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
     )
     slab = S.mark_lost_ordered(slab, wrong_lost, pool_rank,
                                dets.tlbr.shape[0])
-
-    # stage 3: unconfirmed vs u_dets0 @0.7
-    umask = S.unconfirmed_mask(slab)
-    u_high = high & (c2r < 0)
-    cost3 = boxops.iou_distance(S.track_tlbr(slab, fmt), dets.tlbr)
-    r2c3, c2r3 = masked_assignment(cost3, umask, u_high, 0.7)
     slab = S.apply_matches(slab, dets, r2c3, fmt, cfg)
     slab = S.mark_removed(slab, umask & (r2c3 < 0))
 
