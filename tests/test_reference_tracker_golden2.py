@@ -253,3 +253,67 @@ def test_bytetrack_long_horizon_matches_reference_code(seed):
     # ids must stay in lockstep for all 500 frames; the box tolerance is
     # the measured f32-vs-f64 Cholesky-chain divergence envelope
     compare(got, want, box_atol=5.0)
+
+
+# ---------------------------------------------------------------------------
+# BoT-SORT with GMC ON: identical injected per-frame warps drive both
+# the reference's multi_gmc (kron(I4, R) Kalman transform,
+# botsort.py:250-269,379-382) and the slab's apply_gmc — the warp
+# ESTIMATION itself is separately cv2-golden in tests/test_gmc.py.
+# ---------------------------------------------------------------------------
+
+def synth_warps(seed, frames=60):
+    rng = np.random.default_rng(seed + 100)
+    warps = []
+    for _ in range(frames):
+        ang = rng.normal(0, 0.004)
+        s = 1.0 + rng.normal(0, 0.002)
+        tx, ty = rng.normal(0, 1.5, 2)
+        c, si = np.cos(ang) * s, np.sin(ang) * s
+        warps.append(np.array([[c, -si, tx], [si, c, ty]], np.float64))
+    return warps
+
+
+def run_reference_botsort_gmc(stream, warps, conf=0.5):
+    _install_shims()
+    import botsort as ref
+
+    ref.Extractor = lambda *a, **k: None
+    _reset_ids()
+    tr = ref.BoTSORT(_base_opts(conf=conf, kalman_format="botsort"),
+                     use_GMC=True)
+    it = iter(warps)
+    tr.gmc.apply = lambda raw_frame, detections=None: next(it)
+    return [_emit(tr.update(d.copy(), IMG)) for d in stream]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_botsort_gmc_on_matches_reference_code(seed):
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.trackers import (TrackerConfig, build_tracker,
+                                             init_slab)
+    from yolov7_tracker_tpu.trackers import slab as SS
+
+    stream = synth_stream(seed)
+    warps = synth_warps(seed, frames=len(stream))
+    want = run_reference_botsort_gmc(stream, warps)
+
+    cfg = TrackerConfig(tracker="botsort", conf_thresh=0.5, capacity=64,
+                        det_capacity=32)
+    step, cfg = build_tracker(cfg)
+    slab = init_slab(cfg)
+    got = []
+    for dets, warp in zip(stream, warps):
+        det_slab = SS.make_det_slab(
+            cfg, dets[:, :4], dets[:, 4], dets[:, 5],
+            np.ones(len(dets), bool),
+            warp=jnp.asarray(warp, jnp.float32))
+        slab, out = step(slab, det_slab)
+        valid = np.asarray(out.valid)
+        ids = np.asarray(out.track_id)
+        tlwh = np.asarray(out.tlwh)
+        score = np.asarray(out.score)
+        got.append({int(ids[i]): (tlwh[i], float(score[i]))
+                    for i in range(len(ids)) if valid[i]})
+    compare(got, want, box_atol=3.0)
