@@ -279,26 +279,34 @@ def main():
         jax.block_until_ready(jax.device_put(host_frames[i % 2]))
     h2d_ms = (time.time() - t0) / 8 / batch * 1e3
 
-    # sequence-parallel aggregate, measured in a FRESH subprocess: with
-    # the w6 pipeline resident, the remote-attached TPU runtime flakes
-    # with an opaque INVALID_ARGUMENT on the seq-par scan (the same
-    # computation runs fine in a clean process). The metric only needs
-    # the tracker step, not the detector, so isolation is free.
+    # sequence-parallel aggregate. Round 2 measured this in a fresh
+    # subprocess because the then-current runtime threw an opaque
+    # INVALID_ARGUMENT on the seq-par scan with the w6 pipeline
+    # resident; the r3 repro (tools/tpu_r3_sweep.py, flake_repro)
+    # could NOT reproduce it in-process — measured 0.57 ms/frame with
+    # the pipeline resident — so the in-process path is primary again,
+    # with the subprocess isolation kept as a fallback should the
+    # runtime regress.
     nseq = int(os.environ.get("BENCH_NSEQ", "16"))
     trk_ms_seqpar = None
     try:
-        import subprocess
-
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--seqpar"],
-            capture_output=True, text=True, timeout=600,
-        )
-        for line in proc.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                trk_ms_seqpar = json.loads(line)["ms_per_frame"]
+        trk_ms_seqpar = _seqpar_measure()
     except Exception as e:
-        log(f"seqpar subprocess failed: {e}")
+        log(f"in-process seqpar failed ({type(e).__name__}: {e}); "
+            "falling back to subprocess isolation")
+        try:
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--seqpar"],
+                capture_output=True, text=True, timeout=600,
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    trk_ms_seqpar = json.loads(line)["ms_per_frame"]
+        except Exception as e2:
+            log(f"seqpar subprocess failed: {e2}")
 
     baseline = 14.32  # reference ByteTrack fps, A100 (README.md:62)
     frame_mb = np.prod(host_frames[0].shape[1:]) / 1e6
@@ -338,11 +346,11 @@ def main():
     }))
 
 
-def seqpar_main():
-    """Standalone sequence-parallel tracker measurement (clean process):
-    NSEQ independent sequences vmapped over the ByteTrack slab step,
-    lax.scan over frames — the per-frame tracker cost when sequences
-    amortize the association solver's lockstep iterations."""
+def _seqpar_measure():
+    """Sequence-parallel tracker measurement: NSEQ independent
+    sequences vmapped over the ByteTrack slab step, lax.scan over
+    frames — the per-frame tracker cost when sequences amortize the
+    association solver's lockstep iterations. Returns ms/frame."""
     import jax
     import jax.numpy as jnp
 
@@ -392,9 +400,17 @@ def seqpar_main():
     for _ in range(reps):
         _, outs = scan(slabs, det_streams)
         np.asarray(outs.valid)
-    ms = (time.time() - t0) / (reps * sp_frames * nseq) * 1e3
-    print(json.dumps({"ms_per_frame": round(ms, 4), "n_seqs": nseq,
-                      "frames": sp_frames}))
+    return (time.time() - t0) / (reps * sp_frames * nseq) * 1e3
+
+
+def seqpar_main():
+    """Standalone entry for the subprocess-isolation fallback."""
+    ms = _seqpar_measure()
+    print(json.dumps({
+        "ms_per_frame": round(ms, 4),
+        "n_seqs": int(os.environ.get("BENCH_NSEQ", "16")),
+        "frames": int(os.environ.get("BENCH_SEQPAR_FRAMES", "256")),
+    }))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,85 @@ from . import boxes as boxops
 MAX_WH = 4096.0  # class-offset stride, reference general.py:617
 
 
+def greedy_suppress(sel_box, off_box, scores, cls_id, *, max_det: int,
+                    iou_thres, chunk: int = 128):
+    """Exact greedy NMS over a score-masked candidate slab, chunked for
+    TPU latency.
+
+    The textbook loop picks one box per iteration — up to max_det
+    sequential device steps (~0.5 ms/frame at max_det=300). This form
+    produces the IDENTICAL pick set in O(max_det/chunk * depth) steps:
+    take the `chunk` highest-scoring remaining candidates, compute the
+    block's greedy keep set as the fixpoint of the suppression map
+    kept[i] = active[i] & !any(j < i: kept[j] & IoU(j, i) > t)
+    (converges in suppression-chain-depth sweeps, typically 2-4 —
+    candidates outside the block all score lower, so greedy order is
+    preserved), append the kept boxes, then kill every remaining
+    candidate overlapping an accepted box in one batched IoU.
+
+    Args:
+      sel_box: (K, 4) xyxy output boxes (no class offset).
+      off_box: (K, 4) class-offset boxes used for suppression.
+      scores: (K,) candidate scores, invalid rows < 0.
+      cls_id: (K,) class ids (float).
+    Returns: (out (max_det, 6) [xyxy, conf, cls], count).
+    """
+    k = scores.shape[0]
+    chunk = min(chunk, k)
+    c_lt = (jnp.arange(chunk)[:, None] < jnp.arange(chunk)[None, :])
+
+    def cond(state):
+        _, count, s, it = state
+        return ((count < max_det) & (jnp.max(s) > 0.0)
+                & (it < max_det))
+
+    def body(state):
+        out, count, s, it = state
+        top_s, idx = jax.lax.top_k(s, chunk)         # descending
+        active = top_s > 0.0
+        bb = off_box[idx]
+        iou = boxops.iou_matrix_xyxy(bb, bb)
+        sup = (iou > iou_thres) & c_lt               # j (<i) suppresses i
+
+        def fcond(st):
+            _, changed, fit = st
+            return changed & (fit < chunk)
+
+        def fbody(st):
+            kept, _, fit = st
+            killed = jnp.any(kept[:, None] & sup, axis=0)
+            new = active & ~killed
+            return new, jnp.any(new != kept), fit + 1
+
+        kept, _, _ = jax.lax.while_loop(
+            fcond, fbody, (active, jnp.bool_(True), jnp.int32(0))
+        )
+
+        rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+        accept = kept & (count + rank < max_det)
+        pos = jnp.where(accept, count + rank, max_det)
+        rows6 = jnp.concatenate(
+            [sel_box[idx], top_s[:, None], cls_id[idx][:, None]],
+            axis=1,
+        )
+        out = out.at[pos].set(rows6, mode="drop")
+        n_acc = jnp.sum(accept.astype(jnp.int32))
+
+        s = s.at[idx].set(-1.0)
+        # kill everything overlapping an accepted box (one batched IoU);
+        # non-accepted rows become degenerate boxes with IoU 0
+        acc_boxes = jnp.where(accept[:, None], bb, -1e6)
+        cross = boxops.iou_matrix_xyxy(acc_boxes, off_box)
+        s = jnp.where(jnp.any(cross > iou_thres, axis=0), -1.0, s)
+        return out, count + n_acc, s, it + 1
+
+    out0 = jnp.zeros((max_det, 6), jnp.float32)
+    out, count, _, _ = jax.lax.while_loop(
+        cond, body, (out0, jnp.int32(0), scores, jnp.int32(0))
+    )
+    return out, count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_det", "top_k", "multi_label", "agnostic"),
@@ -100,29 +179,9 @@ def nms(
     offset = jnp.where(agnostic, 0.0, sel_cls * MAX_WH)
     off_box = sel_box + offset[:, None]
 
-    # iterative suppression: pick argmax score, kill IoU > thres neighbors
-    def cond(state):
-        _, _, scores, i = state
-        return jnp.logical_and(i < max_det, jnp.max(scores) > 0.0)
-
-    def body(state):
-        out, out_n, scores, i = state
-        j = jnp.argmax(scores)
-        row = jnp.concatenate(
-            [sel_box[j], scores[j][None], sel_cls[j][None]]
-        )
-        out = out.at[i].set(row)
-        ious = boxops.iou_matrix_xyxy(sel_box[j][None] + offset[j], off_box)[0]
-        scores = jnp.where(ious > iou_thres, -1.0, scores)
-        scores = scores.at[j].set(-1.0)
-        return out, out_n + 1, scores, i + 1
-
-    out0 = jnp.zeros((max_det, 6), jnp.float32)
     scores0 = jnp.where(top_scores > 0, top_scores, -1.0)
-    out, count, _, _ = jax.lax.while_loop(
-        cond, body, (out0, jnp.int32(0), scores0, jnp.int32(0))
-    )
-    return out, count
+    return greedy_suppress(sel_box, off_box, scores0, sel_cls,
+                           max_det=max_det, iou_thres=iou_thres)
 
 
 @functools.partial(
@@ -205,26 +264,7 @@ def nms_from_raw(
         offset = jnp.where(agnostic, 0.0, cls_id * MAX_WH)
         off_box = sel_box + offset[:, None]
         sc = jnp.where(keep, conf, -1.0)
-
-        def cond(state):
-            _, _, s, i = state
-            return jnp.logical_and(i < max_det, jnp.max(s) > 0.0)
-
-        def body(state):
-            out, out_n, s, i = state
-            j = jnp.argmax(s)
-            row = jnp.concatenate([sel_box[j], s[j][None], cls_id[j][None]])
-            out = out.at[i].set(row)
-            ious = boxops.iou_matrix_xyxy(
-                sel_box[j][None] + offset[j], off_box)[0]
-            s = jnp.where(ious > iou_thres, -1.0, s)
-            s = s.at[j].set(-1.0)
-            return out, out_n + 1, s, i + 1
-
-        out0 = jnp.zeros((max_det, 6), jnp.float32)
-        out, count, _, _ = jax.lax.while_loop(
-            cond, body, (out0, jnp.int32(0), sc, jnp.int32(0))
-        )
-        return out, count
+        return greedy_suppress(sel_box, off_box, sc, cls_id,
+                               max_det=max_det, iou_thres=iou_thres)
 
     return jax.vmap(one)(rows, scores)
