@@ -244,15 +244,34 @@ def nms_from_raw(
         st = jnp.full((ny, nx, na), float(strides[i]), jnp.float32)
         meta = jnp.stack([gx, gy, aw, ah, st], axis=-1)
         flat_meta.append(meta.reshape(ny * nx * na, 5))
-    rows = jnp.concatenate(flat_rows, axis=1)        # (B, N, no)
-    scores = jnp.concatenate(flat_scores, axis=1).astype(jnp.float32)
-    meta = jnp.concatenate(flat_meta, axis=0)        # (N, 5)
+    # scores stay in the compute dtype through top_k (ordering-only
+    # role). The selected rows re-decode in f32 below.
+    scores = jnp.concatenate(flat_scores, axis=1)    # (B, N)
+    meta = jnp.concatenate(flat_meta, axis=0)        # (N, 5) constants
+    n_total = scores.shape[1]
+    k = min(top_k, n_total)
+    _, top_idx = jax.lax.top_k(scores, k)            # (B, K)
 
-    def one(rows_b, scores_b):
-        k = min(top_k, scores_b.shape[0])
-        _, top_idx = jax.lax.top_k(scores_b, k)
-        sel = rows_b[top_idx].astype(jnp.float32)    # (k, no)
-        sm = meta[top_idx]
+    # Gather the selected rows PER LEVEL instead of concatenating all
+    # levels into one (B, N, no) tensor first: the concat materializes
+    # ~130 MB in HBM for w6@1088/b16 (measured ~0.3 ms/frame) only for
+    # a 2%-density gather. Each level contributes via a masked gather
+    # of just (B, K, no).
+    sel = jnp.zeros((b, k, no), raw_levels[0].dtype)
+    offset_n = 0
+    for i in range(nl):
+        rows_l = flat_rows[i]
+        n_l = rows_l.shape[1]
+        rel = top_idx - offset_n
+        in_level = (rel >= 0) & (rel < n_l)
+        rel_c = jnp.clip(rel, 0, n_l - 1)
+        got = jnp.take_along_axis(rows_l, rel_c[..., None], axis=1)
+        sel = jnp.where(in_level[..., None], got, sel)
+        offset_n += n_l
+
+    def one(sel_b, top_idx_b):
+        sel = sel_b.astype(jnp.float32)              # (k, no)
+        sm = meta[top_idx_b]
         y = jax.nn.sigmoid(sel)
         xy = (y[:, 0:2] * 2.0 - 0.5 + sm[:, 0:2]) * sm[:, 4:5]
         wh = (y[:, 2:4] * 2.0) ** 2 * sm[:, 2:4]
@@ -267,4 +286,4 @@ def nms_from_raw(
         return greedy_suppress(sel_box, off_box, sc, cls_id,
                                max_det=max_det, iou_thres=iou_thres)
 
-    return jax.vmap(one)(rows, scores)
+    return jax.vmap(one)(sel, top_idx)
