@@ -31,7 +31,10 @@ def _synthetic_gt(seed=0, T=60, n_obj=6, H=600, W=800):
 @pytest.mark.parametrize(
     "tracker",
     ["bytetrack", "sort", "botsort", "c_bioutracker", "uavmot", "deepsort",
-     "strongsort", "deepmot"],
+     "strongsort",
+     # deepmot's DHN compile is the slowest gate; its reference-code
+     # golden (test_reference_deepmot_golden) covers it in the slow lane
+     pytest.param("deepmot", marks=pytest.mark.slow)],
 )
 def test_perfect_detections_near_perfect_mot(tracker, tmp_path):
     import os

@@ -70,6 +70,8 @@ def run_oracle(stream, cls, with_feats, min_area=150.0, **kw):
     return results
 
 
+@pytest.mark.slow  # superseded in the fast lane by the reference-code
+# goldens (GMC on and off) + the perfect-detector gate
 @pytest.mark.parametrize("seed", [0, 1])
 def test_botsort_matches_oracle(seed):
     stream = synth_stream(seed)
@@ -81,8 +83,9 @@ def test_botsort_matches_oracle(seed):
     compare(got, want)
 
 
-@pytest.mark.parametrize(
-    "seed", [0, pytest.param(1, marks=pytest.mark.slow)])
+@pytest.mark.slow  # superseded in the fast lane by the reference-code
+# goldens + the perfect-detector gate
+@pytest.mark.parametrize("seed", [0, 1])
 def test_uavmot_matches_oracle(seed):
     stream = synth_stream(seed)
     cfg = TrackerConfig(tracker="uavmot", conf_thresh=0.5, capacity=64,

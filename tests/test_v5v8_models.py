@@ -41,7 +41,16 @@ EXPECTED_PARAMS = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(EXPECTED_PARAMS))
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the l/x variants take ~30 s of init each; n/s/m exercise the
+        # same builder code paths in the fast lane
+        pytest.param(n, marks=pytest.mark.slow)
+        if n[-1] in "lx" else n
+        for n in sorted(EXPECTED_PARAMS)
+    ],
+)
 def test_param_counts(name):
     spec = zoo.get_spec(name, nc=80)
     _, variables = yolo.build_model(spec, img_size=64)

@@ -135,16 +135,16 @@ def reorg(x):
     """Space-to-depth x4 (models/common.py:48-53), NHWC: channel order
     matches the reference's cat([::2,::2], [1::2,::2], [::2,1::2],
     [1::2,1::2]) with (h, w) = torch's (w?, h?) — torch comment uses
-    (b,c,w,h) but the op is symmetric in the two spatial dims."""
-    return jnp.concatenate(
-        [
-            x[:, ::2, ::2, :],
-            x[:, 1::2, ::2, :],
-            x[:, ::2, 1::2, :],
-            x[:, 1::2, 1::2, :],
-        ],
-        axis=-1,
-    )
+    (b,c,w,h) but the op is symmetric in the two spatial dims.
+
+    Implemented as one reshape/transpose instead of 4 strided slices +
+    concat: the slice form lowered to four separate layout-change
+    fusions costing ~0.6 ms/frame for w6@1088/b16 (profiled); output
+    channel (sw*2 + sh)*C + c == the reference's concat order."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)      # (n, H, sh, W, sw, c)
+    x = x.transpose(0, 1, 3, 4, 2, 5)              # (n, H, W, sw, sh, c)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
 class DownC(nn.Module):
