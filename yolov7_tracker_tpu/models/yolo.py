@@ -35,6 +35,26 @@ class YoloV7(nn.Module):
     fused: bool = False  # BN folded into conv (models/fuse.py)
 
     def setup(self):
+        # ReOrg -> Conv(k=3, s=1) stems fold into one 6x6/s2 conv on the
+        # raw image (blocks._ReOrgFoldedConv): find ReOrg layers whose
+        # ONLY consumer is the immediately-following eligible Conv (the
+        # w6/e6/d6/e6e stems). The ReOrg layer then passes its input
+        # through untouched in the forward loop.
+        folded_reorg = set()
+        fold_convs = set()
+        by_index = {l.index: l for l in self.spec.layers}
+        for l in self.spec.layers:
+            if l.kind != "ReOrg" or l.index in self.spec.save:
+                continue
+            nxt = by_index.get(l.index + 1)
+            if (nxt is not None and nxt.kind == "Conv"
+                    and tuple(nxt.frm) == (l.index,)
+                    and tuple(nxt.args[:3]) == (3, 1, 1)
+                    and (len(nxt.args) < 5 or nxt.args[4] is None)):
+                folded_reorg.add(l.index)
+                fold_convs.add(nxt.index)
+        self._folded_reorg = tuple(folded_reorg)
+
         mods = {}
         for l in self.spec.layers:
             if l.kind == "Conv":
@@ -42,6 +62,7 @@ class YoloV7(nn.Module):
                 p = l.args[4] if len(l.args) > 4 else None
                 mods[str(l.index)] = blocks.ConvBnAct(
                     l.c_out, k, s, g, act, fused=self.fused, p=p,
+                    reorg_fold=l.index in fold_convs,
                     name=f"layer{l.index}",
                 )
             elif l.kind == "RepConv":
@@ -230,7 +251,10 @@ class YoloV7(nn.Module):
             elif l.kind == "SP":
                 y = blocks.sp(inp, *l.args)
             elif l.kind == "ReOrg":
-                y = blocks.reorg(inp)
+                # folded stems pass the raw image straight to the
+                # 6x6/s2 folded conv (see setup)
+                y = inp if l.index in self._folded_reorg \
+                    else blocks.reorg(inp)
             elif l.kind == "Upsample":
                 y = blocks.upsample_nearest(inp, l.args[0])
             elif l.kind == "Contract":
