@@ -71,8 +71,11 @@ def build_pipeline(model, img, batch):
         params[k] = v
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
 
+    # BENCH_QUANT=int8 serves the detector W8A8 (models/quant.py;
+    # synthetic calibration — a perf measurement, not an accuracy claim)
+    quant = os.environ.get("BENCH_QUANT", "none")
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
-                          detector_batch=batch)
+                          detector_batch=batch, quant=quant)
     # det_capacity defaults to the CLI parity value (300 = NMS max_det,
     # cli/track.py) so the benchmarked association problem is the
     # semantics-faithful one; BENCH_DET_CAP=64 reproduces the lighter
@@ -341,6 +344,7 @@ def main():
                 else None),
             "n_parallel_seqs": nseq,
             "batch": batch,
+            "quant": os.environ.get("BENCH_QUANT", "none"),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -19,6 +19,13 @@ from flax import linen as nn
 BN_EPS = 1e-5
 BN_MOM = 0.9  # flax momentum = 1 - torch momentum (0.1)
 
+# fused-flag sentinel: fused="int8" selects the W8A8 post-training
+# quantized serving form (models/quant.py). The string is truthy, so
+# every composite block that forwards ``fused=self.fused`` to its inner
+# ConvBnAct/RepConv propagates the mode automatically, while plain
+# ``fused=True`` call sites are unaffected (True == INT8 is False).
+INT8 = "int8"
+
 
 def activation(name: str) -> Callable:
     """Activation registry (reference utils/activations.py:9-65 set:
@@ -80,6 +87,77 @@ class _ReOrgFoldedConv(nn.Module):
         return y
 
 
+class _QuantConv(nn.Module):
+    """W8A8 static-PTQ conv (no reference counterpart — the reference
+    serves fp16; this is a TPU-native lever: the v5e MXU runs int8
+    MACs at 2x the bf16 rate).
+
+    Params (produced by models/quant.quantize_variables):
+      kernel  int8 HWIO, per-output-channel symmetric
+      w_scale f32 (c2,)   weight dequant scale (absmax/127 per channel)
+      a_scale f32 ()      static per-tensor input scale from calibration
+      bias    f32 (c2,)   the fused conv bias, applied after dequant
+
+    Forward: quantize the bf16 input (round/clip — fuses into the
+    producing op), int8xint8->int32 conv on the MXU, dequant
+    ``int32 * (w_scale*a_scale) + bias`` in f32 (fuses into the
+    following activation), cast back to the network compute dtype.
+    reorg_fold reuses _ReOrgFoldedConv's kernel reshape on the int8
+    kernel (pure relabeling, exact)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    p: Optional[int] = None
+    reorg_fold: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c1 = x.shape[-1]
+        if self.reorg_fold:
+            kshape = (3, 3, 4 * c1, self.c2)
+        else:
+            kshape = (self.k, self.k, c1 // self.g, self.c2)
+        kernel = self.param(
+            "kernel", nn.initializers.zeros, kshape, jnp.int8
+        )
+        w_scale = self.param(
+            "w_scale", nn.initializers.ones, (self.c2,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.c2,), jnp.float32
+        )
+        a_scale = self.param(
+            "a_scale", nn.initializers.ones, (), jnp.float32
+        )
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+        ).astype(jnp.int8)
+        if self.reorg_fold:
+            k6 = (kernel
+                  .reshape(3, 3, 2, 2, c1, self.c2)
+                  .transpose(0, 3, 1, 2, 4, 5)
+                  .reshape(6, 6, c1, self.c2))
+            y = jax.lax.conv_general_dilated(
+                q, k6, window_strides=(2, 2),
+                padding=((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            pad = self.k // 2 if self.p is None else self.p
+            y = jax.lax.conv_general_dilated(
+                q, kernel, window_strides=(self.s, self.s),
+                padding=((pad, pad), (pad, pad)),
+                feature_group_count=self.g,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+        y = y.astype(jnp.float32) * (w_scale * a_scale) + bias
+        return y.astype(x.dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv (no bias, pad k//2 or explicit p) + BatchNorm + activation.
 
@@ -103,9 +181,15 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if self.fused == INT8:
+            x = _QuantConv(
+                self.c2, self.k, self.s, self.g, self.p,
+                reorg_fold=self.reorg_fold, name="conv",
+            )(x)
+            return activation(self.act)(x)
         if self.reorg_fold:
             x = _ReOrgFoldedConv(
-                self.c2, use_bias=self.fused, name="conv"
+                self.c2, use_bias=bool(self.fused), name="conv"
             )(x)
         else:
             x = nn.Conv(
@@ -138,6 +222,10 @@ class RepConv(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         c1 = x.shape[-1]
+        if self.fused == INT8:
+            out = _QuantConv(self.c2, 3, self.s, self.g,
+                             name="rbr_reparam")(x)
+            return activation(self.act)(out)
         if self.fused:
             out = nn.Conv(self.c2, (3, 3), strides=self.s, padding=1,
                           feature_group_count=self.g,

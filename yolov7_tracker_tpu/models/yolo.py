@@ -186,11 +186,15 @@ class YoloV7(nn.Module):
             head_ch = [spec.layers[x].c_out for x in spec.head_from]
             c2_ = max(16, head_ch[0] // 4, reg_max * 4)
             c3_ = max(head_ch[0], min(spec.nc, 100))
+            # head towers stay un-quantized under fused="int8" (heads
+            # keep full precision — standard PTQ practice; quant.py
+            # skips "head*" paths to match)
+            head_fused = bool(self.fused)
             self._v8_box = [
                 [
-                    blocks.ConvBnAct(c2_, 3, 1, fused=self.fused,
+                    blocks.ConvBnAct(c2_, 3, 1, fused=head_fused,
                                      name=f"head_cv2_{i}_0"),
-                    blocks.ConvBnAct(c2_, 3, 1, fused=self.fused,
+                    blocks.ConvBnAct(c2_, 3, 1, fused=head_fused,
                                      name=f"head_cv2_{i}_1"),
                     nn.Conv(4 * reg_max, (1, 1), use_bias=True,
                             name=f"head_cv2_{i}_2"),
@@ -199,9 +203,9 @@ class YoloV7(nn.Module):
             ]
             self._v8_cls = [
                 [
-                    blocks.ConvBnAct(c3_, 3, 1, fused=self.fused,
+                    blocks.ConvBnAct(c3_, 3, 1, fused=head_fused,
                                      name=f"head_cv3_{i}_0"),
-                    blocks.ConvBnAct(c3_, 3, 1, fused=self.fused,
+                    blocks.ConvBnAct(c3_, 3, 1, fused=head_fused,
                                      name=f"head_cv3_{i}_1"),
                     nn.Conv(spec.nc, (1, 1), use_bias=True,
                             name=f"head_cv3_{i}_2"),

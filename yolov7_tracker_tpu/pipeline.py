@@ -50,11 +50,15 @@ class PipelineConfig:
     gmc_method: str = "none"       # camera-motion comp: none | orb | ecc
     detect_per_frame: int = 1      # run the detector every k-th frame
                                    # (reference --detect_per_frame)
+    quant: str = "none"            # "none" | "int8": W8A8 static-PTQ
+                                   # serving (models/quant.py; v5e int8
+                                   # MXU = 2x bf16 MAC rate). Heads stay
+                                   # in the compute dtype.
 
 
 class TrackingPipeline:
     def __init__(self, pcfg: PipelineConfig, tcfg: S.TrackerConfig,
-                 variables=None, spec=None):
+                 variables=None, spec=None, quant_calib=None):
         self.pcfg = pcfg
         self.spec = spec or zoo.get_spec(pcfg.model, nc=pcfg.nc)
         if variables is None:
@@ -63,8 +67,26 @@ class TrackingPipeline:
             from .models.fuse import fuse_variables
 
             variables = fuse_variables(variables)
-        self.model = yolo.YoloV7(self.spec, fused=pcfg.fuse)
-        if pcfg.dtype == "bfloat16":
+        if pcfg.quant == "int8":
+            if not pcfg.fuse:
+                raise ValueError("quant='int8' requires fuse=True")
+            from .models import quant as quant_mod
+
+            # quant_calib: list of (B, H, W, 3) float[0,1] calibration
+            # images; default synthetic (performance mode — see
+            # models/quant.py docstring)
+            variables = quant_mod.quantize_variables(
+                self.spec, variables, calib_batches=quant_calib
+            )
+            self.model = yolo.YoloV7(self.spec, fused="int8")
+        else:
+            self.model = yolo.YoloV7(self.spec, fused=pcfg.fuse)
+        if pcfg.quant == "int8":
+            # int8 kernels + f32 scales stay as produced: the dequant
+            # multiply runs in f32 regardless, and bf16-rounding the
+            # scales would only add error
+            pass
+        elif pcfg.dtype == "bfloat16":
             # one jitted cast — eager per-leaf casts pay dispatch latency
             # per parameter on remote-attached devices
             cast = jax.jit(
