@@ -349,3 +349,44 @@ def test_evaluate_cli_robmots_end_to_end(tmp_path):
         np.testing.assert_allclose(summary[cls]["MOTA"],
                                    float(want_c["MOTA"]),
                                    atol=1e-9, err_msg=f"{cls} MOTA")
+
+
+@pytest.mark.slow  # separate int8 compile of the tiny detector
+def test_track_cli_quant_int8(mot_dataset, tmp_path):
+    """--quant int8 serves the W8A8 detector (models/quant.py) with
+    activation scales calibrated on the first sequence's real frames;
+    the full track -> txt -> TrackEval plumbing must still run."""
+    root, seq_info = mot_dataset
+    cfg = {
+        "DATASET_ROOT": root,
+        "CATEGORY_NAMES": ["pedestrian"],
+        "CATEGORY_DICT": {0: "pedestrian"},
+        "CERTAIN_SEQS": [],
+        "IGNORE_SEQS": [],
+        "TRACK_EVAL": None,
+    }
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    with open(cfg_dir / "synth.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from yolov7_tracker_tpu.cli import track
+
+    folder = track.main([
+        "--dataset", "synth",
+        "--config_dir", str(cfg_dir),
+        "--tracker", "bytetrack",
+        "--model", "yolov7-tiny",
+        "--nc", "1",
+        "--img_size", "160",
+        "--split", "train",
+        "--quant", "int8",
+        "--track_eval", "false",
+        "--conf_thresh", "0.5",
+        "--capacity", "32",
+        "--det_capacity", "16",
+        "--detector_batch", "4",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    for seq in seq_info:
+        assert os.path.isfile(os.path.join(folder, seq + ".txt"))

@@ -57,6 +57,11 @@ def parse_args(argv=None):
                    help="camera-motion compensation: orb | ecc "
                         "(defaults: botsort=orb, strongsort=ecc)")
     p.add_argument("--detect_per_frame", type=int, default=1)
+    p.add_argument("--quant", type=str, default="none",
+                   choices=("none", "int8"),
+                   help="int8: W8A8 static-PTQ detector serving "
+                        "(models/quant.py; calibrates on the first "
+                        "frames of the first sequence)")
     p.add_argument("--capacity", type=int, default=256)
     # >= the NMS max_det (300) so ByteTrack's low-score second stage never
     # silently loses detections in crowded scenes (the reference is uncapped)
@@ -111,6 +116,7 @@ def main(argv=None):
         model=opts.model, nc=opts.nc, img_size=opts.img_size,
         conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,
         gmc_method=gmc, detect_per_frame=opts.detect_per_frame,
+        quant=opts.quant,
     )
     tcfg = TrackerConfig(
         tracker=opts.tracker, kalman_format=opts.kalman_format,
@@ -144,8 +150,6 @@ def main(argv=None):
             from ..utils import checkpoint
 
             variables = checkpoint.load_variables(opts.model_path)
-    pipe = TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec)
-
     data_root = cfgs.get("DATASET_ROOT", ".")
     ignore = [s for s in (cfgs.get("IGNORE_SEQS") or []) if s]
     certain = [s for s in (cfgs.get("CERTAIN_SEQS") or []) if s]
@@ -154,6 +158,30 @@ def main(argv=None):
         seqs=certain or None, ignore_seqs=ignore,
         split_txt=opts.split_txt or None,
     )
+
+    quant_calib = None
+    if opts.quant == "int8" and seqs:
+        # calibrate activation scales on real frames from the first
+        # sequence (falls back to models/quant.py's synthetic batches
+        # when no frames load)
+        import jax.numpy as jnp
+
+        frames = []
+        for batch, _ in seqmod.iter_frames(seqs[0], 1):
+            frames.append(batch[0])
+            if len(frames) >= 4:
+                break
+        if frames:
+            arr = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
+            arr = jax.image.resize(
+                arr,
+                (len(frames), opts.img_size, opts.img_size, 3),
+                method="bilinear",
+            )
+            quant_calib = [arr]
+
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec,
+                            quant_calib=quant_calib)
     folder = os.path.join(
         opts.output_dir, f"{opts.tracker}_{time.strftime('%Y%m%d_%H%M%S')}"
     )
