@@ -93,13 +93,14 @@ def discover_sequences(
 
 def iter_frames(spec: SequenceSpec, batch: int = 1) -> Iterator[Tuple[np.ndarray, List[int]]]:
     """Yield (uint8 BHWC batch, frame indices). Decoding is the only host
-    work; everything downstream is on device."""
-    import cv2
+    work; it runs ahead of the consumer on the native C++ worker pool
+    (native/frameloader.cpp — the analogue of the reference's DataLoader
+    workers, tracker/track.py:130) so decode overlaps device compute;
+    falls back to synchronous cv2 when the native lib can't build."""
+    from .. import native
 
     buf, idxs = [], []
-    for i, path in enumerate(spec.frame_paths):
-        img = cv2.imread(path)
-        assert img is not None, f"failed to read {path}"
+    for i, img in enumerate(native.FrameLoader(spec.frame_paths)):
         buf.append(img)
         idxs.append(i + 1)
         if len(buf) == batch:

@@ -89,3 +89,124 @@ def lapjv(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.ndarray]:
         return r2c, c2r
     lib.lapjv_cost_limit(n, m, cost, float(thresh), r2c, c2r)
     return r2c, c2r
+
+# ---------------------------------------------------------------------------
+# frameloader: multithreaded decode + prefetch (frameloader.cpp)
+# ---------------------------------------------------------------------------
+
+_FL_SO = os.path.join(_HERE, "frameloader_c.bin")
+_FL_LIB = None
+_FL_FAILED = False
+
+
+def _fl_load() -> Optional[ctypes.CDLL]:
+    global _FL_LIB, _FL_FAILED
+    if _FL_LIB is not None or _FL_FAILED:
+        return _FL_LIB
+    src = os.path.join(_HERE, "frameloader.cpp")
+    stale = (
+        not os.path.isfile(_FL_SO)
+        or os.path.getmtime(_FL_SO) < os.path.getmtime(src)
+    )
+    if stale:
+        # system OpenCV (imgcodecs) provides the decoders; include dir
+        # is the distro's opencv4 layout
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-pthread",
+               "-I/usr/include/opencv4", "-o", _FL_SO, src,
+               "-lopencv_imgcodecs", "-lopencv_core"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except Exception:
+            _FL_FAILED = True
+            return None
+    try:
+        lib = ctypes.CDLL(_FL_SO)
+    except OSError:
+        _FL_FAILED = True
+        return None
+    lib.fl_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.fl_open.restype = ctypes.c_void_p
+    lib.fl_next.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.fl_next.restype = ctypes.c_int
+    lib.fl_close.argtypes = [ctypes.c_void_p]
+    lib.fl_close.restype = None
+    _FL_LIB = lib
+    return lib
+
+
+def frameloader_available() -> bool:
+    return _fl_load() is not None
+
+
+class FrameLoader:
+    """In-order multithreaded frame decoder (native frameloader.cpp).
+
+    Iterates BGR uint8 HWC arrays for a list of image paths — the same
+    contract as cv2.imread — with decode running ahead on a C++ worker
+    pool (the native analogue of the reference's DataLoader workers,
+    tracker/track.py:130). Use as a context manager or iterate once;
+    falls back to synchronous cv2 when the native lib is unavailable.
+    """
+
+    def __init__(self, paths, n_threads: int = 4, capacity: int = 8,
+                 max_hw: Tuple[int, int] = (2176, 4096)):
+        self.paths = list(paths)
+        self._lib = _fl_load()
+        self._h = None
+        self._max_bytes = max_hw[0] * max_hw[1] * 3
+        if self._lib is not None and self.paths:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths]
+            )
+            self._h = self._lib.fl_open(
+                arr, len(self.paths), int(n_threads), int(capacity)
+            )
+
+    def __iter__(self):
+        if self._h is None:  # cv2 fallback
+            import cv2
+
+            for p in self.paths:
+                img = cv2.imread(p)
+                assert img is not None, f"failed to read {p}"
+                yield img
+            return
+        buf = np.empty(self._max_bytes, np.uint8)
+        hw = np.zeros(2, np.int32)
+        consumed = 0
+        try:
+            while True:
+                rc = self._lib.fl_next(
+                    self._h, buf, self._max_bytes, hw
+                )
+                if rc == -1:
+                    return
+                if rc == -3:
+                    raise AssertionError(
+                        f"failed to read {self.paths[consumed]}"
+                    )
+                assert rc >= 0, f"frame buffer too small (rc={rc})"
+                consumed += 1
+                h, w = int(hw[0]), int(hw[1])
+                yield buf[: h * w * 3].reshape(h, w, 3).copy()
+        finally:
+            self.close()
+
+    def close(self):
+        if self._h is not None:
+            self._lib.fl_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
