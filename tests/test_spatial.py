@@ -1,0 +1,39 @@
+"""Spatially-partitioned inference: H-sharded forward == unsharded.
+
+The reference has no analogue (DDP data parallelism only,
+train.py:277-280); this validates the TPU-native low-latency mode where
+one frame's rows split across the mesh and GSPMD partitions the convs.
+Runs on the virtual 8-device CPU mesh (conftest).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov7_tracker_tpu.models import yolo, zoo
+from yolov7_tracker_tpu.parallel.mesh import data_mesh
+from yolov7_tracker_tpu.parallel.spatial import make_spatial_detector
+
+
+@pytest.mark.slow
+def test_spatial_forward_matches_unsharded():
+    spec = zoo.get_spec("yolov7-tiny", nc=4)
+    model, variables = yolo.build_model(
+        spec, rng=jax.random.PRNGKey(3), img_size=256, init="random"
+    )
+    rng = np.random.default_rng(0)
+    # H = 256 = 8 devices x stride 32: clean halo tiling
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32)
+
+    ref, _ = model.apply(variables, imgs, training=False)
+    ref = np.asarray(ref)
+
+    mesh = data_mesh(8)
+    forward, place = make_spatial_detector(model, mesh)
+    v_sh, imgs_sh = place(variables, imgs)
+    out = np.asarray(forward(v_sh, imgs_sh))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
