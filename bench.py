@@ -109,9 +109,11 @@ def main():
     model = os.environ.get("BENCH_MODEL", "yolov7-w6")
     img = int(os.environ.get("BENCH_IMG", "1088"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
-    # batch sweep on v5e (w6@1088, ms/frame): b12 5.03, b16 3.02,
-    # b20 3.42, b24 2.99, b32 3.77 — b16/b24 tie within noise; 16 kept
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch sweep on v5e (w6@1088, headline fps, best-of-passes, post
+    # ReOrg-fold): b16 327, b24 322, b32 341, b48 299 — the r2 sweep's
+    # b16/b24 tie moved to b32 once the fold removed the stem's layout
+    # copies (larger batches amortize the narrow E-ELAN convs better)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     src_hw = (1080, 1920)  # MOT17/VisDrone-like camera resolution
     n_batches = n_frames // batch
 
