@@ -64,7 +64,7 @@ def test_train_steps_and_checkpoint(tiny_dataset, tmp_path):
     mesh = data_mesh()
     n_dev = len(jax.devices())
     cfg = OptConfig(epochs=2, steps_per_epoch=2, batch_size=n_dev)
-    state = make_train_state(spec, img_size=96, opt_cfg=cfg)
+    state = make_train_state(spec, img_size=96, opt_cfg=cfg, mesh=mesh)
     step = make_train_step(spec, mesh, img_size=96, opt_cfg=cfg)
     ds = YoloDataset(tiny_dataset, img_size=96, max_labels=16, augment=False)
 
@@ -79,6 +79,15 @@ def test_train_steps_and_checkpoint(tiny_dataset, tmp_path):
             break
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == len(losses)
+    # the fresh state is committed to the mesh's replicated sharding
+    # (make_train_state(mesh=...)): without that, the SECOND call sees
+    # NamedSharding inputs where the first saw SingleDeviceSharding and
+    # jit silently retraces + recompiles the whole step (a duplicate
+    # multi-minute compile for w6-class models)
+    if hasattr(step, "_cache_size"):
+        assert step._cache_size() == 1, (
+            f"train step retraced: {step._cache_size()} traces"
+        )
 
     # variables roundtrip
     path = checkpoint.save_variables(

@@ -64,7 +64,7 @@ def main():
     spec = zoo.get_spec(args.model, nc=80)
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
     state = make_train_state(
-        spec, img_size=args.img, rng=jax.random.PRNGKey(0)
+        spec, img_size=args.img, rng=jax.random.PRNGKey(0), mesh=mesh
     )
     step = make_train_step(
         spec, mesh, img_size=args.img, compute_dtype="bfloat16",

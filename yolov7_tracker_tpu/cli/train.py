@@ -102,7 +102,8 @@ def main(argv=None):
 
         store = ArtifactStore(opts.artifacts)
 
-    state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg)
+    state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg,
+                             mesh=mesh)
     start_epoch = 0
     resume_ref = None
     if opts.resume:

@@ -182,13 +182,21 @@ def make_optimizer(cfg: OptConfig):
 
 def make_train_state(spec: ModelSpec, img_size: int = 640,
                      rng: Optional[jax.Array] = None,
-                     opt_cfg: OptConfig = OptConfig()) -> TrainState:
+                     opt_cfg: OptConfig = OptConfig(),
+                     mesh: Optional[Mesh] = None) -> TrainState:
+    """Pass the training `mesh` to commit the fresh state to the mesh's
+    replicated sharding up front. Without it the eagerly-created leaves
+    carry SingleDeviceSharding while the jitted step's outputs carry
+    NamedSharding(mesh, P()) — jit keys its dispatch cache on input
+    shardings, so the SECOND step silently retraces and recompiles the
+    entire program (measured: a full duplicate compile, minutes for
+    w6-class models; tests/test_train_smoke.py guards the trace count)."""
     model, variables = yolo.build_model(
         spec, rng=rng, img_size=img_size, init="random"
     )
     tx = make_optimizer(opt_cfg)
     accumulating = round(opt_cfg.nominal_batch / opt_cfg.batch_size) > 1
-    return TrainState(
+    state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
@@ -202,6 +210,9 @@ def make_train_state(spec: ModelSpec, img_size: int = 640,
         ),
         ema_count=jnp.int32(0),
     )
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return state
 
 
 def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
