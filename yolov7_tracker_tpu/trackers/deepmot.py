@@ -53,6 +53,8 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
                  dhn_variables=None, img_hw: Tuple[int, int] = (1080, 1920)):
     fmt = cfg.kalman_format
     slab = slab._replace(frame=slab.frame + 1)
+    # once per frame, before any key assignment (see _seq_base)
+    slab = S.rebase_seq_keys(slab)
 
     low_conf = max(0.15, cfg.conf_thresh - 0.3)
     high = dets.valid & (dets.score >= cfg.conf_thresh)

@@ -206,22 +206,40 @@ def unconfirmed_mask(slab: TrackSlab) -> jnp.ndarray:
 # reference list-order replication (deepsort/strongsort/uavmot only)
 # ---------------------------------------------------------------------------
 
-# cascade depth headroom for refind ordering: matching_cascade refinds
-# append in (time_since_update, pool position) order; tsu is bounded by
-# max_time_lost + 1 (default 31). 66 levels leaves margin for custom
-# track_buffer values while keeping frame * K inside int32 for ~200k
-# frames at default capacities.
-_SEQ_LEVELS = 66
+def rebase_seq_keys(slab: TrackSlab) -> TrackSlab:
+    """Compress ins_seq/lost_seq to their dense ranks (order-preserving,
+    values in [0, T)). Only the RELATIVE order of the keys matters
+    (pool_order_rank sorts them); rebasing once per frame before any
+    key assignment keeps every key < T + this frame's offsets, so the
+    keys never grow with the frame counter. Without this, frame-scaled
+    bases overflow int32 after ~125k frames at CLI-default capacities
+    (~70 min of 30 fps video) and silently corrupt the pool order the
+    misindexed-lost replication depends on."""
+
+    def rank(key):
+        t = key.shape[0]
+        order = jnp.argsort(key, stable=True)
+        return (
+            jnp.zeros((t,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(t, dtype=jnp.int32))
+        )
+
+    return slab._replace(
+        ins_seq=rank(slab.ins_seq), lost_seq=rank(slab.lost_seq)
+    )
 
 
-def _seq_base(slab: TrackSlab, det_capacity: int) -> jnp.ndarray:
-    """Per-frame base for ins_seq/lost_seq. Within a frame the offsets
-    are: births (< D, det-slot order), then refinds
+def _seq_base(slab: TrackSlab, det_capacity: int) -> int:
+    """Per-frame base for ins_seq/lost_seq: any constant larger than
+    every rebased key (rebase_seq_keys bounds them < capacity). Within a
+    frame the offsets are: births (< D, det-slot order), then refinds
     (D + level*T + pool position), matching the reference's append order
     (births enter tracked_stracks via joint(activated) before
-    joint(refind); cascade refinds order by level then row)."""
-    k = det_capacity + _SEQ_LEVELS * slab.capacity
-    return slab.frame * k
+    joint(refind); cascade refinds order by level then row). Trackers
+    that replicate list order MUST call rebase_seq_keys once per step
+    before the first assignment."""
+    return slab.capacity
 
 
 def pool_order_rank(slab: TrackSlab, pmask: jnp.ndarray) -> jnp.ndarray:
@@ -383,8 +401,10 @@ def apply_matches(
         # refind list order: plain linear_assignment iterates matches by
         # ascending pool row (level 0); matching_cascade accumulates
         # matches level-by-level, i.e. ascending time_since_update then
-        # pool row (matching.py:244-266)
-        level = (jnp.clip(slab.time_since_update, 0, _SEQ_LEVELS - 2)
+        # pool row (matching.py:244-266). tsu at a refind is bounded by
+        # max_time_lost + 1 (prune_lost removes anything older), so the
+        # clip below never collapses distinct levels.
+        level = (jnp.clip(slab.time_since_update, 0, cfg.max_time_lost + 1)
                  if cascade_refind_order else 0)
         new_ins_seq = jnp.where(
             refind,

@@ -46,6 +46,8 @@ def strongsort_step(slab: S.TrackSlab, dets: S.DetSlab,
                     cfg: S.TrackerConfig):
     fmt = cfg.kalman_format  # forced 'strongsort' (NSA)
     slab = slab._replace(frame=slab.frame + 1)
+    # once per frame, before any key assignment (see _seq_base)
+    slab = S.rebase_seq_keys(slab)
     dmask = dets.valid & (dets.score > cfg.conf_thresh)
 
     pmask = S.pool_mask(slab)

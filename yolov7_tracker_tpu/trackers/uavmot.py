@@ -37,6 +37,8 @@ from .registry import register
 def uavmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig):
     fmt = cfg.kalman_format
     slab = slab._replace(frame=slab.frame + 1)
+    # once per frame, before any key assignment (see _seq_base)
+    slab = S.rebase_seq_keys(slab)
 
     low_conf = max(0.15, cfg.conf_thresh - 0.3)
     high = dets.valid & (dets.score >= cfg.conf_thresh)
