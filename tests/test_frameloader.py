@@ -87,3 +87,21 @@ def test_missing_file_raises(tmp_path):
 
     with pytest.raises(AssertionError, match="failed to read"):
         list(native.FrameLoader([str(tmp_path / "nope.png")]))
+
+
+def test_oversized_frame_grows_buffer(png_dir):
+    """A frame bigger than the initial staging buffer must be delivered
+    intact, not dropped or asserted on: fl_next leaves it in the ring
+    (rc=-2 + dims) and the iterator grows the buffer and retries."""
+    import cv2
+
+    from yolov7_tracker_tpu import native
+
+    fl = native.FrameLoader(png_dir, n_threads=2, capacity=2,
+                            max_hw=(8, 8))
+    with fl:
+        got = list(fl)
+    assert len(got) == len(png_dir)
+    for i, (p, g) in enumerate(zip(png_dir, got)):
+        assert int(g[0, 0, 0]) == i
+        np.testing.assert_array_equal(g, cv2.imread(p))

@@ -491,6 +491,14 @@ def test_train_cli_artifact_resume(tiny_dataset, tmp_path):
     kinds = {e["kind"] for e in events}
     assert {"dataset", "checkpoint"} <= kinds
 
+    # simulate a best-eval having happened in run1: resume must restore
+    # best_fitness (else the next eval re-points the '-best' aliases to
+    # a worse model) and carry it into the checkpoints it writes
+    ckpt_dir = store.resolve("tiny-ckpt:latest")
+    meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
+    meta["best_fitness"] = 0.7
+    json.dump(meta, open(os.path.join(ckpt_dir, "meta.json"), "w"))
+
     run2 = train_cli.main(common + [
         "--epochs", "2", "--resume", "artifact:tiny-ckpt:latest",
     ])
@@ -498,6 +506,10 @@ def test_train_cli_artifact_resume(tiny_dataset, tmp_path):
     assert len(v2) == 2
     newest = v2[-1]
     assert newest["metadata"]["epoch"] == 1  # resumed at epoch 1
+    run2_meta = json.load(open(os.path.join(
+        store.resolve(f"tiny-ckpt:{newest['digest'][:12]}"), "meta.json"
+    )))
+    assert run2_meta["best_fitness"] == 0.7
     # lineage: epoch-1 ckpt -> (dataset, epoch-0 ckpt)
     ref = f"tiny-ckpt:{newest['digest'][:12]}"
     chain = store.lineage(ref)

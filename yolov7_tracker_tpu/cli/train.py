@@ -11,6 +11,7 @@ one-cycle LR and grouped weight decay; EMA; orbax checkpoints
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -106,6 +107,7 @@ def main(argv=None):
                              mesh=mesh)
     start_epoch = 0
     resume_ref = None
+    resume_meta = {}
     if opts.resume:
         resume_path = opts.resume
         if opts.resume.startswith("artifact:"):
@@ -118,10 +120,9 @@ def main(argv=None):
         state = checkpoint.load_train_state(resume_path, state)
         meta_path = os.path.join(resume_path, "meta.json")
         if os.path.isfile(meta_path):
-            import json as _json
-
             with open(meta_path) as f:
-                start_epoch = int(_json.load(f).get("epoch", -1)) + 1
+                resume_meta = json.load(f)
+            start_epoch = int(resume_meta.get("epoch", -1)) + 1
 
     hyp = Hyp(**hyp_kw)
     step_fns = {}
@@ -146,7 +147,10 @@ def main(argv=None):
 
     scale_rng = _random.Random(0)
 
-    best_fitness = 0.0
+    # restore the best fitness seen so far, else a resumed run's first
+    # eval re-points the '-best' artifact aliases to a worse model
+    # (train.py:414-419 restores best_fitness from the ckpt the same way)
+    best_fitness = float(resume_meta.get("best_fitness", 0.0))
     run_dir = os.path.join(opts.ckpt_dir, time.strftime("%Y%m%d_%H%M%S"))
     os.makedirs(run_dir, exist_ok=True)
     from ..utils.logging import MetricsLogger
@@ -219,7 +223,8 @@ def main(argv=None):
         )
         ckpt_path = checkpoint.save_train_state(
             run_dir, state, int(state.step),
-            {"epoch": epoch, "loss": m["loss"]},
+            {"epoch": epoch, "loss": m["loss"],
+             "best_fitness": best_fitness},
         )
         if store is not None:
             parents = [r for r in (data_ref, last_ckpt_ref) if r]
@@ -251,6 +256,11 @@ def main(argv=None):
             print(f"  val: mAP50 {res['map50']:.4f} mAP {res['map']:.4f}")
             if fit > best_fitness:
                 best_fitness = fit
+                # this epoch's checkpoint was written pre-eval: refresh
+                # its meta so a resume from it keeps the new best
+                with open(os.path.join(ckpt_path, "meta.json"), "w") as f:
+                    json.dump({"epoch": epoch, "loss": m["loss"],
+                               "best_fitness": best_fitness}, f)
                 best_path = checkpoint.save_variables(
                     os.path.join(run_dir, "best.msgpack"),
                     {"params": state.ema_params,

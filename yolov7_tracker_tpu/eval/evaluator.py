@@ -170,13 +170,14 @@ def evaluate_benchmark(
             gt_loc_format.format(gt_folder=gt_folder, seq=seq),
             result_loc_format.format(results_folder=results_folder,
                                      seq=seq),
-            norm(v)[0],
+            length,
             benchmark,
             classes,
             metric_names,
-            norm(v)[1],
+            meta,
         )
         for seq, v in seqs.items()
+        for length, meta in (norm(v),)
     ]
     # per-sequence error capture (trackeval eval.py:191-209: log and
     # continue rather than aborting the whole run)

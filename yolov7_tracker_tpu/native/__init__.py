@@ -158,6 +158,9 @@ class FrameLoader:
 
     def __init__(self, paths, n_threads: int = 4, capacity: int = 8,
                  max_hw: Tuple[int, int] = (2176, 4096)):
+        # max_hw only sizes the INITIAL staging buffer; larger frames
+        # grow it on demand (fl_next leaves an oversized frame in the
+        # ring and reports its dims, so nothing is dropped)
         self.paths = list(paths)
         self._lib = _fl_load()
         self._h = None
@@ -187,18 +190,33 @@ class FrameLoader:
                 rc = self._lib.fl_next(
                     self._h, buf, self._max_bytes, hw
                 )
+                if rc == -2:
+                    # frame larger than the staging buffer: it is still
+                    # in the ring; grow to its reported size and retry
+                    self._max_bytes = int(hw[0]) * int(hw[1]) * 3
+                    buf = np.empty(self._max_bytes, np.uint8)
+                    rc = self._lib.fl_next(
+                        self._h, buf, self._max_bytes, hw
+                    )
                 if rc == -1:
                     return
                 if rc == -3:
                     raise AssertionError(
                         f"failed to read {self.paths[consumed]}"
                     )
-                assert rc >= 0, f"frame buffer too small (rc={rc})"
+                assert rc >= 0, f"frameloader rc={rc}"
                 consumed += 1
                 h, w = int(hw[0]), int(hw[1])
                 yield buf[: h * w * 3].reshape(h, w, 3).copy()
         finally:
             self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def close(self):
         if self._h is not None:

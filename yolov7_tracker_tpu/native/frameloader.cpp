@@ -15,7 +15,9 @@
 //   void* fl_open(const char** paths, int n, int n_threads, int cap)
 //   int   fl_next(void* h, unsigned char* out, long out_bytes, int* hw)
 //         -> frame index (0-based), or -1 end-of-stream,
-//            -2 caller buffer too small, -3 decode failure
+//            -2 caller buffer too small (frame NOT consumed: hw reports
+//               the frame's height/width so the caller can grow the
+//               buffer and call again), -3 decode failure
 //   void  fl_close(void* h)
 //
 // fl_next delivers frames strictly in path order regardless of which
@@ -98,6 +100,15 @@ int fl_next(void* h, unsigned char* out, long out_bytes, int* hw) {
     if (idx >= n) return -1;
     Slot& s = L->slots[idx % L->cap];
     L->cv_ready.wait(lk, [&] { return s.ready; });
+    if (!s.failed) {
+      // size check BEFORE consuming: on a too-small buffer the frame
+      // stays in the ring so the caller can grow and retry
+      hw[0] = s.mat.rows;
+      hw[1] = s.mat.cols;
+      const long need = static_cast<long>(s.mat.rows) * s.mat.cols *
+                        s.mat.channels();
+      if (need > out_bytes) return -2;
+    }
     const bool failed = s.failed;
     m = std::move(s.mat);
     s.ready = false;
@@ -106,10 +117,7 @@ int fl_next(void* h, unsigned char* out, long out_bytes, int* hw) {
     L->cv_free.notify_all();
     if (failed) return -3;
   }
-  hw[0] = m.rows;
-  hw[1] = m.cols;
   const long bytes = static_cast<long>(m.rows) * m.cols * m.channels();
-  if (bytes > out_bytes) return -2;
   if (m.isContinuous()) {
     std::memcpy(out, m.data, bytes);
   } else {

@@ -81,12 +81,10 @@ class TrackingPipeline:
             self.model = yolo.YoloV7(self.spec, fused="int8")
         else:
             self.model = yolo.YoloV7(self.spec, fused=pcfg.fuse)
-        if pcfg.quant == "int8":
-            # int8 kernels + f32 scales stay as produced: the dequant
-            # multiply runs in f32 regardless, and bf16-rounding the
-            # scales would only add error
-            pass
-        elif pcfg.dtype == "bfloat16":
+        # int8 variables stay as produced (int8 kernels + f32 scales:
+        # the dequant multiply runs in f32 regardless, and bf16-rounding
+        # the scales would only add error); otherwise cast to bf16
+        if pcfg.quant != "int8" and pcfg.dtype == "bfloat16":
             # one jitted cast — eager per-leaf casts pay dispatch latency
             # per parameter on remote-attached devices
             cast = jax.jit(
