@@ -77,6 +77,7 @@ def _run_with_frame_offset(stream, cfg, offset):
     return results
 
 
+@pytest.mark.slow  # two tracker-step compiles (~25s each on 1 core)
 @pytest.mark.parametrize("tracker", ["uavmot", "deepsort"])
 def test_ids_invariant_to_absolute_frame(tracker):
     kw = dict(conf_thresh=0.5, capacity=64, det_capacity=32)
