@@ -98,6 +98,8 @@ def test_track_cli_end_to_end(mot_dataset, tmp_path):
     assert os.path.isfile(os.path.join(folder, "pedestrian_summary.csv"))
 
 
+@pytest.mark.slow  # second full pipeline compile; the fast lane already
+# covers the CLI end-to-end with the zoo model path
 def test_track_cli_yaml_model(mot_dataset, tmp_path):
     """--model accepting a reference-format cfg yaml path (the
     track_yolov5/track_yolov8 'swap the detector' entry analogue)."""
