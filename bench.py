@@ -181,24 +181,37 @@ def main():
     # throughput (each pass is a full n_frames loop, not a cherry-picked
     # slice). Per-pass numbers go to stderr.
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    compute_time = float("inf")
-    for rep in range(reps):
-        slab = pipe.init_tracker()
-        results = []
-        t0 = time.time()
-        prev = None
-        for _ in range(n_batches):
-            slab, outs = pipe.process_batch(slab, dev_frames, warps)
-            packed = pipe.pack_output(outs)  # 5 leaves -> one D2H xfer
-            packed.copy_to_host_async()      # overlaps next batch
-            if prev is not None:
-                results.extend(emit(pipe.unpack_output(np.asarray(prev))))
-            prev = packed
-        results.extend(emit(pipe.unpack_output(np.asarray(prev))))
-        dt = time.time() - t0
-        log(f"headline pass {rep + 1}/{reps}: {n_frames / dt:.2f} fps")
-        compute_time = min(compute_time, dt)
-        assert len(results) == n_frames
+
+    def timed_best_of(label, init_fn, step_fn):
+        """Best wall-clock of `reps` full passes over n_batches: per
+        batch one fused device step + packed async D2H (one transfer
+        for all 5 output leaves, overlapping the next batch) + the
+        reference's python result emit, state chained across batches."""
+        best = float("inf")
+        for rep in range(reps):
+            state = init_fn()
+            results = []
+            t0 = time.time()
+            prev = None
+            for _ in range(n_batches):
+                state, outs = step_fn(state)
+                packed = pipe.pack_output(outs)
+                packed.copy_to_host_async()
+                if prev is not None:
+                    results.extend(
+                        emit(pipe.unpack_output(np.asarray(prev))))
+                prev = packed
+            results.extend(emit(pipe.unpack_output(np.asarray(prev))))
+            dt = time.time() - t0
+            log(f"{label} pass {rep + 1}/{reps}: {n_frames / dt:.2f} fps")
+            best = min(best, dt)
+            assert len(results) == n_frames
+        return best
+
+    compute_time = timed_best_of(
+        "headline", pipe.init_tracker,
+        lambda s: pipe.process_batch(s, dev_frames, warps),
+    )
     compute_fps = n_frames / compute_time
 
     # ---- timed 2: host-inclusive pipeline (tunnel H2D and all) ---------
@@ -261,26 +274,11 @@ def main():
     n_streams = batch
     slabs = pipe.init_multistream(n_streams)
     slabs, outs = pipe.process_multistream(slabs, dev_frames)
-    jax.block_until_ready(outs.valid)
-    ms_time = float("inf")
-    for rep in range(reps):
-        slabs = pipe.init_multistream(n_streams)
-        results_ms = []
-        t0 = time.time()
-        prev = None
-        for _ in range(n_batches):
-            slabs, outs = pipe.process_multistream(slabs, dev_frames)
-            packed = pipe.pack_output(outs)
-            packed.copy_to_host_async()
-            if prev is not None:
-                results_ms.extend(
-                    emit(pipe.unpack_output(np.asarray(prev))))
-            prev = packed
-        results_ms.extend(emit(pipe.unpack_output(np.asarray(prev))))
-        dt = time.time() - t0
-        log(f"multistream pass {rep + 1}/{reps}: {n_frames / dt:.2f} fps")
-        ms_time = min(ms_time, dt)
-        assert len(results_ms) == n_frames
+    jax.block_until_ready(outs.valid)  # compile before timing
+    ms_time = timed_best_of(
+        "multistream", lambda: pipe.init_multistream(n_streams),
+        lambda s: pipe.process_multistream(s, dev_frames),
+    )
     multistream_fps = n_frames / ms_time
 
     # ---- detail timings -------------------------------------------------
