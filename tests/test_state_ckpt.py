@@ -1,0 +1,131 @@
+"""Mid-sequence tracker state checkpointing (save_slab/load_slab).
+
+The reference cannot resume a stream: tracker state is a web of STrack
+objects plus the process-global id counter (basetrack.py:22,43-46) and
+resets per sequence (track.py:132). The slab pytree round-trips through
+one npz, so a long-running stream survives a process restart with ids,
+Kalman state and frame numbering continuing bit-exactly.
+"""
+
+import numpy as np
+import pytest
+
+from yolov7_tracker_tpu.trackers import TrackerConfig, build_tracker, init_slab
+from yolov7_tracker_tpu.trackers import slab as S
+
+from tests.test_trackers_golden import run_slab_tracker, synth_stream
+
+
+def _run_steps(step, cfg, slab, stream):
+    """Per-frame step over a det stream, returning (results, final slab)
+    in the same {id: (tlwh, score)} per-frame form as run_slab_tracker."""
+    results = []
+    for dets in stream:
+        det_slab = S.make_det_slab(
+            cfg, dets[:, :4], dets[:, 4], dets[:, 5],
+            np.ones(len(dets), bool),
+        )
+        slab, out = step(slab, det_slab)
+        ids = np.asarray(out.track_id)
+        valid = np.asarray(out.valid)
+        tlwh = np.asarray(out.tlwh)
+        score = np.asarray(out.score)
+        results.append({
+            int(ids[i]): (tlwh[i], float(score[i]))
+            for i in range(len(ids)) if valid[i]
+        })
+    return results, slab
+
+
+def test_slab_roundtrip_exact(tmp_path):
+    cfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                        capacity=64, det_capacity=32)
+    step, cfg = build_tracker(cfg)
+    slab = init_slab(cfg)
+    _, slab = _run_steps(step, cfg, slab, synth_stream(0, frames=15))
+
+    path = str(tmp_path / "state.npz")
+    S.save_slab(path, slab, cfg)
+    back = S.load_slab(path, cfg)
+    for field, a, b in zip(slab._fields, slab, back):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=field)
+
+
+@pytest.mark.parametrize("tracker,fmt", [
+    ("bytetrack", "default"),
+    ("sort", "naive"),
+    ("c_bioutracker", "default"),
+])
+def test_checkpoint_resume_matches_uninterrupted(tmp_path, tracker, fmt):
+    """save at frame 20 + restore in a FRESH tracker build == one
+    uninterrupted 40-frame run: identical ids, boxes, scores."""
+    cfg = TrackerConfig(tracker=tracker, kalman_format=fmt,
+                        conf_thresh=0.5, capacity=64, det_capacity=32)
+    stream = synth_stream(7, frames=40)
+
+    want = run_slab_tracker(stream, cfg)
+
+    step, bcfg = build_tracker(cfg)
+    got1, slab = _run_steps(step, bcfg, init_slab(bcfg), stream[:20])
+    path = str(tmp_path / "state.npz")
+    S.save_slab(path, slab, bcfg)
+
+    # fresh build, as after a process restart
+    step2, bcfg2 = build_tracker(cfg)
+    resumed = S.load_slab(path, bcfg2)
+    assert int(np.asarray(resumed.frame)) == 20
+    got2, _ = _run_steps(step2, bcfg2, resumed, stream[20:])
+
+    got = got1 + got2
+    assert len(got) == len(want) == 40
+    for f, (g, w) in enumerate(zip(got, want)):
+        assert sorted(g) == sorted(w), f"frame {f}: ids diverge"
+        for tid in g:
+            np.testing.assert_allclose(
+                g[tid][0], w[tid][0], atol=1e-5,
+                err_msg=f"frame {f} id {tid}")
+
+
+def test_mismatched_config_rejected(tmp_path):
+    cfg = TrackerConfig(tracker="bytetrack", capacity=64, det_capacity=32)
+    _, cfg = build_tracker(cfg)
+    path = str(tmp_path / "state.npz")
+    S.save_slab(path, init_slab(cfg), cfg)
+
+    other = TrackerConfig(tracker="bytetrack", capacity=128,
+                          det_capacity=32)
+    _, other = build_tracker(other)
+    with pytest.raises(ValueError, match="different"):
+        S.load_slab(path, other)
+
+
+@pytest.mark.slow
+def test_demo_cli_state_resume(tmp_path):
+    """track_demo --state_ckpt / --resume_state: two half-runs over an
+    image dir emit the same frame numbering as one full run, and the
+    second half resumes the saved id counter."""
+    import cv2
+
+    from yolov7_tracker_tpu.cli import track_demo
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (8, 160, 240, 3), np.uint8)
+    d_all, d_a, d_b = (tmp_path / n for n in ("all", "a", "b"))
+    for d in (d_all, d_a, d_b):
+        d.mkdir()
+    for i, f in enumerate(frames):
+        cv2.imwrite(str(d_all / f"{i + 1:06d}.jpg"), f)
+        cv2.imwrite(str((d_a if i < 4 else d_b) / f"{i + 1:06d}.jpg"), f)
+
+    common = ["--model", "yolov7-tiny", "--nc", "1", "--img_size", "160",
+              "--save_dir", str(tmp_path / "out")]
+    state = str(tmp_path / "state.npz")
+    r_a = track_demo.main(
+        ["--obj", str(d_a), "--state_ckpt", state] + common)
+    assert (tmp_path / "state.npz").exists()
+    r_b = track_demo.main(
+        ["--obj", str(d_b), "--resume_state", state] + common)
+    # frame numbering continues across the restart
+    assert [fid for fid, *_ in r_a] == [1, 2, 3, 4]
+    assert [fid for fid, *_ in r_b] == [5, 6, 7, 8]

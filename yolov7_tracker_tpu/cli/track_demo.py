@@ -26,6 +26,16 @@ def parse_args(argv=None):
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--save_dir", type=str, default="./demo_result")
+    p.add_argument("--state_ckpt", type=str, default="",
+                   help="checkpoint tracker state to this npz (live "
+                        "streams: every --state_ckpt_every frames; "
+                        "always at end of input)")
+    p.add_argument("--state_ckpt_every", type=int, default=100)
+    p.add_argument("--resume_state", type=str, default="",
+                   help="resume tracker state from an npz written by "
+                        "--state_ckpt: track ids and frame numbering "
+                        "continue across the restart (the reference "
+                        "resets state per sequence, track.py:132)")
     return p.parse_args(argv)
 
 
@@ -54,9 +64,12 @@ def main(argv=None):
         # round trip/frame — the latency path), results emitted as we go
         src = seqmod.StreamFrames(opts.obj, max_frames=opts.max_frames)
         name = f"stream_{opts.obj.replace('://', '_').replace('/', '_')}"
-        slab = pipe.init_tracker()
-        results = []
         import numpy as np
+
+        slab = (pipe.load_tracker_state(opts.resume_state)
+                if opts.resume_state else pipe.init_tracker())
+        base = int(np.asarray(slab.frame))
+        results = []
 
         t0 = time.time()
         n = 0
@@ -64,13 +77,18 @@ def main(argv=None):
             slab, out = pipe.step_frame(slab, frame)
             valid = np.asarray(out.valid)
             results.append((
-                n + 1,
+                base + n + 1,
                 np.asarray(out.track_id)[valid].tolist(),
                 list(np.asarray(out.tlwh)[valid]),
                 np.asarray(out.cls)[valid].astype(int).tolist(),
             ))
             n += 1
+            if (opts.state_ckpt and opts.state_ckpt_every > 0
+                    and n % opts.state_ckpt_every == 0):
+                pipe.save_tracker_state(slab, opts.state_ckpt)
         src.release()
+        if opts.state_ckpt:
+            pipe.save_tracker_state(slab, opts.state_ckpt)
         dt = time.time() - t0
         print(f"{name}: {n} frames in {dt:.1f}s "
               f"({n/max(dt,1e-9):.1f} fps)")
@@ -98,7 +116,12 @@ def main(argv=None):
 
     frames = list(frames)
     t0 = time.time()
-    results = pipe.run_sequence(iter(frames))
+    init_slab = (pipe.load_tracker_state(opts.resume_state)
+                 if opts.resume_state else None)
+    results, final_slab = pipe.run_sequence_stateful(
+        iter(frames), initial_slab=init_slab)
+    if opts.state_ckpt:
+        pipe.save_tracker_state(final_slab, opts.state_ckpt)
     dt = time.time() - t0
     print(f"{name}: {len(frames)} frames in {dt:.1f}s "
           f"({len(frames)/max(dt,1e-9):.1f} fps)")

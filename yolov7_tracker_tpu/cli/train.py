@@ -31,8 +31,16 @@ def parse_args(argv=None):
     p.add_argument("--max_labels", type=int, default=128)
     p.add_argument("--ckpt_dir", type=str, default="./runs/train")
     p.add_argument("--resume", type=str, default="",
-                   help="checkpoint path, or artifact:<name>:<alias> to "
-                        "resume from the local artifact store")
+                   help="checkpoint path, artifact:<name>:<alias> to "
+                        "resume from the local artifact store, or "
+                        "'auto' to pick the newest checkpoint under "
+                        "--ckpt_dir (the utils/aws/resume.py analogue: "
+                        "relaunch-after-preemption needs no run-specific "
+                        "path)")
+    p.add_argument("--preempt_after", type=int, default=0,
+                   help="fault injection: simulate a preemption signal "
+                        "after N optimizer steps (tests the SIGTERM "
+                        "checkpoint-and-exit path deterministically)")
     p.add_argument("--artifacts", type=str, default="",
                    help="artifact-store root; enables dataset/checkpoint"
                         " artifact logging with lineage (local wandb "
@@ -57,10 +65,48 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _find_latest_ckpt(ckpt_dir: str):
+    """Newest step_* train-state dir under any run dir in ckpt_dir —
+    the `--resume auto` target after a preemption/restart."""
+    newest, newest_mtime = None, -1.0
+    for run in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else ():
+        run_path = os.path.join(ckpt_dir, run)
+        if not os.path.isdir(run_path):
+            continue
+        for d in os.listdir(run_path):
+            if not d.startswith("step_"):
+                continue
+            path = os.path.join(run_path, d)
+            m = os.path.getmtime(path)
+            if m > newest_mtime:
+                newest, newest_mtime = path, m
+    return newest
+
+
 def main(argv=None):
     opts = parse_args(argv)
     with open(opts.data) as f:
         data_cfg = yaml.safe_load(f)
+
+    # Preemption safety (failure recovery the reference lacks — its
+    # train.py dies on SIGTERM and utils/aws/resume.py restarts it from
+    # the last *epoch* checkpoint): on SIGTERM/SIGINT, finish the
+    # in-flight optimizer step, checkpoint mid-epoch, write
+    # preempted.json, and return cleanly — `--resume auto` then picks
+    # the checkpoint up, restarting the interrupted epoch.
+    import signal
+
+    stop = {"requested": False}
+
+    def _on_preempt(signum, frame):
+        stop["requested"] = True
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _on_preempt)
+        except ValueError:  # not in main thread (embedded use)
+            pass
 
     import jax
 
@@ -108,6 +154,14 @@ def main(argv=None):
     start_epoch = 0
     resume_ref = None
     resume_meta = {}
+    if opts.resume == "auto":
+        auto = _find_latest_ckpt(opts.ckpt_dir)
+        if auto is None:
+            print("--resume auto: no checkpoint found, starting fresh")
+            opts.resume = ""
+        else:
+            print(f"--resume auto: {auto}")
+            opts.resume = auto
     if opts.resume:
         resume_path = opts.resume
         if opts.resume.startswith("artifact:"):
@@ -213,6 +267,39 @@ def main(argv=None):
             )
             state, metrics = step_for(size)(state, *batch)
             losses.append(metrics)
+            if (opts.preempt_after
+                    and int(state.step) >= opts.preempt_after):
+                stop["requested"] = True  # injected fault
+            if stop["requested"]:
+                # preemption: checkpoint NOW (mid-epoch), mark the epoch
+                # interrupted (meta epoch-1 => --resume restarts it),
+                # and exit cleanly for the supervisor to relaunch with
+                # --resume auto
+                ckpt_path = checkpoint.save_train_state(
+                    run_dir, state, int(state.step),
+                    {"epoch": epoch - 1, "interrupted_epoch": epoch,
+                     "best_fitness": best_fitness, "preempted": True},
+                )
+                if store is not None:
+                    last_ckpt_ref = store.log_artifact(
+                        ckpt_path, f"{run_name}-ckpt", type="checkpoint",
+                        aliases=("latest",),
+                        metadata={"epoch": epoch, "preempted": True,
+                                  "step": int(state.step),
+                                  "run_dir": run_dir},
+                        parents=[r for r in (data_ref, last_ckpt_ref)
+                                 if r],
+                    )
+                with open(os.path.join(run_dir, "preempted.json"),
+                          "w") as f:
+                    json.dump({"epoch": epoch, "batch": bi,
+                               "step": int(state.step),
+                               "ckpt": ckpt_path}, f)
+                print(f"preempted at epoch {epoch} step {int(state.step)}"
+                      f": state saved to {ckpt_path}")
+                for sig, h in old_handlers.items():
+                    signal.signal(sig, h)
+                return run_dir
         m = {k: float(np.mean([float(x[k]) for x in losses]))
              for k in losses[0]}
         logger.log(int(state.step), m, prefix="train")
@@ -278,8 +365,18 @@ def main(argv=None):
         os.path.join(run_dir, "last.msgpack"),
         {"params": state.ema_params, "batch_stats": state.batch_stats},
     )
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
     return run_dir
 
 
 if __name__ == "__main__":
-    main()
+    run = main()
+    # EX_TEMPFAIL signals "relaunch me with --resume auto" to a
+    # supervisor loop (the utils/aws/resume.py role):
+    #   until python -m yolov7_tracker_tpu.cli.train ... --resume auto;
+    #   do sleep 5; done
+    import sys as _sys
+
+    if os.path.isfile(os.path.join(run, "preempted.json")):
+        _sys.exit(75)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Iterable, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +188,19 @@ class TrackingPipeline:
 
     def init_tracker(self) -> S.TrackSlab:
         return S.init_slab(self.tcfg)
+
+    def save_tracker_state(self, slab: S.TrackSlab, path: str) -> None:
+        """Checkpoint mid-sequence tracker state to ``path`` (npz). The
+        reference cannot resume a stream — its tracker state is Python
+        STrack objects plus a global id counter, reset per sequence
+        (track.py:132, basetrack.py:22) — while the slab pytree
+        round-trips bit-exactly (see trackers/slab.save_slab)."""
+        S.save_slab(path, slab, self.tcfg)
+
+    def load_tracker_state(self, path: str) -> S.TrackSlab:
+        """Resume tracker state saved by :meth:`save_tracker_state`;
+        raises ValueError on a config-incompatible checkpoint."""
+        return S.load_slab(path, self.tcfg)
 
     def dets_to_slab(self, boxes, score, cls, count):
         d = self.tcfg.det_capacity
@@ -481,9 +494,21 @@ class TrackingPipeline:
         camera warp rides in each DetSlab; with detect_per_frame=k > 1,
         skipped frames run the predict-only step
         (update_without_detection, basetrack.py:489)."""
-        slab = self.init_tracker()
+        results, _ = self.run_sequence_stateful(frames)
+        return results
+
+    def run_sequence_stateful(self, frames: Iterable[np.ndarray],
+                              initial_slab: Optional[S.TrackSlab] = None):
+        """:meth:`run_sequence` with explicit tracker state: resumes from
+        ``initial_slab`` (frame numbering continues from its frame
+        counter) and returns ``(results, final_slab)`` so callers can
+        checkpoint the state (save_tracker_state) and carry a stream
+        across process restarts — a capability the reference lacks
+        (state resets per sequence, track.py:132)."""
+        slab = initial_slab if initial_slab is not None \
+            else self.init_tracker()
         results = []
-        frame_id = 0
+        frame_id = int(np.asarray(slab.frame))
         batch = []
         warps = []
         k_det = max(1, self.pcfg.detect_per_frame)
@@ -533,4 +558,4 @@ class TrackingPipeline:
                 batch, warps = [], []
         if batch:
             slab, frame_id = flush(batch, warps, slab, frame_id)
-        return results
+        return results, slab

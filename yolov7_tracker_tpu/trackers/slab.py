@@ -581,3 +581,65 @@ def frame_output(slab: TrackSlab, fmt: str, cfg: TrackerConfig) -> FrameOutput:
         track_id=slab.track_id, tlwh=tlwh, score=slab.score,
         cls=slab.cls, valid=valid,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-sequence state checkpointing.
+#
+# The reference cannot do this: tracker state is a web of Python STrack
+# objects plus a process-global id counter (BaseTrack._count,
+# basetrack.py:22,43-46), and state simply resets per sequence
+# (track.py:132). The slab is a flat pytree of arrays, so a long-running
+# stream (RTSP serving, multi-hour sequences) checkpoints in one npz and
+# resumes bit-exactly after a restart or preemption.
+# ---------------------------------------------------------------------------
+
+# cfg fields that shape or interpret the slab arrays; a checkpoint from a
+# differently-configured tracker must not load silently.
+_STATE_FINGERPRINT_FIELDS = (
+    "tracker", "kalman_format", "capacity", "det_capacity",
+    "feature_dim", "feature_hist", "extra_dim",
+)
+
+
+def _state_fingerprint(cfg: TrackerConfig) -> str:
+    return ";".join(
+        f"{k}={getattr(cfg, k)}" for k in _STATE_FINGERPRINT_FIELDS
+    )
+
+
+def save_slab(path: str, slab: TrackSlab, cfg: TrackerConfig) -> None:
+    """Write tracker state to ``path`` (npz: one entry per slab field
+    plus the config fingerprint). Fetches to host — call between frames,
+    not inside jit."""
+    import numpy as np
+
+    arrays = {f: np.asarray(v) for f, v in zip(slab._fields, slab)}
+    arrays["_fingerprint"] = np.asarray(_state_fingerprint(cfg))
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    import os
+
+    os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
+
+
+def load_slab(path: str, cfg: TrackerConfig) -> TrackSlab:
+    """Load tracker state saved by :func:`save_slab`, validating that the
+    checkpoint was produced under a slab-compatible config."""
+    import numpy as np
+
+    with np.load(path) as z:
+        got = str(z["_fingerprint"])
+        want = _state_fingerprint(cfg)
+        if got != want:
+            raise ValueError(
+                f"tracker state {path} was saved under a different "
+                f"config:\n  saved:   {got}\n  current: {want}"
+            )
+        missing = [f for f in TrackSlab._fields if f not in z]
+        if missing:
+            raise ValueError(
+                f"tracker state {path} is missing fields {missing}"
+            )
+        return TrackSlab(**{f: jnp.asarray(z[f]) for f in TrackSlab._fields})
