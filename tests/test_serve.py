@@ -1,0 +1,81 @@
+"""Multi-stream serving CLI (cli/serve.py): S sources advance in
+lockstep through one fused device call per tick, with per-stream state
+checkpoints and auto-resume. No reference counterpart (track_demo.py
+serves one source at a time)."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("streams")
+    rng = np.random.default_rng(0)
+    dirs = []
+    for s in range(2):
+        d = root / f"cam{s}"
+        d.mkdir()
+        for i in range(8):
+            img = rng.integers(0, 255, (160, 240, 3), np.uint8)
+            cv2.imwrite(str(d / f"{i + 1:06d}.jpg"), img)
+        dirs.append(str(d))
+    return dirs
+
+
+def _common(tmp_path):
+    return ["--model", "yolov7-tiny", "--nc", "1", "--img_size", "160",
+            "--det_capacity", "16", "--capacity", "32",
+            "--save_dir", str(tmp_path / "out")]
+
+
+def test_serve_two_streams(stream_dirs, tmp_path):
+    from yolov7_tracker_tpu.cli import serve
+
+    results, preempted = serve.main(
+        ["--streams", *stream_dirs] + _common(tmp_path))
+    assert not preempted
+    assert len(results) == 2
+    for r in results:
+        assert [fid for fid, *_ in r] == list(range(1, 9))
+    # per-stream MOT txts written
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert len(outs) == 2 and all(o.endswith(".txt") for o in outs)
+
+
+def test_serve_state_resume(stream_dirs, tmp_path):
+    """--state_dir: a second invocation auto-resumes each stream's
+    tracker state, so frame numbering continues per stream."""
+    from yolov7_tracker_tpu.cli import serve
+
+    state = str(tmp_path / "state")
+    common = _common(tmp_path) + ["--state_dir", state,
+                                  "--state_ckpt_every", "2"]
+    r1, _ = serve.main(
+        ["--streams", *stream_dirs, "--max_frames", "4"] + common)
+    assert sorted(os.listdir(state)) == ["stream_00.npz", "stream_01.npz"]
+    r2, _ = serve.main(
+        ["--streams", *stream_dirs, "--max_frames", "4"] + common)
+    for r in r1:
+        assert [fid for fid, *_ in r] == [1, 2, 3, 4]
+    for r in r2:
+        assert [fid for fid, *_ in r] == [5, 6, 7, 8]
+
+
+def test_serve_mismatched_resolution(stream_dirs, tmp_path):
+    import cv2
+
+    from yolov7_tracker_tpu.cli import serve
+
+    odd = tmp_path / "odd"
+    odd.mkdir()
+    cv2.imwrite(str(odd / "000001.jpg"),
+                np.zeros((120, 200, 3), np.uint8))
+    with pytest.raises(SystemExit, match="resolution"):
+        serve.main(["--streams", stream_dirs[0], str(odd)]
+                   + _common(tmp_path))
