@@ -67,6 +67,39 @@ def test_serve_state_resume(stream_dirs, tmp_path):
         assert [fid for fid, *_ in r] == [5, 6, 7, 8]
 
 
+def test_serve_sigterm_checkpoints_and_flags(stream_dirs, tmp_path,
+                                             monkeypatch):
+    """SIGTERM mid-serve (raised deterministically while reading tick
+    3's frames) checkpoints every stream's state and returns
+    preempted=True (the CLI exits 75 for the supervisor loop)."""
+    import signal
+
+    from yolov7_tracker_tpu.cli import serve
+
+    orig = serve._open_source
+
+    def wrapped(obj, max_frames):
+        def gen():
+            for k, f in enumerate(orig(obj, max_frames)):
+                if k == 2 and obj == stream_dirs[0]:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield f
+        return gen()
+
+    monkeypatch.setattr(serve, "_open_source", wrapped)
+    state = str(tmp_path / "state_sig")
+    results, preempted = serve.main(
+        ["--streams", *stream_dirs, "--state_dir", state]
+        + _common(tmp_path))
+    assert preempted
+    # the tick that observed the signal still completed: 3 frames out
+    assert all(len(r) == 3 for r in results)
+    assert sorted(os.listdir(state)) == ["preempted.json",
+                                         "stream_00.npz",
+                                         "stream_01.npz"]
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_serve_mismatched_resolution(stream_dirs, tmp_path):
     import cv2
 

@@ -524,22 +524,39 @@ class TrackingPipeline:
                 )
             )
 
-        def flush(batch, warps, slab, frame_id):
+        # one batch of packed outputs stays in flight: its D2H transfer
+        # (started by copy_to_host_async) overlaps the NEXT batch's
+        # device compute and host-side frame prep — the same software
+        # pipeline the bench harness times, now on the CLI path
+        pending = []  # [(packed device array, n frames)]
+
+        def drain():
+            nonlocal frame_id
+            while pending:
+                packed, nb = pending.pop(0)
+                outs = self.unpack_output(np.asarray(packed))
+                for b in range(nb):
+                    frame_id += 1
+                    emit(jax.tree.map(lambda x: x[b], outs), frame_id)
+
+        def flush(batch, warps, slab):
             arr = np.stack(batch)
             wstack = jnp.asarray(np.stack(warps), jnp.float32)
             slab, outs = self.process_batch(slab, arr, wstack)
-            outs = self.unpack_output(self.pack_output(outs))
-            for b in range(arr.shape[0]):
-                frame_id += 1
-                emit(jax.tree.map(lambda x: x[b], outs), frame_id)
-            return slab, frame_id
+            packed = self.pack_output(outs)  # 5 leaves -> one transfer
+            packed.copy_to_host_async()
+            drain()  # previous batch: transfer already landed
+            pending.append((packed, arr.shape[0]))
+            return slab
 
         for i, f in enumerate(frames):
             if k_det > 1 and i % k_det != 0:
-                # predict-only frame; flush pending detections first
+                # predict-only frame; flush pending detections first to
+                # keep emit order by frame
                 if batch:
-                    slab, frame_id = flush(batch, warps, slab, frame_id)
+                    slab = flush(batch, warps, slab)
                     batch, warps = [], []
+                drain()
                 if self._predict_only is None:
                     from .trackers.registry import build_predict_only
 
@@ -554,8 +571,9 @@ class TrackingPipeline:
                 np.asarray(S.IDENTITY_WARP)
             )
             if len(batch) == self.pcfg.detector_batch:
-                slab, frame_id = flush(batch, warps, slab, frame_id)
+                slab = flush(batch, warps, slab)
                 batch, warps = [], []
         if batch:
-            slab, frame_id = flush(batch, warps, slab, frame_id)
+            slab = flush(batch, warps, slab)
+        drain()
         return results, slab
