@@ -54,8 +54,8 @@ def test_slab_roundtrip_exact(tmp_path):
 
 @pytest.mark.parametrize("tracker,fmt", [
     ("bytetrack", "default"),
-    ("sort", "naive"),
-    ("c_bioutracker", "default"),
+    pytest.param("sort", "naive", marks=pytest.mark.slow),
+    pytest.param("c_bioutracker", "default", marks=pytest.mark.slow),
 ])
 def test_checkpoint_resume_matches_uninterrupted(tmp_path, tracker, fmt):
     """save at frame 20 + restore in a FRESH tracker build == one
