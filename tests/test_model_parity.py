@@ -160,7 +160,13 @@ def test_param_count_matches_reference():
 @pytest.mark.parametrize(
     "cfg",
     ["yolov3.yaml", "yolov3-spp.yaml", "yolov4-csp.yaml",
-     "yolor-csp.yaml", "r50-csp.yaml", "x50-csp.yaml", "yolor-p6.yaml"],
+     "yolor-csp.yaml", "r50-csp.yaml", "x50-csp.yaml", "yolor-p6.yaml",
+     # the remaining 4 of the reference's 11 baseline cfgs (big models,
+     # slow lane)
+     pytest.param("yolor-csp-x.yaml", marks=pytest.mark.slow),
+     pytest.param("yolor-w6.yaml", marks=pytest.mark.slow),
+     pytest.param("yolor-e6.yaml", marks=pytest.mark.slow),
+     pytest.param("yolor-d6.yaml", marks=pytest.mark.slow)],
 )
 def test_baseline_cfg_forward_parity(cfg):
     """Baseline cfg zoo (cfg/baseline/*) built through the yaml DSL."""

@@ -50,6 +50,28 @@ def test_run_sequence_and_writer(pipe, tmp_path):
     assert os.path.isfile(path)
 
 
+def test_writer_append_and_last_frame(tmp_path):
+    """Append-mode results writing for resume-after-preemption: a
+    relaunch extends the txt past last_written_frame instead of
+    clobbering the rows the first run emitted."""
+    from yolov7_tracker_tpu.data import writer
+
+    box = np.array([10.0, 20.0, 30.0, 40.0])
+    first = [(1, [1], [box], [0]), (2, [1, 2], [box, box], [0, 0])]
+    writer.save_results(str(tmp_path), "seq", first)
+    assert writer.last_written_frame(str(tmp_path), "seq") == 2
+
+    second = [(3, [2], [box], [0])]
+    writer.save_results(str(tmp_path), "seq", second, append=True)
+    with open(tmp_path / "seq.txt") as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 4  # 1 + 2 + 1 rows, nothing clobbered
+    assert [int(ln.split(",")[0]) for ln in lines] == [1, 2, 2, 3]
+    assert writer.last_written_frame(str(tmp_path), "seq") == 3
+    # absent file: 0 (fresh start)
+    assert writer.last_written_frame(str(tmp_path), "nope") == 0
+
+
 def test_sharded_sequence_tracking():
     """8 sequences sharded over the 8-device CPU mesh."""
     from yolov7_tracker_tpu.parallel.mesh import data_mesh

@@ -92,6 +92,38 @@ def test_resume_auto_fresh_start(tiny_dataset, tmp_path):
     assert os.path.isfile(os.path.join(run, "last.msgpack"))
 
 
+def test_resume_auto_skips_incompatible_ckpts(tmp_path):
+    """--resume auto filters checkpoints by model/img/nc fingerprint: a
+    shared ckpt_dir holding another model's runs must not feed the
+    supervisor's `until ... --resume auto` loop an orbax tree mismatch
+    (which would crash-loop forever)."""
+    import time
+
+    from yolov7_tracker_tpu.cli.train import _find_latest_ckpt
+
+    def fake_ckpt(run, step, meta):
+        d = tmp_path / run / f"step_{step}"
+        d.mkdir(parents=True)
+        with open(d / "meta.json", "w") as f:
+            json.dump(meta, f)
+        return str(d)
+
+    want_fp = {"model": "yolov7-tiny", "img": 160, "nc": 1}
+    older = fake_ckpt("run_a", 10, {"epoch": 0, **want_fp})
+    time.sleep(0.01)
+    # newest by mtime, but from a different model config
+    fake_ckpt("run_b", 99,
+              {"epoch": 5, "model": "yolov7-w6", "img": 1088, "nc": 80})
+
+    assert _find_latest_ckpt(str(tmp_path), want_fp) == older
+    # no fingerprint: legacy behavior, newest wins
+    assert _find_latest_ckpt(str(tmp_path)).endswith("step_99")
+    # a legacy checkpoint without fingerprint keys stays eligible
+    time.sleep(0.01)
+    legacy = fake_ckpt("run_c", 120, {"epoch": 7})
+    assert _find_latest_ckpt(str(tmp_path), want_fp) == legacy
+
+
 def test_sigterm_checkpoints_and_exits(tiny_dataset, tmp_path):
     """A real SIGTERM mid-run lands in the installed handler and takes
     the same checkpoint-and-exit path as the injected fault."""

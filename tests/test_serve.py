@@ -50,7 +50,9 @@ def test_serve_two_streams(stream_dirs, tmp_path):
 
 def test_serve_state_resume(stream_dirs, tmp_path):
     """--state_dir: a second invocation auto-resumes each stream's
-    tracker state, so frame numbering continues per stream."""
+    tracker state, so frame numbering continues per stream — and the
+    relaunch APPENDS to the result txts instead of clobbering the rows
+    the first run wrote."""
     from yolov7_tracker_tpu.cli import serve
 
     state = str(tmp_path / "state")
@@ -59,12 +61,88 @@ def test_serve_state_resume(stream_dirs, tmp_path):
     r1, _ = serve.main(
         ["--streams", *stream_dirs, "--max_frames", "4"] + common)
     assert sorted(os.listdir(state)) == ["stream_00.npz", "stream_01.npz"]
+    # sentinel row standing in for the first run's output (the untrained
+    # detector tracks nothing on noise frames): the relaunch must APPEND
+    # past it, never clobber it
+    sentinel = "3,999,1.00,1.00,8.00,8.00,1.0,-1,-1,-1\n"
+    txts = sorted(os.listdir(tmp_path / "out"))
+    assert len(txts) == 2
+    with open(tmp_path / "out" / txts[0], "a") as f:
+        f.write(sentinel)
     r2, _ = serve.main(
         ["--streams", *stream_dirs, "--max_frames", "4"] + common)
     for r in r1:
         assert [fid for fid, *_ in r] == [1, 2, 3, 4]
     for r in r2:
         assert [fid for fid, *_ in r] == [5, 6, 7, 8]
+    with open(tmp_path / "out" / txts[0]) as f:
+        assert sentinel in f.read()
+
+
+def test_serve_reordered_streams_rejected(stream_dirs, tmp_path):
+    """State checkpoints are tagged with their source: resuming with a
+    swapped --streams order fails loudly instead of silently feeding
+    camera A's tracker state camera B's frames."""
+    import pytest
+
+    from yolov7_tracker_tpu.cli import serve
+
+    state = str(tmp_path / "state_swap")
+    common = _common(tmp_path) + ["--state_dir", state]
+    serve.main(
+        ["--streams", *stream_dirs, "--max_frames", "2"] + common)
+    with pytest.raises(ValueError, match="different stream"):
+        serve.main(
+            ["--streams", *reversed(stream_dirs), "--max_frames", "2"]
+            + common)
+
+
+def test_serve_dead_stream_state_frozen(stream_dirs, tmp_path):
+    """A stream that ends early must not keep advancing: its checkpoint
+    is frozen at its last real frame while other streams continue (the
+    fused call still steps every lane, but the dead lane's phantom
+    updates are never persisted or emitted)."""
+    import cv2
+
+    from yolov7_tracker_tpu.cli import serve
+
+    short = tmp_path / "short"
+    short.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        cv2.imwrite(str(short / f"{i + 1:06d}.jpg"),
+                    rng.integers(0, 255, (160, 240, 3), np.uint8))
+
+    state = str(tmp_path / "state_dead")
+    results, _ = serve.main(
+        ["--streams", str(short), stream_dirs[0], "--state_dir", state]
+        + _common(tmp_path))
+    assert [fid for fid, *_ in results[0]] == [1, 2, 3]
+    assert [fid for fid, *_ in results[1]] == list(range(1, 9))
+    with np.load(os.path.join(state, "stream_00.npz")) as z:
+        assert int(z["frame"]) == 3  # frozen at death, not dragged to 8
+    with np.load(os.path.join(state, "stream_01.npz")) as z:
+        assert int(z["frame"]) == 8
+
+
+def test_serve_skips_unreadable_frame(tmp_path):
+    """One truncated image in a camera dump must not end the stream:
+    the loader warns and skips it, and the remaining frames are
+    tracked."""
+    import cv2
+
+    from yolov7_tracker_tpu.cli import serve
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        cv2.imwrite(str(d / f"{i + 1:06d}.jpg"),
+                    rng.integers(0, 255, (160, 240, 3), np.uint8))
+    (d / "000003.jpg").write_bytes(b"not a jpeg")
+
+    results, _ = serve.main(["--streams", str(d)] + _common(tmp_path))
+    assert [fid for fid, *_ in results[0]] == [1, 2, 3, 4, 5]
 
 
 def test_serve_sigterm_checkpoints_and_flags(stream_dirs, tmp_path,

@@ -87,6 +87,75 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path, tracker, fmt):
                 err_msg=f"frame {f} id {tid}")
 
 
+def test_mismatched_stream_tag_rejected(tmp_path):
+    """A checkpoint tagged with its stream source refuses to resume as a
+    different stream — a reordered --streams list fails loudly instead
+    of silently swapping two cameras' tracker states."""
+    cfg = TrackerConfig(tracker="bytetrack", capacity=64, det_capacity=32)
+    _, cfg = build_tracker(cfg)
+    path = str(tmp_path / "state.npz")
+    S.save_slab(path, init_slab(cfg), cfg, tag="rtsp://cam/1")
+
+    S.load_slab(path, cfg, expect_tag="rtsp://cam/1")  # same stream: ok
+    with pytest.raises(ValueError, match="different stream"):
+        S.load_slab(path, cfg, expect_tag="rtsp://cam/2")
+    # an untagged legacy checkpoint also fails a tagged load
+    S.save_slab(path, init_slab(cfg), cfg)
+    with pytest.raises(ValueError, match="different stream"):
+        S.load_slab(path, cfg, expect_tag="rtsp://cam/2")
+
+
+def test_aux_arrays_roundtrip(tmp_path):
+    """Host-side aux state (e.g. GMC previous-frame arrays) rides along
+    in the same npz and round-trips exactly."""
+    cfg = TrackerConfig(tracker="bytetrack", capacity=64, det_capacity=32)
+    _, cfg = build_tracker(cfg)
+    path = str(tmp_path / "state.npz")
+    rng = np.random.default_rng(0)
+    aux = {"gmc_gray": rng.integers(0, 255, (60, 80), np.uint8),
+           "gmc_kp": rng.random((12, 2)).astype(np.float32)}
+    S.save_slab(path, init_slab(cfg), cfg, aux=aux)
+
+    _, back = S.load_slab(path, cfg, with_aux=True)
+    assert sorted(back) == sorted(aux)
+    for k in aux:
+        np.testing.assert_array_equal(back[k], aux[k])
+    # plain load still works and ignores aux
+    S.load_slab(path, cfg)
+
+
+def test_gmc_state_resume_matches_uninterrupted():
+    """GMC get_state/set_state: a resumed ECC estimator computes the
+    same prev->curr warp as an uninterrupted one (the slab checkpoint
+    alone can't — the warp depends on host-side previous-frame state,
+    botsort.py:78-109)."""
+    from yolov7_tracker_tpu.trackers.gmc import GMC
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    f1 = base
+    f2 = np.roll(base, (2, 3), axis=(0, 1))
+
+    g = GMC("ecc", downscale=1)
+    g.apply(f1)
+    st = g.get_state()
+    want = g.apply(f2)
+
+    g2 = GMC("ecc", downscale=1)
+    g2.set_state(st)
+    got = g2.apply(f2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # orb state (keypoints/descriptors) survives the same round trip
+    g3 = GMC("orb")
+    g3.apply(f1)
+    st3 = g3.get_state()
+    g4 = GMC("orb")
+    g4.set_state(st3)
+    for k in st3:
+        np.testing.assert_array_equal(g4.get_state()[k], st3[k])
+
+
 def test_mismatched_config_rejected(tmp_path):
     cfg = TrackerConfig(tracker="bytetrack", capacity=64, det_capacity=32)
     _, cfg = build_tracker(cfg)

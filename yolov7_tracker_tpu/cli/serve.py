@@ -7,13 +7,20 @@ bench.py measures as multistream fps.
 No reference counterpart: tracker/track_demo.py serves one source at a
 time and pays a host round trip per frame per camera; here S cameras
 cost one device call per tick, and the vmapped tracker amortizes the
-association solver's lockstep iterations ~S-fold.
+association solver's lockstep iterations ~S-fold. Result D2H keeps one
+packed batch in flight (copy_to_host_async) so the transfer overlaps
+the next tick's compute, like the sequence CLI path.
 
 Fault tolerance: per-stream tracker state checkpoints under
 --state_dir every --state_ckpt_every ticks; SIGTERM/SIGINT checkpoints
 every stream and exits 75 (EX_TEMPFAIL) so a supervisor relaunches the
 same command — existing state files auto-resume, with ids and frame
-numbering continuing per stream.
+numbering continuing per stream. Checkpoints are tagged with the
+stream's source string, so a reordered/edited --streams list fails
+loudly instead of resuming another camera's state. Results flush to the
+per-stream MOT txt incrementally (append mode), so a crash loses at
+most one checkpoint interval and a relaunch never clobbers rows already
+written.
 
     python -m yolov7_tracker_tpu.cli.serve \
         --streams rtsp://cam/1 rtsp://cam/2 rtsp://cam/3 \
@@ -26,6 +33,11 @@ from __future__ import annotations
 import argparse
 import os
 import time
+
+# in-memory result rows kept per stream for the API return value; disk
+# output is flushed incrementally and unaffected by this cap, which only
+# bounds memory over an indefinite serving run
+MAX_RETURN_ROWS = 100_000
 
 
 def parse_args(argv=None):
@@ -50,7 +62,8 @@ def parse_args(argv=None):
                    help="per-stream tracker-state checkpoints "
                         "(stream_<i>.npz); existing files auto-resume")
     p.add_argument("--state_ckpt_every", type=int, default=100,
-                   help="ticks between state checkpoints")
+                   help="ticks between state checkpoints (also the "
+                        "results flush cadence)")
     return p.parse_args(argv)
 
 
@@ -60,20 +73,27 @@ def _stream_name(i, obj):
     return f"{i:02d}_{safe}"
 
 
+def _is_live(obj):
+    """Webcam/RTSP sources cannot be replayed; files and dirs can."""
+    return obj.isdigit() or "://" in obj
+
+
 def _open_source(obj, max_frames):
     """Uniform frame iterator over the demo CLI's source kinds."""
     from ..data import sequence as seqmod
 
-    if obj.isdigit() or "://" in obj:
+    if _is_live(obj):
         return iter(seqmod.StreamFrames(obj, max_frames=max_frames))
     if os.path.isdir(obj):
-        import cv2
+        from .. import native
 
         paths = sorted(
             os.path.join(obj, f) for f in os.listdir(obj)
             if f.lower().endswith(seqmod.IMG_EXTS)
         )
-        return iter(cv2.imread(p) for p in paths)
+        # on_error="skip": one truncated camera dump must not silently
+        # end the stream (decode also prefetches on the C++ pool)
+        return iter(native.FrameLoader(paths, on_error="skip"))
     return iter(seqmod.VideoFrames(obj))
 
 
@@ -107,27 +127,36 @@ def main(argv=None):
     def state_path(i):
         return os.path.join(opts.state_dir, f"stream_{i:02d}.npz")
 
-    # per-stream slabs (auto-resume), stacked over the stream axis
+    # per-stream slabs (auto-resume), stacked over the stream axis;
+    # expect_tag pins each checkpoint to its source string
     per_stream = []
     for i in range(n):
         if opts.state_dir and os.path.isfile(state_path(i)):
-            per_stream.append(S.load_slab(state_path(i), pipe.tcfg))
+            per_stream.append(
+                S.load_slab(state_path(i), pipe.tcfg,
+                            expect_tag=opts.streams[i])
+            )
             print(f"stream {i}: resumed state from {state_path(i)}")
         else:
             per_stream.append(S.init_slab(pipe.tcfg))
     slabs = jax.tree.map(lambda *xs: np.stack(xs), *per_stream)
     bases = [int(np.asarray(s.frame)) for s in per_stream]
 
+    def snapshot(i, slabs):
+        return jax.tree.map(lambda x: np.asarray(x)[i], slabs)
+
+    # a finished/failed stream must not keep advancing: its state is
+    # frozen here at death and the frozen copy is what gets checkpointed
+    dead_state = {}
+
     def checkpoint_states(slabs):
         if not opts.state_dir:
             return
         os.makedirs(opts.state_dir, exist_ok=True)
         for i in range(n):
-            S.save_slab(
-                state_path(i),
-                jax.tree.map(lambda x: np.asarray(x)[i], slabs),
-                pipe.tcfg,
-            )
+            sl = dead_state[i] if i in dead_state else snapshot(i, slabs)
+            S.save_slab(state_path(i), sl, pipe.tcfg,
+                        tag=opts.streams[i])
 
     stop = {"requested": False}
 
@@ -141,68 +170,126 @@ def main(argv=None):
         except ValueError:
             pass
 
-    sources = [_open_source(s, opts.max_frames) for s in opts.streams]
     names = [_stream_name(i, s) for i, s in enumerate(opts.streams)]
-    results = [[] for _ in range(n)]
+    os.makedirs(opts.save_dir, exist_ok=True)
+    # frames already in the output txt (an interrupted run's rows):
+    # flushes append strictly beyond this, so relaunch never clobbers
+    # or duplicates
+    written_upto = [writer.last_written_frame(opts.save_dir, names[i])
+                    for i in range(n)]
+    results = [[] for _ in range(n)]   # API return value (capped)
+    pending = [[] for _ in range(n)]   # rows not yet flushed to disk
+    emitted = [0] * n                  # frames harvested this run
+
+    def flush_results():
+        for i in range(n):
+            rows = [r for r in pending[i] if r[0] > written_upto[i]]
+            if rows:
+                writer.save_results(opts.save_dir, names[i], rows,
+                                    append=True)
+                written_upto[i] = rows[-1][0]
+            pending[i].clear()
+
+    inflight = None  # (stepped flags, packed device array) — one tick
+
+    def harvest(item):
+        stepped, packed = item
+        host = pipe.unpack_output(np.asarray(packed))
+        for i in range(n):
+            if not stepped[i]:
+                continue
+            valid = np.asarray(host.valid[i])
+            emitted[i] += 1
+            row = (
+                bases[i] + emitted[i],
+                np.asarray(host.track_id[i])[valid].tolist(),
+                list(np.asarray(host.tlwh[i])[valid]),
+                np.asarray(host.cls[i])[valid].astype(int).tolist(),
+            )
+            pending[i].append(row)
+            if len(results[i]) < MAX_RETURN_ROWS:
+                results[i].append(row)
+
+    def drain():
+        nonlocal inflight
+        if inflight is not None:
+            harvest(inflight)
+            inflight = None
+
+    sources = [_open_source(s, opts.max_frames) for s in opts.streams]
+    # replayable sources resume at the checkpointed frame (a live
+    # stream resumes at its live point by nature)
+    for i, src in enumerate(sources):
+        if bases[i] > 0 and not _is_live(opts.streams[i]):
+            for _ in range(bases[i]):
+                if next(src, None) is None:
+                    break
+
     live = [True] * n
     last = [None] * n
     preempted = False
     t0 = time.time()
     tick = 0
-    while not stop["requested"]:
-        if opts.max_frames and tick >= opts.max_frames:
-            break
-        frames = []
-        for i, src in enumerate(sources):
-            f = next(src, None) if live[i] else None
-            if f is None:
-                live[i] = False
-                f = last[i]  # finished stream coasts on its last frame
-            else:
-                last[i] = f
-            frames.append(f)
-        if not any(live):
-            break
-        if any(f is None for f in frames):  # a source yielded nothing
-            raise SystemExit(
-                "empty stream(s): "
-                + ", ".join(opts.streams[i] for i, f in enumerate(frames)
-                            if f is None))
-        shapes = {f.shape for f in frames}
-        if len(shapes) != 1:
-            raise SystemExit(
-                f"streams must share one resolution, got {sorted(shapes)}")
-        slabs, outs = pipe.process_multistream(slabs, np.stack(frames))
-        host = pipe.unpack_output(np.asarray(pipe.pack_output(outs)))
-        tick += 1
-        for i in range(n):
-            if not live[i]:
-                continue
-            valid = np.asarray(host.valid[i])
-            results[i].append((
-                bases[i] + len(results[i]) + 1,
-                np.asarray(host.track_id[i])[valid].tolist(),
-                list(np.asarray(host.tlwh[i])[valid]),
-                np.asarray(host.cls[i])[valid].astype(int).tolist(),
-            ))
-        if (opts.state_dir and opts.state_ckpt_every > 0
-                and tick % opts.state_ckpt_every == 0):
-            checkpoint_states(slabs)
-    preempted = stop["requested"]
+    try:
+        while not stop["requested"]:
+            if opts.max_frames and tick >= opts.max_frames:
+                break
+            frames, stepped = [], []
+            for i, src in enumerate(sources):
+                f = next(src, None) if live[i] else None
+                if f is None and live[i]:
+                    live[i] = False
+                    dead_state[i] = snapshot(i, slabs)
+                if not live[i]:
+                    f = last[i]  # dead stream coasts on its last frame
+                else:
+                    last[i] = f
+                frames.append(f)
+                stepped.append(live[i])
+            if not any(live):
+                break
+            if any(f is None for f in frames):  # never yielded a frame
+                raise SystemExit(
+                    "empty stream(s): "
+                    + ", ".join(opts.streams[i]
+                                for i, f in enumerate(frames)
+                                if f is None))
+            shapes = {f.shape for f in frames}
+            if len(shapes) != 1:
+                raise SystemExit(
+                    "streams must share one resolution, got "
+                    f"{sorted(shapes)}")
+            slabs, outs = pipe.process_multistream(slabs,
+                                                   np.stack(frames))
+            packed = pipe.pack_output(outs)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            prev, inflight = inflight, (stepped, packed)
+            if prev is not None:
+                # previous tick's D2H completes while this tick computes
+                harvest(prev)
+            tick += 1
+            if (opts.state_ckpt_every > 0
+                    and tick % opts.state_ckpt_every == 0):
+                drain()
+                flush_results()
+                checkpoint_states(slabs)
+        preempted = stop["requested"]
 
-    checkpoint_states(slabs)
-    for sig, h in old.items():
-        signal.signal(sig, h)
+        drain()
+        flush_results()
+        checkpoint_states(slabs)
+    finally:
+        for sig, h in old.items():
+            signal.signal(sig, h)
 
     dt = time.time() - t0
-    total = sum(len(r) for r in results)
+    total = sum(emitted)
     print(f"served {n} streams, {tick} ticks, {total} frames in "
           f"{dt:.1f}s ({total / max(dt, 1e-9):.1f} fps aggregate)"
           + (" [preempted]" if preempted else ""))
-    os.makedirs(opts.save_dir, exist_ok=True)
-    for i in range(n):
-        if results[i]:
-            writer.save_results(opts.save_dir, names[i], results[i])
     if preempted and opts.state_dir:
         with open(os.path.join(opts.state_dir, "preempted.json"),
                   "w") as f:

@@ -39,6 +39,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _write_results(writer, opts, name, results):
+    """A resumed run (--resume_state) appends past the rows the
+    pre-preemption run already wrote, instead of clobbering the txt."""
+    os.makedirs(opts.save_dir, exist_ok=True)
+    append = bool(opts.resume_state)
+    rows = results
+    if append:
+        upto = writer.last_written_frame(opts.save_dir, name)
+        rows = [r for r in results if r[0] > upto]
+    writer.save_results(opts.save_dir, name, rows, append=append)
+
+
 def main(argv=None):
     opts = parse_args(argv)
     from ..data import sequence as seqmod
@@ -92,8 +104,7 @@ def main(argv=None):
         dt = time.time() - t0
         print(f"{name}: {n} frames in {dt:.1f}s "
               f"({n/max(dt,1e-9):.1f} fps)")
-        os.makedirs(opts.save_dir, exist_ok=True)
-        writer.save_results(opts.save_dir, name, results)
+        _write_results(writer, opts, name, results)
         return results
 
     if os.path.isdir(opts.obj):
@@ -125,8 +136,7 @@ def main(argv=None):
     dt = time.time() - t0
     print(f"{name}: {len(frames)} frames in {dt:.1f}s "
           f"({len(frames)/max(dt,1e-9):.1f} fps)")
-    os.makedirs(opts.save_dir, exist_ok=True)
-    writer.save_results(opts.save_dir, name, results)
+    _write_results(writer, opts, name, results)
     if opts.save_images or opts.save_videos:
         img_dir = os.path.join(opts.save_dir, name + "_imgs")
         for (fid, ids, tlwhs, _), frame in zip(results, frames):

@@ -65,10 +65,16 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _find_latest_ckpt(ckpt_dir: str):
+def _find_latest_ckpt(ckpt_dir: str, fingerprint=None):
     """Newest step_* train-state dir under any run dir in ckpt_dir —
-    the `--resume auto` target after a preemption/restart."""
+    the `--resume auto` target after a preemption/restart.
+
+    ``fingerprint`` (dict of model/img/nc) filters to compatible
+    checkpoints: a shared ckpt_dir may hold runs of other models, and
+    auto-resuming an incompatible one under a relaunch-supervisor loop
+    would crash-loop forever on the orbax tree mismatch."""
     newest, newest_mtime = None, -1.0
+    skipped = 0
     for run in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else ():
         run_path = os.path.join(ckpt_dir, run)
         if not os.path.isdir(run_path):
@@ -77,9 +83,22 @@ def _find_latest_ckpt(ckpt_dir: str):
             if not d.startswith("step_"):
                 continue
             path = os.path.join(run_path, d)
+            if fingerprint:
+                meta_path = os.path.join(path, "meta.json")
+                meta = {}
+                if os.path.isfile(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                if any(k in meta and meta[k] != v
+                       for k, v in fingerprint.items()):
+                    skipped += 1
+                    continue
             m = os.path.getmtime(path)
             if m > newest_mtime:
                 newest, newest_mtime = path, m
+    if skipped:
+        print(f"--resume auto: skipped {skipped} checkpoint(s) from "
+              "other model/img/nc configs")
     return newest
 
 
@@ -107,7 +126,17 @@ def main(argv=None):
             old_handlers[sig] = signal.signal(sig, _on_preempt)
         except ValueError:  # not in main thread (embedded use)
             pass
+    try:
+        return _train(opts, data_cfg, stop)
+    finally:
+        # restore on every exit path — a raised SystemExit must not
+        # leave the embedding process (pytest, a supervisor) with a
+        # hijacked Ctrl-C
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
 
+
+def _train(opts, data_cfg, stop):
     import jax
 
     from ..models import zoo
@@ -151,11 +180,15 @@ def main(argv=None):
 
     state = make_train_state(spec, img_size=opts.img, opt_cfg=opt_cfg,
                              mesh=mesh)
+    # checkpoint identity: stamped into every meta.json and required to
+    # match for `--resume auto` candidates
+    nc = int(data_cfg.get("nc", 80))
+    fingerprint = {"model": opts.model, "img": opts.img, "nc": nc}
     start_epoch = 0
     resume_ref = None
     resume_meta = {}
     if opts.resume == "auto":
-        auto = _find_latest_ckpt(opts.ckpt_dir)
+        auto = _find_latest_ckpt(opts.ckpt_dir, fingerprint)
         if auto is None:
             print("--resume auto: no checkpoint found, starting fresh")
             opts.resume = ""
@@ -224,9 +257,19 @@ def main(argv=None):
     print(f"training {opts.model} on {len(dataset)} images, "
           f"{steps_per_epoch} steps/epoch, mesh={mesh.shape}")
 
-    nc = int(data_cfg.get("nc", 80))
     maps = np.zeros(nc)  # per-class mAPs from the latest eval
+    ckpt_path = opts.resume or None
     for epoch in range(start_epoch, opts.epochs):
+        if stop["requested"]:
+            # SIGTERM landed during the previous epoch's eval: the
+            # epoch checkpoint is already on disk — exit before paying
+            # for another optimizer step
+            with open(os.path.join(run_dir, "preempted.json"), "w") as f:
+                json.dump({"epoch": epoch - 1, "step": int(state.step),
+                           "ckpt": ckpt_path}, f)
+            print(f"preempted before epoch {epoch}: resuming picks up "
+                  f"{ckpt_path}")
+            return run_dir
         if opts.image_weights:
             from ..train.datasets import (
                 labels_to_class_weights, labels_to_image_weights,
@@ -278,7 +321,8 @@ def main(argv=None):
                 ckpt_path = checkpoint.save_train_state(
                     run_dir, state, int(state.step),
                     {"epoch": epoch - 1, "interrupted_epoch": epoch,
-                     "best_fitness": best_fitness, "preempted": True},
+                     "best_fitness": best_fitness, "preempted": True,
+                     **fingerprint},
                 )
                 if store is not None:
                     last_ckpt_ref = store.log_artifact(
@@ -297,8 +341,6 @@ def main(argv=None):
                                "ckpt": ckpt_path}, f)
                 print(f"preempted at epoch {epoch} step {int(state.step)}"
                       f": state saved to {ckpt_path}")
-                for sig, h in old_handlers.items():
-                    signal.signal(sig, h)
                 return run_dir
         m = {k: float(np.mean([float(x[k]) for x in losses]))
              for k in losses[0]}
@@ -311,7 +353,7 @@ def main(argv=None):
         ckpt_path = checkpoint.save_train_state(
             run_dir, state, int(state.step),
             {"epoch": epoch, "loss": m["loss"],
-             "best_fitness": best_fitness},
+             "best_fitness": best_fitness, **fingerprint},
         )
         if store is not None:
             parents = [r for r in (data_ref, last_ckpt_ref) if r]
@@ -324,6 +366,18 @@ def main(argv=None):
             )
             logger.log_event({"artifact": last_ckpt_ref,
                               "kind": "checkpoint", "epoch": epoch})
+        if stop["requested"]:
+            # SIGTERM landed during the epoch-end phase (after the last
+            # batch-loop check): the epoch checkpoint above already
+            # covers this state — skip eval and exit within the
+            # supervisor's grace window instead of running a minutes-long
+            # val pass and training into the next epoch
+            with open(os.path.join(run_dir, "preempted.json"), "w") as f:
+                json.dump({"epoch": epoch, "step": int(state.step),
+                           "ckpt": ckpt_path}, f)
+            print(f"preempted at end of epoch {epoch}: state saved to "
+                  f"{ckpt_path}")
+            return run_dir
         if (data_cfg.get("val") and opts.eval_every > 0
                 and (epoch + 1) % opts.eval_every == 0):
             from .test import evaluate_map
@@ -347,7 +401,8 @@ def main(argv=None):
                 # its meta so a resume from it keeps the new best
                 with open(os.path.join(ckpt_path, "meta.json"), "w") as f:
                     json.dump({"epoch": epoch, "loss": m["loss"],
-                               "best_fitness": best_fitness}, f)
+                               "best_fitness": best_fitness,
+                               **fingerprint}, f)
                 best_path = checkpoint.save_variables(
                     os.path.join(run_dir, "best.msgpack"),
                     {"params": state.ema_params,
@@ -365,8 +420,6 @@ def main(argv=None):
         os.path.join(run_dir, "last.msgpack"),
         {"params": state.ema_params, "batch_stats": state.batch_stats},
     )
-    for sig, h in old_handlers.items():
-        signal.signal(sig, h)
     return run_dir
 
 

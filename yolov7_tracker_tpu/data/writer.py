@@ -13,13 +13,31 @@ import numpy as np
 FrameResult = Tuple[int, List[int], List[np.ndarray], List[int]]
 
 
+def last_written_frame(folder: str, seq_name: str) -> int:
+    """Largest frame id already present in a results txt (0 if absent) —
+    lets an interrupted run resume with ``save_results(..., append=True)``
+    without duplicating or clobbering frames it already emitted."""
+    path = os.path.join(folder, seq_name + ".txt")
+    if not os.path.isfile(path):
+        return 0
+    last = 0
+    with open(path) as f:
+        for line in f:
+            head = line.split(",", 1)[0]
+            if head:
+                last = max(last, int(float(head)))
+    return last
+
+
 def save_results(folder: str, seq_name: str, results: Iterable[FrameResult],
-                 data_type: str = "mot17") -> str:
+                 data_type: str = "mot17", append: bool = False) -> str:
     """Byte-compatible with the reference txt format (track.py:247-273):
-    mot17: ``frame,id,x,y,w,h,1.0,-1,-1,-1``; default: ``...,cls``."""
+    mot17: ``frame,id,x,y,w,h,1.0,-1,-1,-1``; default: ``...,cls``.
+    ``append=True`` extends an existing file (resume-after-preemption)
+    instead of overwriting it."""
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, seq_name + ".txt")
-    with open(path, "w") as f:
+    with open(path, "a" if append else "w") as f:
         for frame_id, ids, tlwhs, clses in results:
             for tid, tlwh, cls in zip(ids, tlwhs, clses):
                 if data_type == "default":

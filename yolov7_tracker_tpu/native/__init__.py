@@ -157,10 +157,17 @@ class FrameLoader:
     """
 
     def __init__(self, paths, n_threads: int = 4, capacity: int = 8,
-                 max_hw: Tuple[int, int] = (2176, 4096)):
+                 max_hw: Tuple[int, int] = (2176, 4096),
+                 on_error: str = "raise"):
         # max_hw only sizes the INITIAL staging buffer; larger frames
         # grow it on demand (fl_next leaves an oversized frame in the
         # ring and reports its dims, so nothing is dropped)
+        # on_error: "raise" aborts on an unreadable image (dataset runs,
+        # where a missing frame must not silently shift numbering);
+        # "skip" warns and continues (long-running serving, where one
+        # truncated camera dump must not kill the stream)
+        assert on_error in ("raise", "skip"), on_error
+        self.on_error = on_error
         self.paths = list(paths)
         self._lib = _fl_load()
         self._h = None
@@ -179,7 +186,13 @@ class FrameLoader:
 
             for p in self.paths:
                 img = cv2.imread(p)
-                assert img is not None, f"failed to read {p}"
+                if img is None:
+                    if self.on_error == "skip":
+                        import warnings
+
+                        warnings.warn(f"skipping unreadable frame {p}")
+                        continue
+                    raise AssertionError(f"failed to read {p}")
                 yield img
             return
         buf = np.empty(self._max_bytes, np.uint8)
@@ -201,6 +214,15 @@ class FrameLoader:
                 if rc == -1:
                     return
                 if rc == -3:
+                    if self.on_error == "skip":
+                        import warnings
+
+                        warnings.warn(
+                            "skipping unreadable frame "
+                            f"{self.paths[consumed]}"
+                        )
+                        consumed += 1
+                        continue
                     raise AssertionError(
                         f"failed to read {self.paths[consumed]}"
                     )

@@ -189,18 +189,35 @@ class TrackingPipeline:
     def init_tracker(self) -> S.TrackSlab:
         return S.init_slab(self.tcfg)
 
-    def save_tracker_state(self, slab: S.TrackSlab, path: str) -> None:
+    def save_tracker_state(self, slab: S.TrackSlab, path: str,
+                           tag: str = "") -> None:
         """Checkpoint mid-sequence tracker state to ``path`` (npz). The
         reference cannot resume a stream — its tracker state is Python
         STrack objects plus a global id counter, reset per sequence
         (track.py:132, basetrack.py:22) — while the slab pytree
-        round-trips bit-exactly (see trackers/slab.save_slab)."""
-        S.save_slab(path, slab, self.tcfg)
+        round-trips bit-exactly (see trackers/slab.save_slab). When the
+        pipeline runs GMC, its host-side previous-frame state is saved
+        alongside the slab so the first post-resume warp matches an
+        uninterrupted run. ``tag`` (e.g. the stream source) guards
+        against resuming another stream's state."""
+        aux = None
+        if self._gmc is not None:
+            aux = {"gmc_" + k: v for k, v in self._gmc.get_state().items()}
+        S.save_slab(path, slab, self.tcfg, tag=tag, aux=aux)
 
-    def load_tracker_state(self, path: str) -> S.TrackSlab:
+    def load_tracker_state(self, path: str,
+                           expect_tag: str = "") -> S.TrackSlab:
         """Resume tracker state saved by :meth:`save_tracker_state`;
-        raises ValueError on a config-incompatible checkpoint."""
-        return S.load_slab(path, self.tcfg)
+        raises ValueError on a config- or tag-incompatible checkpoint.
+        Restores the pipeline's GMC previous-frame state when present."""
+        slab, aux = S.load_slab(path, self.tcfg, expect_tag=expect_tag,
+                                with_aux=True)
+        if self._gmc is not None:
+            self._gmc.set_state(
+                {k[len("gmc_"):]: v for k, v in aux.items()
+                 if k.startswith("gmc_")}
+            )
+        return slab
 
     def dets_to_slab(self, boxes, score, cls, count):
         d = self.tcfg.det_capacity

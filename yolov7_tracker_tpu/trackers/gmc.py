@@ -37,6 +37,24 @@ class GMC:
         self.prev_kp = None
         self.prev_desc = None
 
+    def get_state(self) -> dict:
+        """Previous-frame state as plain numpy arrays — serializable
+        alongside the track slab so a checkpointed stream resumes with
+        the same prev->curr warp an uninterrupted run would compute."""
+        st = {}
+        if self.prev_gray is not None:
+            st["gray"] = np.asarray(self.prev_gray)
+        if self.prev_kp is not None and len(self.prev_kp):
+            st["kp"] = np.asarray(self.prev_kp, np.float32)
+        if self.prev_desc is not None:
+            st["desc"] = np.asarray(self.prev_desc)
+        return st
+
+    def set_state(self, st: dict) -> None:
+        self.prev_gray = st.get("gray")
+        self.prev_kp = st.get("kp")
+        self.prev_desc = st.get("desc")
+
     def apply(self, frame: np.ndarray) -> np.ndarray:
         """frame: HWC uint8 BGR -> 2x3 affine warp prev->curr."""
         if self.method == "none":
@@ -76,7 +94,7 @@ class GMC:
                     continue
                 m, n = pair
                 if m.distance < 0.9 * n.distance:
-                    p = self.prev_kp[m.queryIdx].pt
+                    p = tuple(self.prev_kp[m.queryIdx])
                     c = kp[m.trainIdx].pt
                     if abs(p[0] - c[0]) < 0.25 * w:
                         good_prev.append(p)
@@ -89,7 +107,10 @@ class GMC:
                 if h is not None:
                     warp = h.astype(np.float32)
                     warp[:, 2] *= self.downscale
-        self.prev_kp, self.prev_desc = kp, desc
+        # keypoints kept as a plain (N,2) array (only .pt is ever used on
+        # the prev side) so get_state() round-trips through npz
+        self.prev_kp = np.float32([k.pt for k in kp]) if kp else None
+        self.prev_desc = desc
         self.prev_gray = gray
         return warp
 

@@ -608,14 +608,25 @@ def _state_fingerprint(cfg: TrackerConfig) -> str:
     )
 
 
-def save_slab(path: str, slab: TrackSlab, cfg: TrackerConfig) -> None:
+def save_slab(path: str, slab: TrackSlab, cfg: TrackerConfig,
+              tag: str = "", aux: Optional[dict] = None) -> None:
     """Write tracker state to ``path`` (npz: one entry per slab field
     plus the config fingerprint). Fetches to host — call between frames,
-    not inside jit."""
+    not inside jit.
+
+    ``tag`` names the state's identity (e.g. the camera/stream source):
+    :func:`load_slab` refuses a checkpoint whose tag differs, so a
+    reordered ``--streams`` list cannot silently resume another camera's
+    tracker state. ``aux`` carries extra host-side arrays (e.g. GMC
+    previous-frame state) alongside the slab."""
     import numpy as np
 
     arrays = {f: np.asarray(v) for f, v in zip(slab._fields, slab)}
     arrays["_fingerprint"] = np.asarray(_state_fingerprint(cfg))
+    if tag:
+        arrays["_tag"] = np.asarray(tag)
+    for k, v in (aux or {}).items():
+        arrays["_aux_" + k] = np.asarray(v)
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
@@ -624,9 +635,12 @@ def save_slab(path: str, slab: TrackSlab, cfg: TrackerConfig) -> None:
     os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
 
 
-def load_slab(path: str, cfg: TrackerConfig) -> TrackSlab:
+def load_slab(path: str, cfg: TrackerConfig, expect_tag: str = "",
+              with_aux: bool = False):
     """Load tracker state saved by :func:`save_slab`, validating that the
-    checkpoint was produced under a slab-compatible config."""
+    checkpoint was produced under a slab-compatible config (and, when
+    ``expect_tag`` is given, for the same stream identity). With
+    ``with_aux`` returns ``(slab, aux_dict)``."""
     import numpy as np
 
     with np.load(path) as z:
@@ -637,9 +651,24 @@ def load_slab(path: str, cfg: TrackerConfig) -> TrackSlab:
                 f"tracker state {path} was saved under a different "
                 f"config:\n  saved:   {got}\n  current: {want}"
             )
+        if expect_tag:
+            got_tag = str(z["_tag"]) if "_tag" in z else ""
+            if got_tag != expect_tag:
+                raise ValueError(
+                    f"tracker state {path} belongs to a different stream:"
+                    f"\n  saved:   {got_tag or '<untagged>'}"
+                    f"\n  current: {expect_tag}"
+                )
         missing = [f for f in TrackSlab._fields if f not in z]
         if missing:
             raise ValueError(
                 f"tracker state {path} is missing fields {missing}"
             )
-        return TrackSlab(**{f: jnp.asarray(z[f]) for f in TrackSlab._fields})
+        slab = TrackSlab(
+            **{f: jnp.asarray(z[f]) for f in TrackSlab._fields}
+        )
+        if with_aux:
+            aux = {k[len("_aux_"):]: np.asarray(z[k])
+                   for k in z.files if k.startswith("_aux_")}
+            return slab, aux
+        return slab
