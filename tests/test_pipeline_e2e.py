@@ -175,3 +175,92 @@ def test_multistream_matches_per_stream_steps():
             rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(
             np.asarray(outs_ms.valid[si]), np.asarray(want_out.valid))
+
+
+def test_pack_output_ids_exact_past_float32():
+    """Track ids cross the packed D2H transfer bit-cast, not
+    value-cast: ids at or past 2^24 (reachable by a long-lived serve
+    process that persists next_id across relaunches) must round-trip
+    exactly instead of colliding on float32's 24-bit mantissa."""
+    from yolov7_tracker_tpu import pipeline as P
+    from yolov7_tracker_tpu.trackers import slab as S
+
+    ids = np.array([0, 1, 2**24 + 1, 2**24 + 2, 2**31 - 1], np.int32)
+    t = len(ids)
+    outs = S.FrameOutput(
+        track_id=jnp.asarray(ids),
+        tlwh=jnp.arange(t * 4, dtype=jnp.float32).reshape(t, 4),
+        score=jnp.linspace(0.0, 1.0, t),
+        cls=jnp.asarray([0, 1, 2, 3, 4], jnp.float32),
+        valid=jnp.asarray([1, 1, 0, 1, 1], bool),
+    )
+    arr = np.asarray(P._pack_frame_output(outs))
+    assert arr.shape == (t, 8)
+    back = P.TrackingPipeline.unpack_output(arr)
+    # 2^24+1 and 2^24+2 are NOT representable in float32 — a value
+    # cast would map both to the same id
+    assert back.track_id.tolist() == ids.tolist()
+    assert back.valid.tolist() == [True, True, False, True, True]
+    np.testing.assert_allclose(back.tlwh,
+                               np.arange(t * 4).reshape(t, 4))
+    np.testing.assert_allclose(back.score, np.linspace(0, 1, t),
+                               rtol=1e-6)
+    # batched layout (B, T, 8) unpacks identically
+    b2 = P.TrackingPipeline.unpack_output(np.stack([arr, arr]))
+    assert b2.track_id.shape == (2, t)
+    assert b2.track_id[1].tolist() == ids.tolist()
+
+
+def test_detect_cadence_survives_resume(pipe, monkeypatch):
+    """detect_per_frame=k: the detect/predict-only phase is keyed on
+    the slab's global frame counter, so a checkpoint/resume split at an
+    arbitrary frame detects on exactly the frames an uninterrupted run
+    would have (resume previously reset the cadence to the local loop
+    index). Detector stubbed out — this exercises only the scheduling
+    in run_sequence_stateful."""
+    import dataclasses
+
+    from yolov7_tracker_tpu.trackers import slab as S
+
+    monkeypatch.setattr(
+        pipe, "pcfg", dataclasses.replace(pipe.pcfg, detect_per_frame=3))
+
+    detected = []   # global frame indices that ran the detector
+    t_cap = pipe.tcfg.capacity
+
+    def fake_out(n):
+        z = jnp.zeros((n, t_cap))
+        return S.FrameOutput(
+            track_id=z.astype(jnp.int32),
+            tlwh=jnp.zeros((n, t_cap, 4)), score=z, cls=z,
+            valid=jnp.zeros((n, t_cap), bool))
+
+    def fake_process_batch(slab, frames, warps):
+        start = int(np.asarray(slab.frame))
+        detected.extend(range(start, start + len(frames)))
+        return (slab._replace(frame=slab.frame + len(frames)),
+                fake_out(len(frames)))
+
+    def fake_predict_only(slab):
+        out = fake_out(1)
+        return (slab._replace(frame=slab.frame + 1),
+                jax.tree_util.tree_map(lambda x: x[0], out))
+
+    monkeypatch.setattr(pipe, "process_batch", fake_process_batch)
+    monkeypatch.setattr(pipe, "_predict_only", fake_predict_only)
+
+    frames = [np.zeros((120, 160, 3), np.uint8) for _ in range(8)]
+
+    # uninterrupted: detect at global indices 0, 3, 6
+    res_full, _ = pipe.run_sequence_stateful(iter(frames))
+    assert detected == [0, 3, 6]
+    assert [fid for fid, *_ in res_full] == list(range(1, 9))
+
+    # split mid-cadence at frame 4 (between detect frames 3 and 6)
+    detected.clear()
+    res_a, mid = pipe.run_sequence_stateful(iter(frames[:4]))
+    assert int(np.asarray(mid.frame)) == 4
+    res_b, _ = pipe.run_sequence_stateful(iter(frames[4:]),
+                                          initial_slab=mid)
+    assert detected == [0, 3, 6]  # same detect frames as uninterrupted
+    assert [fid for fid, *_ in res_a + res_b] == list(range(1, 9))

@@ -146,3 +146,28 @@ def test_sigterm_checkpoints_and_exits(tiny_dataset, tmp_path):
     assert os.path.isfile(os.path.join(run, "preempted.json"))
     # handler was restored
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_resume_auto_skips_orbax_tmp_dirs(tmp_path):
+    """A hard kill (SIGKILL/OOM) mid-save leaves orbax's atomic-rename
+    staging dir behind (step_N.orbax-checkpoint-tmp-*). It has no
+    meta.json, so without an explicit name guard it would be selected
+    as the newest 'legacy' checkpoint and crash-loop every
+    `--resume auto` relaunch on the partial write."""
+    import time
+
+    from yolov7_tracker_tpu.cli.train import _find_latest_ckpt
+
+    fp = {"model": "yolov7-tiny", "img": 160, "nc": 1}
+    good = tmp_path / "run_a" / "step_10"
+    good.mkdir(parents=True)
+    with open(good / "meta.json", "w") as f:
+        json.dump({"epoch": 1, **fp}, f)
+    time.sleep(0.01)
+    # newest by mtime: a partial save the resume scan must never pick
+    partial = tmp_path / "run_a" / "step_42.orbax-checkpoint-tmp-1755"
+    partial.mkdir()
+    (partial / "half_written").write_bytes(b"\x00")
+
+    assert _find_latest_ckpt(str(tmp_path), fp) == str(good)
+    assert _find_latest_ckpt(str(tmp_path)) == str(good)

@@ -190,3 +190,58 @@ def test_serve_mismatched_resolution(stream_dirs, tmp_path):
     with pytest.raises(SystemExit, match="resolution"):
         serve.main(["--streams", stream_dirs[0], str(odd)]
                    + _common(tmp_path))
+
+
+def test_serve_resume_past_exhausted_stream(stream_dirs, tmp_path):
+    """A relaunch where one replayable stream's source was already fully
+    consumed before the checkpoint must serve the remaining streams, not
+    crash-loop on 'empty stream': the exhausted stream is dead on
+    arrival (state frozen), the others resume normally."""
+    import cv2
+
+    from yolov7_tracker_tpu.cli import serve
+
+    short = tmp_path / "short"
+    short.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        cv2.imwrite(str(short / f"{i + 1:06d}.jpg"),
+                    rng.integers(0, 255, (160, 240, 3), np.uint8))
+
+    state = str(tmp_path / "state_exh")
+    common = _common(tmp_path) + ["--state_dir", state]
+    streams = ["--streams", str(short), stream_dirs[0]]
+    r1, _ = serve.main(streams + ["--max_frames", "5"] + common)
+    assert [fid for fid, *_ in r1[0]] == [1, 2, 3]   # exhausted at 3
+    assert [fid for fid, *_ in r1[1]] == [1, 2, 3, 4, 5]
+
+    # relaunch: short's source has nothing past its checkpoint — it is
+    # finished, and the long stream serves its remaining frames
+    r2, _ = serve.main(streams + common)
+    assert r2[0] == []
+    assert [fid for fid, *_ in r2[1]] == [6, 7, 8]
+    with np.load(os.path.join(state, "stream_00.npz")) as z:
+        assert int(z["frame"]) == 3  # still frozen at death
+
+
+def test_serve_fresh_run_truncates_stale_txt(stream_dirs, tmp_path):
+    """A fresh (non-resumed) run into a save_dir holding a previous
+    run's txts must truncate them: appending would silently drop every
+    new row at or below the old file's last frame and mix two runs' id
+    spaces in one MOT file."""
+    from yolov7_tracker_tpu.cli import serve
+
+    args = ["--streams", stream_dirs[0], "--max_frames", "3"] \
+        + _common(tmp_path)
+    serve.main(args)
+    txts = sorted(os.listdir(tmp_path / "out"))
+    assert len(txts) == 1
+    stale = "500,999,1.00,1.00,8.00,8.00,1.0,-1,-1,-1\n"
+    with open(tmp_path / "out" / txts[0], "a") as f:
+        f.write(stale)
+
+    serve.main(args)  # no --state_dir: fresh id space
+    path = tmp_path / "out" / txts[0]
+    if path.exists():
+        with open(path) as f:
+            assert stale not in f.read()

@@ -198,3 +198,64 @@ def test_demo_cli_state_resume(tmp_path):
     # frame numbering continues across the restart
     assert [fid for fid, *_ in r_a] == [1, 2, 3, 4]
     assert [fid for fid, *_ in r_b] == [5, 6, 7, 8]
+
+
+@pytest.mark.slow
+def test_demo_cli_live_stream_flushes_incrementally(tmp_path, monkeypatch):
+    """Live-stream track_demo with --state_ckpt flushes result rows to
+    disk at the same cadence as the state checkpoints: a hard kill
+    after a checkpoint must not leave a permanent hole in the txt
+    (a live source cannot be replayed). Verified by spying on
+    writer.save_results across a crash + resume."""
+    from yolov7_tracker_tpu.cli import track_demo
+    from yolov7_tracker_tpu.data import sequence as seqmod
+    from yolov7_tracker_tpu.data import writer as writer_mod
+
+    rng = np.random.default_rng(7)
+    crash = {"armed": True}
+
+    class FakeStream:
+        def __init__(self, obj, max_frames=0):
+            self.n = 5 if crash["armed"] else 2
+
+        def __iter__(self):
+            for _ in range(self.n):
+                yield rng.integers(0, 255, (160, 240, 3), np.uint8)
+            if crash["armed"]:
+                raise RuntimeError("camera died")
+
+        def release(self):
+            pass
+
+    calls = []
+    real_save = writer_mod.save_results
+
+    def spy(folder, name, rows, data_type="mot17", append=False):
+        calls.append(([r[0] for r in rows], append))
+        return real_save(folder, name, rows, data_type, append)
+
+    monkeypatch.setattr(seqmod, "StreamFrames", FakeStream)
+    monkeypatch.setattr(writer_mod, "save_results", spy)
+
+    state = str(tmp_path / "live_state.npz")
+    common = ["--model", "yolov7-tiny", "--nc", "1", "--img_size", "160",
+              "--save_dir", str(tmp_path / "out"),
+              "--state_ckpt", state, "--state_ckpt_every", "2"]
+
+    with pytest.raises(RuntimeError, match="camera died"):
+        track_demo.main(["--obj", "rtsp://fake/cam"] + common)
+    # rows 1-4 hit disk at the two checkpoints BEFORE the crash; the
+    # first flush truncates (fresh run), later ones append
+    assert calls == [([1, 2], False), ([3, 4], True)]
+    import numpy as _np
+    with _np.load(state) as z:
+        assert int(z["frame"]) == 4
+
+    # resume: numbering continues at 5, appending past the crash point
+    calls.clear()
+    crash["armed"] = False
+    r2 = track_demo.main(
+        ["--obj", "rtsp://fake/cam", "--resume_state", state] + common)
+    assert [fid for fid, *_ in r2] == [5, 6]
+    assert all(append for _, append in calls)
+    assert [5, 6] in [rows for rows, _ in calls]

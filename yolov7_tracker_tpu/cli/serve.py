@@ -130,12 +130,14 @@ def main(argv=None):
     # per-stream slabs (auto-resume), stacked over the stream axis;
     # expect_tag pins each checkpoint to its source string
     per_stream = []
+    resumed = [False] * n
     for i in range(n):
         if opts.state_dir and os.path.isfile(state_path(i)):
             per_stream.append(
                 S.load_slab(state_path(i), pipe.tcfg,
                             expect_tag=opts.streams[i])
             )
+            resumed[i] = True
             print(f"stream {i}: resumed state from {state_path(i)}")
         else:
             per_stream.append(S.init_slab(pipe.tcfg))
@@ -174,9 +176,20 @@ def main(argv=None):
     os.makedirs(opts.save_dir, exist_ok=True)
     # frames already in the output txt (an interrupted run's rows):
     # flushes append strictly beyond this, so relaunch never clobbers
-    # or duplicates
-    written_upto = [writer.last_written_frame(opts.save_dir, names[i])
-                    for i in range(n)]
+    # or duplicates. Only resumed streams inherit old rows — a fresh
+    # (non-resumed) stream's leftover txt is some other run's output in
+    # a different id space; appending past its last frame would
+    # silently drop this run's rows, so truncate instead.
+    written_upto = []
+    for i in range(n):
+        if resumed[i]:
+            written_upto.append(
+                writer.last_written_frame(opts.save_dir, names[i]))
+        else:
+            stale = os.path.join(opts.save_dir, names[i] + ".txt")
+            if os.path.isfile(stale):
+                os.remove(stale)
+            written_upto.append(0)
     results = [[] for _ in range(n)]   # API return value (capped)
     pending = [[] for _ in range(n)]   # rows not yet flushed to disk
     emitted = [0] * n                  # frames harvested this run
@@ -240,6 +253,17 @@ def main(argv=None):
                 if f is None and live[i]:
                     live[i] = False
                     dead_state[i] = snapshot(i, slabs)
+                    if last[i] is None:
+                        # died before yielding a frame this run: a
+                        # resumed stream whose source was already
+                        # exhausted is simply done (its frozen state
+                        # carries over); a never-resumed one is a
+                        # genuinely empty source — fail loudly
+                        if not resumed[i]:
+                            raise SystemExit(
+                                f"empty stream: {opts.streams[i]}")
+                        print(f"stream {i}: source exhausted before "
+                              "resume point — serving it as finished")
                 if not live[i]:
                     f = last[i]  # dead stream coasts on its last frame
                 else:
@@ -248,12 +272,10 @@ def main(argv=None):
                 stepped.append(live[i])
             if not any(live):
                 break
-            if any(f is None for f in frames):  # never yielded a frame
-                raise SystemExit(
-                    "empty stream(s): "
-                    + ", ".join(opts.streams[i]
-                                for i, f in enumerate(frames)
-                                if f is None))
+            # a dead-on-arrival lane has no frame of its own; it is not
+            # stepped, so any live stream's frame fills its slot
+            filler = next(f for f in frames if f is not None)
+            frames = [filler if f is None else f for f in frames]
             shapes = {f.shape for f in frames}
             if len(shapes) != 1:
                 raise SystemExit(

@@ -83,28 +83,51 @@ def main(argv=None):
         base = int(np.asarray(slab.frame))
         results = []
 
+        # results flush at the state-checkpoint cadence (flush BEFORE
+        # the state save, like serve.py): a live stream cannot be
+        # replayed, so rows held only in memory at a SIGKILL would be
+        # a permanent hole in the txt
+        pending = []
+        append = bool(opts.resume_state)
+        written_upto = (writer.last_written_frame(opts.save_dir, name)
+                        if append else 0)
+
+        def flush_rows():
+            nonlocal append, written_upto
+            rows = [r for r in pending if r[0] > written_upto]
+            if rows or not append:
+                writer.save_results(opts.save_dir, name, rows,
+                                    append=append)
+                if rows:
+                    written_upto = rows[-1][0]
+                append = True
+            pending.clear()
+
         t0 = time.time()
         n = 0
         for frame in src:
             slab, out = pipe.step_frame(slab, frame)
             valid = np.asarray(out.valid)
-            results.append((
+            row = (
                 base + n + 1,
                 np.asarray(out.track_id)[valid].tolist(),
                 list(np.asarray(out.tlwh)[valid]),
                 np.asarray(out.cls)[valid].astype(int).tolist(),
-            ))
+            )
+            results.append(row)
+            pending.append(row)
             n += 1
             if (opts.state_ckpt and opts.state_ckpt_every > 0
                     and n % opts.state_ckpt_every == 0):
+                flush_rows()
                 pipe.save_tracker_state(slab, opts.state_ckpt)
         src.release()
+        flush_rows()
         if opts.state_ckpt:
             pipe.save_tracker_state(slab, opts.state_ckpt)
         dt = time.time() - t0
         print(f"{name}: {n} frames in {dt:.1f}s "
               f"({n/max(dt,1e-9):.1f} fps)")
-        _write_results(writer, opts, name, results)
         return results
 
     if os.path.isdir(opts.obj):

@@ -80,7 +80,12 @@ def _find_latest_ckpt(ckpt_dir: str, fingerprint=None):
         if not os.path.isdir(run_path):
             continue
         for d in os.listdir(run_path):
-            if not d.startswith("step_"):
+            # a hard kill (SIGKILL/OOM) mid-save leaves orbax's
+            # atomic-rename staging dir behind (step_N.orbax-
+            # checkpoint-tmp-*); it has no meta.json, so without this
+            # guard it would be picked as the newest "legacy"
+            # checkpoint and crash-loop every --resume auto relaunch
+            if not d.startswith("step_") or ".orbax-checkpoint-tmp" in d:
                 continue
             path = os.path.join(run_path, d)
             if fingerprint:

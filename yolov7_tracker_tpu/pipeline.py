@@ -56,6 +56,27 @@ class PipelineConfig:
                                    # in the compute dtype.
 
 
+@jax.jit
+def _pack_frame_output(outs: S.FrameOutput):
+    """FrameOutput's 5 leaves -> one (..., T, 8) float32 array (a
+    single D2H transfer). Track ids ride BIT-cast, not value-cast:
+    float32 is exact only to 2^24, and a long-lived serving process
+    (cli/serve.py persists next_id across relaunches) can pass that,
+    after which value-cast ids silently collide."""
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(
+                outs.track_id.astype(jnp.int32), jnp.float32
+            )[..., None],
+            outs.tlwh,
+            outs.score[..., None],
+            outs.cls[..., None],
+            outs.valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 class TrackingPipeline:
     def __init__(self, pcfg: PipelineConfig, tcfg: S.TrackerConfig,
                  variables=None, spec=None, quant_calib=None):
@@ -402,35 +423,19 @@ class TrackingPipeline:
     # output packing: one D2H transfer instead of one per pytree leaf
     # ------------------------------------------------------------------
 
-    @functools.cached_property
-    def _pack_fn(self):
-        @jax.jit
-        def pack(outs: S.FrameOutput):
-            return jnp.concatenate(
-                [
-                    outs.track_id[..., None].astype(jnp.float32),
-                    outs.tlwh,
-                    outs.score[..., None],
-                    outs.cls[..., None],
-                    outs.valid[..., None].astype(jnp.float32),
-                ],
-                axis=-1,
-            )
-
-        return pack
-
     def pack_output(self, outs: S.FrameOutput):
         """FrameOutput pytree -> one (..., T, 8) device array. Each D2H
         transfer pays a full round trip on remote-attached runtimes;
         packing turns FrameOutput's 5 leaves into a single fetch."""
-        return self._pack_fn(outs)
+        return _pack_frame_output(outs)
 
     @staticmethod
     def unpack_output(arr: np.ndarray) -> S.FrameOutput:
         """Host-side inverse of pack_output (numpy leaves)."""
         arr = np.asarray(arr)
         return S.FrameOutput(
-            track_id=arr[..., 0].astype(np.int32),
+            track_id=np.ascontiguousarray(
+                arr[..., 0], dtype=np.float32).view(np.int32),
             tlwh=arr[..., 1:5],
             score=arr[..., 5],
             cls=arr[..., 6],
@@ -566,8 +571,13 @@ class TrackingPipeline:
             pending.append((packed, arr.shape[0]))
             return slab
 
+        # detect/predict-only cadence is keyed on the GLOBAL frame
+        # index (the slab's counter), not this call's local index: a
+        # resumed stream must detect on the same frames an
+        # uninterrupted run would have
+        phase0 = frame_id
         for i, f in enumerate(frames):
-            if k_det > 1 and i % k_det != 0:
+            if k_det > 1 and (phase0 + i) % k_det != 0:
                 # predict-only frame; flush pending detections first to
                 # keep emit order by frame
                 if batch:
