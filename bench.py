@@ -217,14 +217,19 @@ def main():
     # ---- timed 2: host-inclusive pipeline (tunnel H2D and all) ---------
     # host uint8 -> async H2D (double-buffered) -> fused device step ->
     # async D2H -> host emit; every stage overlaps the next batch's work.
+    # Truncated to a few batches: through THIS harness's ~20 MB/s tunnel
+    # the loop is pure link measurement (~10 s/batch), and the rate is
+    # established within 2-3 batches — running all of them would put
+    # minutes of tunnel time into the driver's bench budget.
+    host_batches = min(n_batches, int(os.environ.get("BENCH_HOST_BATCHES", "3")))
     slab = pipe.init_tracker()
     results = []
     t0 = time.time()
     cur = jax.device_put(host_frames[0])
     prev_outs = None
-    for i in range(n_batches):
+    for i in range(host_batches):
         nxt = (jax.device_put(host_frames[(i + 1) % 2])
-               if i + 1 < n_batches else None)          # async H2D
+               if i + 1 < host_batches else None)        # async H2D
         slab, outs = pipe.process_batch(slab, cur, warps)  # async dispatch
         packed = pipe.pack_output(outs)
         packed.copy_to_host_async()
@@ -234,8 +239,8 @@ def main():
         cur = nxt
     results.extend(emit(pipe.unpack_output(np.asarray(prev_outs))))
     pipelined_time = time.time() - t0
-    pipelined_fps = n_frames / pipelined_time
-    assert len(results) == n_frames
+    pipelined_fps = host_batches * batch / pipelined_time
+    assert len(results) == host_batches * batch
 
     # ---- timed 2b: simulated co-located H2D at BENCH_H2D_GBPS ----------
     # Models a co-located deployment's staging DMA: frames stay device-
@@ -293,11 +298,12 @@ def main():
     np.asarray(out[3])
     det_ms = (time.time() - t0) / n_frames * 1e3
 
-    # H2D bandwidth through this host link
+    # H2D bandwidth through this host link (2 round trips suffice: each
+    # staged batch is ~200 MB, ~10 s through the tunnel)
     t0 = time.time()
-    for i in range(8):
+    for i in range(2):
         jax.block_until_ready(jax.device_put(host_frames[i % 2]))
-    h2d_ms = (time.time() - t0) / 8 / batch * 1e3
+    h2d_ms = (time.time() - t0) / 2 / batch * 1e3
 
     # sequence-parallel aggregate. Round 2 measured this in a fresh
     # subprocess because the then-current runtime threw an opaque
