@@ -186,7 +186,17 @@ def main():
         """Best wall-clock of `reps` full passes over n_batches: per
         batch one fused device step + packed async D2H (one transfer
         for all 5 output leaves, overlapping the next batch) + the
-        reference's python result emit, state chained across batches."""
+        reference's python result emit, state chained across batches.
+
+        One full UNTIMED warm pass runs first: r3 measured pass 1 of 3
+        consistently ~40% slower than passes 2-3 (242 vs 340 fps) —
+        allocator growth, cache load and remote-runtime session setup
+        leak into the first pass — so warm-up is paid outside the
+        timed window and the timed passes agree."""
+        state = init_fn()
+        for _ in range(n_batches):
+            state, outs = step_fn(state)
+        np.asarray(pipe.pack_output(outs))
         best = float("inf")
         for rep in range(reps):
             state = init_fn()
@@ -221,11 +231,17 @@ def main():
     # the loop is pure link measurement (~10 s/batch), and the rate is
     # established within 2-3 batches — running all of them would put
     # minutes of tunnel time into the driver's bench budget.
-    host_batches = min(n_batches, int(os.environ.get("BENCH_HOST_BATCHES", "3")))
+    host_batches = max(
+        1, min(n_batches, int(os.environ.get("BENCH_HOST_BATCHES", "3")))
+    )
     slab = pipe.init_tracker()
     results = []
-    t0 = time.time()
+    # stage the first batch BEFORE the timer: the loop measures the
+    # steady-state double-buffered rate, not the pipeline fill (with
+    # only ~3 batches the fill would dominate and bias the fps low)
     cur = jax.device_put(host_frames[0])
+    jax.block_until_ready(cur)
+    t0 = time.time()
     prev_outs = None
     for i in range(host_batches):
         nxt = (jax.device_put(host_frames[(i + 1) % 2])
@@ -298,6 +314,26 @@ def main():
     np.asarray(out[3])
     det_ms = (time.time() - t0) / n_frames * 1e3
 
+    # detector FLOPs from XLA's own cost analysis -> achieved TFLOP/s
+    # and MFU against the chip's bf16 peak, so layout/fusion progress
+    # is trackable round-over-round (VERDICT r3 weak #1)
+    det_tflops = mfu = None
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197.0"))
+    try:
+        detect_fn = pipe._detect_fn(tuple(np.asarray(dev_frames).shape[1:3]))
+        cost = detect_fn.lower(
+            pipe.variables, dev_frames).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_batch = float(cost["flops"])
+        det_tflops = flops_per_batch / batch / (det_ms * 1e-3) / 1e12
+        mfu = det_tflops / peak_tflops
+        log(f"detector {flops_per_batch / batch / 1e9:.1f} GFLOP/frame, "
+            f"{det_tflops:.1f} TFLOP/s achieved, "
+            f"MFU {mfu * 100:.1f}% of {peak_tflops:.0f} TFLOP/s bf16 peak")
+    except Exception as e:  # cost analysis is backend-best-effort
+        log(f"cost analysis unavailable: {type(e).__name__}: {e}")
+
     # H2D bandwidth through this host link (2 round trips suffice: each
     # staged batch is ~200 MB, ~10 s through the tunnel)
     t0 = time.time()
@@ -356,7 +392,15 @@ def main():
                 "bandwidth is ~100x below a co-located PCIe link, so "
                 "the host-inclusive pipelined_host_fps measures the "
                 "tunnel, not the framework"),
+            "host_batches": host_batches,
             "detector_ms_per_frame": round(det_ms, 2),
+            "detector_gflops_per_frame": (
+                round(flops_per_batch / batch / 1e9, 1)
+                if det_tflops is not None else None),
+            "detector_tflops": (
+                round(det_tflops, 1) if det_tflops is not None else None),
+            "detector_mfu": round(mfu, 3) if mfu is not None else None,
+            "mfu_peak_tflops": peak_tflops,
             "tracker_ms_per_frame": round(
                 compute_time / n_frames * 1e3 - det_ms, 2),
             "dets_per_frame": round(n_dets, 1),

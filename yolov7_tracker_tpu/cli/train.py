@@ -5,7 +5,13 @@ one-cycle LR and grouped weight decay; EMA; orbax checkpoints
 (last/best); per-epoch mAP eval hook.
 
     python -m yolov7_tracker_tpu.cli.train --model yolov7-tiny \
-        --data ./data/visdrone_all.yaml --img 640 --batch 16 --epochs 30
+        --data ./data/visdrone_all.yaml --hyp ./data/hyp.scratch.tiny.yaml \
+        --img 640 --batch 16 --epochs 30
+
+(`data/*.yaml` ships with this repo: coco, visdrone_all,
+visdrone_half_car, mot17, uavdt dataset yamls plus the
+hyp.scratch.{custom,p5,p6,tiny} hyperparameter sets — edit the
+train/val paths to point at your converted dataset.)
 """
 
 from __future__ import annotations
@@ -141,6 +147,27 @@ def main(argv=None):
             signal.signal(sig, h)
 
 
+def load_hyp(path):
+    """Split a hyp yaml (data/hyp.scratch.*.yaml) into the kwargs for
+    Hyp (loss gains), AugHyp (augmentation probs) and OptConfig
+    (optimizer/schedule). Unknown keys are ignored, matching the
+    reference's dict-indexed access of only the keys it uses."""
+    with open(path) as f:
+        h = yaml.safe_load(f)
+    hyp_kw = {k: h[k] for k in
+              ("box", "cls", "obj", "cls_pw", "obj_pw", "anchor_t",
+               "label_smoothing", "loss_ota") if k in h}
+    aug_kw = {k: h[k] for k in
+              ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
+               "scale", "shear", "perspective", "fliplr", "flipud",
+               "mosaic", "mixup", "paste_in") if k in h}
+    opt_kw = {k: h[k] for k in
+              ("lr0", "lrf", "momentum", "weight_decay",
+               "warmup_epochs", "warmup_momentum", "warmup_bias_lr")
+              if k in h}
+    return hyp_kw, aug_kw, opt_kw
+
+
 def _train(opts, data_cfg, stop):
     import jax
 
@@ -153,17 +180,8 @@ def _train(opts, data_cfg, stop):
     from ..train.loss import Hyp
     from ..utils import checkpoint
 
-    hyp_kw, aug_kw = {}, {}
-    if opts.hyp:
-        with open(opts.hyp) as f:
-            h = yaml.safe_load(f)
-        hyp_kw = {k: h[k] for k in
-                  ("box", "cls", "obj", "cls_pw", "obj_pw", "anchor_t",
-                   "label_smoothing", "loss_ota") if k in h}
-        aug_kw = {k: h[k] for k in
-                  ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
-                   "scale", "shear", "perspective", "fliplr", "flipud",
-                   "mosaic", "mixup") if k in h}
+    hyp_kw, aug_kw, opt_kw = load_hyp(opts.hyp) if opts.hyp \
+        else ({}, {}, {})
 
     dataset = YoloDataset(
         data_cfg["train"], img_size=opts.img, hyp=AugHyp(**aug_kw),
@@ -174,7 +192,7 @@ def _train(opts, data_cfg, stop):
     mesh = data_mesh(opts.n_devices or None)
     opt_cfg = OptConfig(
         epochs=opts.epochs, steps_per_epoch=steps_per_epoch,
-        batch_size=opts.batch,
+        batch_size=opts.batch, **opt_kw,
     )
     store = None
     run_name = opts.run_name or opts.model

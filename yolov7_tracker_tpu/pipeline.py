@@ -51,9 +51,12 @@ class PipelineConfig:
     detect_per_frame: int = 1      # run the detector every k-th frame
                                    # (reference --detect_per_frame)
     quant: str = "none"            # "none" | "int8": W8A8 static-PTQ
-                                   # serving (models/quant.py; v5e int8
-                                   # MXU = 2x bf16 MAC rate). Heads stay
-                                   # in the compute dtype.
+                                   # serving (models/quant.py). Measured
+                                   # win is ~11% — halved HBM weight/act
+                                   # traffic, NOT a doubled MXU MAC rate
+                                   # (tools/mxu_probe.py: this runtime
+                                   # runs int8 convs at ~bf16 rate).
+                                   # Heads stay in the compute dtype.
 
 
 @jax.jit

@@ -42,6 +42,7 @@ class AugHyp:
     flipud: float = 0.0
     mosaic: float = 1.0
     mixup: float = 0.0
+    paste_in: float = 0.0   # copy-paste prob (utils/datasets.py:604)
 
 
 def img2label_path(img_path: str) -> str:
@@ -139,6 +140,29 @@ class YoloDataset:
                 interpolation=cv2.INTER_LINEAR,
             )
         return img, (h0, w0)
+
+    def _sample_pool(self, n_min: int, max_tries: int = 8):
+        """Object crops [(patch, cls), ...] harvested from random
+        images for paste_in — the load_samples pool the reference
+        fills to >=30 labels (utils/datasets.py:604-612). Stops after
+        max_tries images so a sparsely-labeled dataset terminates."""
+        samples = []
+        for _ in range(max_tries):
+            if len(samples) >= n_min:
+                break
+            j = self.rng.randrange(len(self))
+            img, (h0, w0) = self._load_image(j)
+            h, w = img.shape[:2]
+            for lab in self.labels[j]:
+                cls = lab[0]
+                cx, cy, bw, bh = lab[1:5]
+                x1 = int(max((cx - bw / 2) * w, 0))
+                y1 = int(max((cy - bh / 2) * h, 0))
+                x2 = int(min((cx + bw / 2) * w, w))
+                y2 = int(min((cy + bh / 2) * h, h))
+                if x2 - x1 >= 4 and y2 - y1 >= 4:
+                    samples.append((img[y1:y2, x1:x2].copy(), cls))
+        return samples
 
     # -- augmentation -------------------------------------------------
 
@@ -304,6 +328,13 @@ class YoloDataset:
                 )
         if self.augment:
             img = augment_hsv(img, self.hyp, self.rng)
+            if self.rng.random() < self.hyp.paste_in:
+                # object crops sampled from random images (the
+                # load_samples pool, utils/datasets.py:604-612)
+                img = np.ascontiguousarray(img)
+                img, labels = paste_in(
+                    img, labels, self._sample_pool(30), self.rng
+                )
             if self.rng.random() < self.hyp.fliplr:
                 img = np.ascontiguousarray(img[:, ::-1])
                 if len(labels):
