@@ -18,7 +18,7 @@ one jit of apply() compiles the whole detector into a single XLA graph.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,14 @@ from .spec import ModelSpec
 class YoloV7(nn.Module):
     spec: ModelSpec
     fused: bool = False  # BN folded into conv (models/fuse.py)
+    # Applied to each per-level decoded tensor, both the (B, ny, nx,
+    # [na,] C) grid-shaped form and the flattened (B, N, C) form. The
+    # spatial-inference path (parallel/spatial.py) installs a
+    # with_sharding_constraint here so GSPMD keeps the decode sharded
+    # on the image-height axis and gathers each level EXPLICITLY before
+    # the cross-level concat, instead of the involuntary full
+    # rematerialization it otherwise falls back to. None = identity.
+    decode_hook: Optional[Callable[[Any], Any]] = None
 
     def setup(self):
         # ReOrg -> Conv(k=3, s=1) stems fold into one 6x6/s2 conv on the
@@ -288,6 +296,18 @@ class YoloV7(nn.Module):
                 saved[l.index] = y
         return self._detect(head_inputs, training)
 
+    def _hooked_flatten(self, out, shape):
+        """Flatten a per-level decoded grid tensor, routing both forms
+        through decode_hook (identity when unset) so a sharding
+        constraint can pin the grid form to the spatial axis and make
+        the level gather explicit before the cross-level concat."""
+        if self.decode_hook is not None:
+            out = self.decode_hook(out)
+        lvl = out.reshape(shape)
+        if self.decode_hook is not None:
+            lvl = self.decode_hook(lvl)
+        return lvl
+
     def _detect(self, head_inputs, training: bool):
         spec = self.spec
         if spec.head_kind == "DetectV8":
@@ -329,13 +349,13 @@ class YoloV7(nn.Module):
                          y[..., 2 + 2 * L:]],
                         axis=-1,
                     )
-                    decoded.append(
-                        out.reshape(b, ny * nx * na, spec.nc + 5)
-                    )
+                    decoded.append(self._hooked_flatten(
+                        out, (b, ny * nx * na, spec.nc + 5)))
                     continue
                 wh = (y[..., 2:4] * 2.0) ** 2 * anchors[i]
                 out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
-                decoded.append(out.reshape(b, ny * nx * na, no))
+                decoded.append(
+                    self._hooked_flatten(out, (b, ny * nx * na, no)))
         if training:
             return raw
         return jnp.concatenate(decoded, axis=1), raw[:nl]
@@ -383,7 +403,8 @@ class YoloV7(nn.Module):
             score = jax.nn.sigmoid(c)
             obj = jnp.ones((b, ny, nx, 1), score.dtype)
             out = jnp.concatenate([xy, wh, obj, score], axis=-1)
-            decoded.append(out.reshape(b, ny * nx, 5 + spec.nc))
+            decoded.append(
+                self._hooked_flatten(out, (b, ny * nx, 5 + spec.nc)))
         if training:
             return raw
         return jnp.concatenate(decoded, axis=1), raw

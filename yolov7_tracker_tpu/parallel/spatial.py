@@ -45,6 +45,23 @@ def make_spatial_detector(model, mesh: Mesh, axis: str = "data"):
     rep = NamedSharding(mesh, P())
     h_sharded = NamedSharding(mesh, P(None, axis))
 
+    def _decode_hook(x):
+        # Grid-shaped (B, ny, nx, [na,] C) per-level decode stays
+        # sharded on ny (the image-height shards); the flattened
+        # (B, N, C) form is gathered explicitly. Without this GSPMD
+        # falls back to an involuntary full rematerialization on the
+        # decode concat (spmd_partitioner "last resort" warning seen
+        # in MULTICHIP_r03): it must replicate-then-repartition
+        # because no consistent sharding was pinned through the
+        # reshape. The explicit per-level gather moves the same bytes
+        # the final replicated output needs anyway.
+        if x.ndim >= 4:
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, axis)))
+        return jax.lax.with_sharding_constraint(x, rep)
+
+    model = model.clone(decode_hook=_decode_hook)
+
     def fwd(variables, imgs):
         decoded, _ = model.apply(variables, imgs, training=False)
         return decoded
