@@ -11,6 +11,16 @@ association solver's lockstep iterations ~S-fold. Result D2H keeps one
 packed batch in flight (copy_to_host_async) so the transfer overlaps
 the next tick's compute, like the sequence CLI path.
 
+Frame acquisition is per-stream prefetch threads feeding bounded
+queues, so one stalled-but-alive camera cannot head-of-line-block the
+other streams' ticks: a healthy stream is waited on for at most
+--stall_timeout, after which its tracker state is frozen (same
+mechanism as dead-stream freeze) and the tick proceeds without it —
+the lane coasts unstepped on its last frame. A stalled stream is then
+polled without blocking each tick and rejoins the moment a frame
+arrives, its frozen state restored first so the phantom lane updates
+during the stall never touch its real trajectory.
+
 Fault tolerance: per-stream tracker state checkpoints under
 --state_dir every --state_ckpt_every ticks; SIGTERM/SIGINT checkpoints
 every stream and exits 75 (EX_TEMPFAIL) so a supervisor relaunches the
@@ -64,7 +74,75 @@ def parse_args(argv=None):
     p.add_argument("--state_ckpt_every", type=int, default=100,
                    help="ticks between state checkpoints (also the "
                         "results flush cadence)")
+    p.add_argument("--stall_timeout", type=float, default=1.0,
+                   help="seconds to wait on a healthy stream's next "
+                        "frame before freezing it and ticking without "
+                        "it (it rejoins when frames resume)")
+    p.add_argument("--prefetch_depth", type=int, default=4,
+                   help="frames buffered per stream by its reader "
+                        "thread")
     return p.parse_args(argv)
+
+
+class _StreamReader:
+    """Per-stream prefetch thread over a frame iterator.
+
+    Decouples each camera's (possibly blocking) read from the tick
+    loop: the thread pulls frames into a bounded queue; the loop asks
+    `get(timeout)` for a healthy stream or `poll()` for one already
+    marked stalled. `skip` frames are consumed inside the thread (the
+    resume fast-forward for replayable sources), so S resuming streams
+    skip in parallel instead of serially on the main thread."""
+
+    _DONE = object()
+
+    def __init__(self, src, skip=0, depth=4):
+        import queue as _queue
+        import threading
+
+        self._queue_mod = _queue
+        self._q = _queue.Queue(maxsize=max(1, depth))
+        self._error = None
+        self._t = threading.Thread(
+            target=self._run, args=(src, skip), daemon=True)
+        self._t.start()
+
+    def _run(self, src, skip):
+        try:
+            for _ in range(skip):
+                if next(src, None) is None:
+                    return  # exhausted during resume fast-forward
+            while True:
+                f = next(src, None)
+                if f is None:
+                    return
+                self._q.put(f)
+        except BaseException as e:  # surfaced on the main thread
+            self._error = e
+        finally:
+            self._q.put(self._DONE)
+
+    def _classify(self, item):
+        if item is self._DONE:
+            if self._error is not None:
+                raise self._error
+            return "done", None
+        return "frame", item
+
+    def get(self, timeout):
+        """-> ("frame", f) | ("stalled", None) | ("done", None)."""
+        try:
+            return self._classify(self._q.get(timeout=timeout))
+        except self._queue_mod.Empty:
+            return "stalled", None
+
+    def poll(self):
+        """Nonblocking get: a stalled stream is checked, never waited
+        on, so it cannot re-block the tick while it lags."""
+        try:
+            return self._classify(self._q.get_nowait())
+        except self._queue_mod.Empty:
+            return "stalled", None
 
 
 def _stream_name(i, obj):
@@ -148,17 +226,34 @@ def main(argv=None):
         return jax.tree.map(lambda x: np.asarray(x)[i], slabs)
 
     # a finished/failed stream must not keep advancing: its state is
-    # frozen here at death and the frozen copy is what gets checkpointed
+    # frozen here at death and the frozen copy is what gets checkpointed.
+    # stalled_state is the same freeze for stalled-but-alive streams —
+    # restored into the slab stack when the stream rejoins.
     dead_state = {}
+    stalled_state = {}
 
     def checkpoint_states(slabs):
         if not opts.state_dir:
             return
         os.makedirs(opts.state_dir, exist_ok=True)
         for i in range(n):
-            sl = dead_state[i] if i in dead_state else snapshot(i, slabs)
+            if i in dead_state:
+                sl = dead_state[i]
+            elif i in stalled_state:
+                sl = stalled_state[i]
+            else:
+                sl = snapshot(i, slabs)
             S.save_slab(state_path(i), sl, pipe.tcfg,
                         tag=opts.streams[i])
+
+    def restore_lane(slabs, i, snap):
+        """Write a frozen lane back into the stacked slabs (host round
+        trip; rejoin-after-stall only, so off the hot path)."""
+        def put(full, lane):
+            a = np.array(full)
+            a[i] = lane
+            return a
+        return jax.tree.map(put, slabs, snap)
 
     stop = {"requested": False}
 
@@ -229,14 +324,17 @@ def main(argv=None):
             harvest(inflight)
             inflight = None
 
-    sources = [_open_source(s, opts.max_frames) for s in opts.streams]
     # replayable sources resume at the checkpointed frame (a live
-    # stream resumes at its live point by nature)
-    for i, src in enumerate(sources):
-        if bases[i] > 0 and not _is_live(opts.streams[i]):
-            for _ in range(bases[i]):
-                if next(src, None) is None:
-                    break
+    # stream resumes at its live point by nature); the fast-forward
+    # skip runs inside each reader thread
+    readers = [
+        _StreamReader(
+            _open_source(s, opts.max_frames),
+            skip=(bases[i] if bases[i] > 0 and not _is_live(s) else 0),
+            depth=opts.prefetch_depth,
+        )
+        for i, s in enumerate(opts.streams)
+    ]
 
     live = [True] * n
     last = [None] * n
@@ -248,30 +346,60 @@ def main(argv=None):
             if opts.max_frames and tick >= opts.max_frames:
                 break
             frames, stepped = [], []
-            for i, src in enumerate(sources):
-                f = next(src, None) if live[i] else None
-                if f is None and live[i]:
-                    live[i] = False
-                    dead_state[i] = snapshot(i, slabs)
-                    if last[i] is None:
-                        # died before yielding a frame this run: a
-                        # resumed stream whose source was already
-                        # exhausted is simply done (its frozen state
-                        # carries over); a never-resumed one is a
-                        # genuinely empty source — fail loudly
-                        if not resumed[i]:
-                            raise SystemExit(
-                                f"empty stream: {opts.streams[i]}")
-                        print(f"stream {i}: source exhausted before "
-                              "resume point — serving it as finished")
+            for i in range(n):
                 if not live[i]:
-                    f = last[i]  # dead stream coasts on its last frame
+                    frames.append(last[i])  # dead lane coasts
+                    stepped.append(False)
+                    continue
+                # a healthy stream is waited on for at most
+                # stall_timeout; one already stalled is only polled so
+                # it cannot re-block the tick while it lags
+                if i in stalled_state:
+                    status, f = readers[i].poll()
                 else:
+                    status, f = readers[i].get(opts.stall_timeout)
+                if status == "frame":
+                    if i in stalled_state:
+                        slabs = restore_lane(
+                            slabs, i, stalled_state.pop(i))
+                        print(f"stream {i}: rejoined after stall")
                     last[i] = f
-                frames.append(f)
-                stepped.append(live[i])
+                    frames.append(f)
+                    stepped.append(True)
+                    continue
+                if status == "stalled":
+                    if i not in stalled_state:
+                        stalled_state[i] = snapshot(i, slabs)
+                        print(f"stream {i}: stalled — freezing state "
+                              "and ticking without it")
+                    frames.append(last[i])
+                    stepped.append(False)
+                    continue
+                # done: source exhausted
+                live[i] = False
+                dead_state[i] = stalled_state.pop(i, None)
+                if dead_state[i] is None:
+                    dead_state[i] = snapshot(i, slabs)
+                if last[i] is None:
+                    # died before yielding a frame this run: a resumed
+                    # stream whose source was already exhausted is
+                    # simply done (its frozen state carries over); a
+                    # never-resumed one is a genuinely empty source —
+                    # fail loudly
+                    if not resumed[i]:
+                        raise SystemExit(
+                            f"empty stream: {opts.streams[i]}")
+                    print(f"stream {i}: source exhausted before "
+                          "resume point — serving it as finished")
+                frames.append(last[i])
+                stepped.append(False)
             if not any(live):
                 break
+            if not any(stepped):
+                # every live stream is stalled: no device work this
+                # tick; stay responsive to signals and rejoins
+                time.sleep(0.02)
+                continue
             # a dead-on-arrival lane has no frame of its own; it is not
             # stepped, so any live stream's frame fills its slot
             filler = next(f for f in frames if f is not None)
