@@ -59,9 +59,22 @@ def solve_assignment(cost, row_mask, col_mask, thresh,
         # cheap fused sweeps per solve. Faster end-to-end than either
         # Pallas kernel on this stack, whose Mosaic builds cost minutes
         # per shape through the remote-compile path (see
-        # pallas_auction.py for the measured numbers)
+        # pallas_auction.py for the measured numbers).
+        #
+        # STEEP schedule: the n-phase/factor-4 eps descent collapsed to
+        # 2 phases at factor 4^(n/2) — the FINAL eps (scale/4^n) is
+        # identical, so the optimality bound is unchanged; only the
+        # descent path differs. Measured on v5e
+        # (tools/tpu_tracker_probe.py, r4): each while sweep costs
+        # ~20 us of dispatch regardless of matrix size, and the 5-phase
+        # descent spends most sweeps re-settling mid-eps phases —
+        # 2@32 runs the real ByteTrack step at 0.69 ms/frame vs 0.88
+        # (bench load) and 0.90 vs 1.57 (mixed load) with bit-identical
+        # outputs (ids+boxes, 128-frame sequences, both loads) and
+        # scipy-exact stage-1 matchings.
         return masked_assignment_v2(
-            cost, row_mask, col_mask, thresh, n_phases=n_phases
+            cost, row_mask, col_mask, thresh, n_phases=2,
+            phase_factor=4.0 ** (n_phases / 2.0),
         )
     return masked_assignment(
         cost, row_mask, col_mask, thresh, n_phases=n_phases
