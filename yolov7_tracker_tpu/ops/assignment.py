@@ -412,9 +412,18 @@ def masked_assignment_v2(
             cond, body, (prices, r2c, c2r, jnp.int32(0)))
         return (prices, r2c, c2r), None
 
-    state0 = (jnp.zeros((mt,), jnp.float32),
-              jnp.full((n,), -1, jnp.int32),
-              jnp.full((mt,), -1, jnp.int32))
+    # masked-out rows are PRE-ASSIGNED to their private dummies: their
+    # only non-NEG column is the dummy (weight 0, price 0, never bid on
+    # by anyone else), so (i -> m+i) is where the auction must land
+    # them anyway and it satisfies eps-CS from the start. Without this
+    # they burn bid sweeps auctioning their way to the dummy — and the
+    # tracker's stage-2/3 solves routinely run with a near-empty row
+    # mask (measured ~0.15 ms/frame of pure dummy-settling on v5e,
+    # tools/tpu_tracker_trace.py).
+    r2c0 = jnp.where(row_mask, -1, m + row_ids)
+    c2r0 = jnp.full((mt,), -1, jnp.int32).at[m + row_ids].set(
+        jnp.where(row_mask, -1, row_ids))
+    state0 = (jnp.zeros((mt,), jnp.float32), r2c0, c2r0)
     (prices, r2c, c2r), _ = jax.lax.scan(phase, state0, sched)
 
     gate = jnp.take(

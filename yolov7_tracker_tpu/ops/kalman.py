@@ -164,21 +164,67 @@ def project(fmt: str, mean: jnp.ndarray, cov: jnp.ndarray, confidence=None):
     return proj_mean, proj_cov
 
 
+def _inv_sym2(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched symmetric PD 2x2 matrices."""
+    a, b, d = m[..., 0, 0], m[..., 0, 1], m[..., 1, 1]
+    det = a * d - b * b
+    inv = jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-b, a], -1)], -2
+    )
+    return inv / det[..., None, None]
+
+
+def _inv_sym4(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched symmetric PD 4x4 matrices via
+    2x2 block Schur complement — pure VPU elementwise/matmul work.
+
+    The batched Cholesky + cho_solve this replaces lowers to LAPACK-
+    style custom calls that cost ~160 us/frame on the (128, 4, 4)
+    innovation covariances inside the tracker scan (TPU v5e trace,
+    tools/tpu_tracker_trace.py) — ~100x their arithmetic. KF innovation
+    covariances are well-conditioned (R adds measurement variance to
+    the diagonal), so the explicit form is numerically safe in f32;
+    parity with the scipy-golden KF tests pins it.
+    """
+    A = m[..., :2, :2]
+    B = m[..., :2, 2:]
+    D = m[..., 2:, 2:]
+    Ai = _inv_sym2(A)
+    AiB = Ai @ B
+    schur = D - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = _inv_sym2(schur)
+    AiBSi = AiB @ Si
+    top_left = Ai + AiBSi @ jnp.swapaxes(AiB, -1, -2)
+    bottom_left = -jnp.swapaxes(AiBSi, -1, -2)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([top_left, -AiBSi], -1),
+            jnp.concatenate([bottom_left, Si], -1),
+        ],
+        -2,
+    )
+
+
 def update(fmt: str, mean: jnp.ndarray, cov: jnp.ndarray,
            measurement: jnp.ndarray, confidence=None):
     """Batched correction step (kalman_filter.py:331-363).
 
-    Solves all 4x4 innovation systems with one batched Cholesky; gain is a
-    batched (8,4) solve. `confidence` feeds the NSA variant only.
+    Solves all 4x4 innovation systems in closed form (block-Schur
+    inverse, _inv_sym4); non-4d measurement formats fall back to one
+    batched Cholesky. `confidence` feeds the NSA variant only.
     """
     conf = confidence if SPECS[fmt].nsa else None
     proj_mean, proj_cov = project(fmt, mean, cov, conf)
     hm = update_matrix()
     pht = cov @ hm.T  # (..., 8, 4)
-    chol = jnp.linalg.cholesky(proj_cov)
-    # K = P H' S^-1  via S K' = (P H')'
-    gain_t = jax.scipy.linalg.cho_solve((chol, True), jnp.swapaxes(pht, -1, -2))
-    gain = jnp.swapaxes(gain_t, -1, -2)  # (..., 8, 4)
+    if proj_cov.shape[-1] == 4:
+        gain = pht @ _inv_sym4(proj_cov)  # K = P H' S^-1
+    else:
+        chol = jnp.linalg.cholesky(proj_cov)
+        # K = P H' S^-1  via S K' = (P H')'
+        gain_t = jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.swapaxes(pht, -1, -2))
+        gain = jnp.swapaxes(gain_t, -1, -2)  # (..., 8, 4)
     innovation = measurement - proj_mean
     new_mean = mean + jnp.einsum("...ij,...j->...i", gain, innovation)
     new_cov = cov - gain @ proj_cov @ jnp.swapaxes(gain, -1, -2)

@@ -186,7 +186,7 @@ def nms(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strides", "max_det", "top_k", "agnostic"),
+    static_argnames=("strides", "max_det", "top_k", "agnostic", "chunk"),
 )
 def nms_from_raw(
     raw_levels,
@@ -198,6 +198,7 @@ def nms_from_raw(
     max_det: int = 300,
     top_k: int = 4096,
     agnostic: bool = False,
+    chunk: int = 128,
 ):
     """Score-first NMS over RAW head outputs (best-class mode).
 
@@ -284,6 +285,7 @@ def nms_from_raw(
         off_box = sel_box + offset[:, None]
         sc = jnp.where(keep, conf, -1.0)
         return greedy_suppress(sel_box, off_box, sc, cls_id,
-                               max_det=max_det, iou_thres=iou_thres)
+                               max_det=max_det, iou_thres=iou_thres,
+                               chunk=chunk)
 
     return jax.vmap(one)(sel, top_idx)
