@@ -130,9 +130,13 @@ def test_apply_classifier_filters():
                             lambda c: c).shape == (0, 6)
 
 
+@pytest.mark.slow  # 25 s: compiles process_multistream AND step_frame
 def test_multistream_matches_per_stream_steps():
     """process_multistream advances S independent slabs exactly like S
-    separate step_frame calls on the same frames."""
+    separate step_frame calls on the same frames. Slow lane: the cost
+    is two fresh program compiles, and the multistream path keeps
+    fast-lane coverage through test_sharded_sequence_tracking while
+    the serve CLI suite (also slow) drives it end-to-end."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
