@@ -19,6 +19,11 @@ def main(argv=None):
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--save_dir", type=str, default="./detect_result")
+    p.add_argument("--spatial_devices", type=int, default=0,
+                   help="height-shard each frame's forward over the "
+                        "first N devices (low-latency mode when chips "
+                        "outnumber streams; parallel/spatial.py). "
+                        "0/1 = single-device")
     opts = p.parse_args(argv)
 
     import cv2
@@ -38,6 +43,25 @@ def main(argv=None):
                           iou_thres=opts.iou, detector_batch=1)
     pipe = TrackingPipeline(pcfg, TrackerConfig(), variables=variables)
 
+    mesh = None
+    if opts.spatial_devices > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < opts.spatial_devices:
+            raise SystemExit(
+                f"--spatial_devices {opts.spatial_devices} but only "
+                f"{len(devs)} devices visible")
+        mesh = Mesh(
+            np.asarray(devs[: opts.spatial_devices]), ("data",))
+        print(f"spatial mode: height-sharding over "
+              f"{opts.spatial_devices} devices")
+
+    def detect(img_batch):
+        if mesh is not None:
+            return pipe.detect_batch_spatial(img_batch, mesh)
+        return pipe.detect_batch(img_batch)
+
     os.makedirs(opts.save_dir, exist_ok=True)
     files = (
         sorted(
@@ -48,7 +72,7 @@ def main(argv=None):
     )
     for path in files:
         img = cv2.imread(path)
-        boxes, scores, cls, counts = pipe.detect_batch(img[None])
+        boxes, scores, cls, counts = detect(img[None])
         n = int(counts[0])
         b = np.asarray(boxes[0][:n])
         s = np.asarray(scores[0][:n])

@@ -147,10 +147,23 @@ class TrackingPipeline:
     # detector
     # ------------------------------------------------------------------
 
-    def _detect_fn(self, src_hw: Tuple[int, int]):
-        """Compiled detector closure for one source resolution."""
-        if src_hw in self._detect_cache:
-            return self._detect_cache[src_hw]
+    def _detect_fn(self, src_hw: Tuple[int, int], spatial_mesh=None):
+        """Compiled detector closure for one source resolution.
+
+        spatial_mesh: optional jax.sharding.Mesh — height-shard the
+        forward over its first axis (parallel/spatial.py's low-latency
+        mode, reachable from the detect CLI via --spatial_devices):
+        every conv partitions spatially with GSPMD halo exchanges over
+        ICI, per-level decodes gather explicitly (decode_hook), and the
+        fixed-shape NMS runs replicated on the gathered predictions.
+        """
+        key = src_hw if spatial_mesh is None else (
+            src_hw,
+            tuple(str(d) for d in spatial_mesh.devices.flat),
+            spatial_mesh.axis_names,
+        )
+        if key in self._detect_cache:
+            return self._detect_cache[key]
         pcfg = self.pcfg
         # letterbox output size for this resolution (minimum rectangle,
         # exact reference pad arithmetic)
@@ -173,13 +186,37 @@ class TrackingPipeline:
         fused_nms = self.spec.head_kind in ("Detect", "IDetect",
                                             "IAuxDetect")
 
+        model = self.model
+        h_sharded = None
+        if spatial_mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            axis = spatial_mesh.axis_names[0]
+            rep = NamedSharding(spatial_mesh, P())
+            h_sharded = NamedSharding(spatial_mesh, P(None, axis))
+
+            def _hook(x, _h=h_sharded, _r=rep):
+                if x.ndim >= 4:
+                    return jax.lax.with_sharding_constraint(x, _h)
+                return jax.lax.with_sharding_constraint(x, _r)
+
+            model = model.clone(decode_hook=_hook)
+            # spatial mode consumes the model's DECODED predictions
+            # (gathered replicated by the hook) so the NMS stays out of
+            # the partitioned region; the raw-path fused NMS would drag
+            # its reshapes/top_k through GSPMD instead
+            fused_nms = False
+
         @jax.jit
         def detect(variables, frames_u8):
             imgs, _ = letterbox.device_preprocess(
                 frames_u8, src_hw, (out_h, out_w), unpad_hw=(uh, uw),
                 dtype=compute_dtype,
             )
-            pred, raw = self.model.apply(variables, imgs, training=False)
+            if h_sharded is not None:
+                imgs = jax.lax.with_sharding_constraint(imgs, h_sharded)
+            pred, raw = model.apply(variables, imgs, training=False)
             if fused_nms:
                 dets, counts = nms_mod.nms_from_raw(
                     raw, jnp.asarray(self.spec.anchors_per_level()),
@@ -198,13 +235,23 @@ class TrackingPipeline:
             )
             return boxes, dets[..., 4], dets[..., 5], counts
 
-        self._detect_cache[src_hw] = detect
+        self._detect_cache[key] = detect
         return detect
 
     def detect_batch(self, frames_u8: np.ndarray):
         """(B, H, W, 3) uint8 -> (boxes (B,D,4) tlbr, score, cls, counts)."""
         src_hw = frames_u8.shape[1:3]
         return self._detect_fn(tuple(src_hw))(self.variables, frames_u8)
+
+    def detect_batch_spatial(self, frames_u8: np.ndarray, mesh):
+        """detect_batch with the forward height-sharded over `mesh`
+        (jax.sharding.Mesh, first axis): the low-latency serving mode
+        when chips outnumber streams — one frame's rows split across
+        the devices and every conv partitions spatially. Same contract
+        and (validated) same outputs as detect_batch."""
+        src_hw = frames_u8.shape[1:3]
+        return self._detect_fn(tuple(src_hw), spatial_mesh=mesh)(
+            self.variables, frames_u8)
 
     # ------------------------------------------------------------------
     # tracking
