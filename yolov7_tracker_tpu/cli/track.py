@@ -112,11 +112,45 @@ def main(argv=None):
     gmc = opts.gmc or {"botsort": "orb", "strongsort": "ecc"}.get(
         opts.tracker, "none"
     )
+    # --reid_model_path activates on-device appearance embeddings: the
+    # DeepSORT CNN for deepsort, OSNet otherwise (arch inferred from
+    # the filename, default osnet_x0_25 — the checkpoint the reference
+    # ships). Mirrors the reference's Extractor wiring
+    # (deepsort.py:19-40, strongsort.py:47-72).
+    reid, reid_variables = "none", None
+    if opts.reid_model_path:
+        if opts.tracker == "deepsort":
+            reid = "deepsort_cnn"
+        else:
+            from ..reid.osnet import OSNET_CONFIGS
+
+            base = os.path.basename(opts.reid_model_path)
+            reid = next((n for n in OSNET_CONFIGS if n in base),
+                        "osnet_x0_25")
+        path = opts.reid_model_path
+        if path.endswith((".pth", ".pt", ".t7")):
+            import torch
+
+            ckpt = torch.load(path, map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("net_dict", ckpt.get("state_dict", ckpt))
+            if reid == "deepsort_cnn":
+                from ..reid.deepsort_cnn import convert_deepsort_cnn
+
+                reid_variables = convert_deepsort_cnn(sd)
+            else:
+                from ..reid.osnet import convert_osnet
+
+                reid_variables = convert_osnet(sd)
+        else:
+            from ..utils import checkpoint
+
+            reid_variables = checkpoint.load_variables(path)
     pcfg = PipelineConfig(
         model=opts.model, nc=opts.nc, img_size=opts.img_size,
         conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,
         gmc_method=gmc, detect_per_frame=opts.detect_per_frame,
-        quant=opts.quant,
+        quant=opts.quant, reid=reid,
     )
     tcfg = TrackerConfig(
         tracker=opts.tracker, kalman_format=opts.kalman_format,
@@ -125,6 +159,10 @@ def main(argv=None):
         det_capacity=opts.det_capacity, gamma=opts.gamma,
         min_area=opts.min_area, dhn_weights=opts.dhn_path,
         dhn_hidden=opts.dhn_hidden,
+        # trackers whose registry entry doesn't set a feature dim
+        # (bytetrack gamma-fusion, botsort with-reid) get 512 when a
+        # reid model is supplied; deepsort/strongsort resolve their own
+        feature_dim=512 if reid != "none" else 0,
     )
     # --model accepts a zoo name OR any reference-format cfg yaml — the
     # analogue of the reference's track_yolov5/track_yolov8 entries
@@ -181,7 +219,8 @@ def main(argv=None):
             quant_calib = [arr]
 
     pipe = TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec,
-                            quant_calib=quant_calib)
+                            quant_calib=quant_calib,
+                            reid_variables=reid_variables)
     folder = os.path.join(
         opts.output_dir, f"{opts.tracker}_{time.strftime('%Y%m%d_%H%M%S')}"
     )

@@ -57,6 +57,16 @@ class PipelineConfig:
                                    # (tools/mxu_probe.py: this runtime
                                    # runs int8 convs at ~bf16 rate).
                                    # Heads stay in the compute dtype.
+    reid: str = "none"             # appearance embeddings for the
+                                   # feature trackers: "deepsort_cnn"
+                                   # (128h x 64w crops, deepsort.py:19-40)
+                                   # or an OSNet name ("osnet_x0_25"...,
+                                   # 128h x 256w quirk crops,
+                                   # strongsort.py:56-58). Crops + CNN
+                                   # run ON DEVICE inside the fused step
+                                   # (reid/extractor.py) — no host crop
+                                   # loop. Pass trained weights via the
+                                   # TrackingPipeline reid_variables arg.
 
 
 @jax.jit
@@ -82,7 +92,8 @@ def _pack_frame_output(outs: S.FrameOutput):
 
 class TrackingPipeline:
     def __init__(self, pcfg: PipelineConfig, tcfg: S.TrackerConfig,
-                 variables=None, spec=None, quant_calib=None):
+                 variables=None, spec=None, quant_calib=None,
+                 reid_variables=None):
         self.pcfg = pcfg
         self.spec = spec or zoo.get_spec(pcfg.model, nc=pcfg.nc)
         if variables is None:
@@ -124,6 +135,36 @@ class TrackingPipeline:
             }
         self.variables = variables
         self.step, self.tcfg = build_tracker(tcfg)
+        # appearance embeddings: device crops + ReID CNN fill
+        # DetSlab.feature inside the fused step. The reference pays a
+        # host crop loop + a separate torch batch per frame
+        # (deepsort.py:19-40, strongsort.py:47-72).
+        self._reid = None
+        if pcfg.reid != "none":
+            if self.tcfg.feature_dim <= 0:
+                raise ValueError(
+                    f"reid={pcfg.reid!r} but tracker "
+                    f"{self.tcfg.tracker!r} resolves feature_dim=0 — "
+                    "pass TrackerConfig(feature_dim=512) to enable "
+                    "appearance fusion for this tracker")
+            if pcfg.reid == "deepsort_cnn":
+                from .reid.deepsort_cnn import DeepSortCNN
+
+                reid_model = DeepSortCNN()
+                reid_hw = (128, 64)      # deepsort_reid.py:123-146
+            else:
+                from .reid.osnet import build_osnet
+
+                reid_model = build_osnet(pcfg.reid)
+                reid_hw = (128, 256)     # strongsort.py:56-58 quirk
+            if reid_variables is None:
+                # untrained embeddings (tests / perf runs); real
+                # deployments pass converted weights
+                reid_variables = reid_model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1,) + reid_hw + (3,), jnp.float32),
+                )
+            self._reid = (reid_model, reid_variables, reid_hw)
         if tcfg.det_capacity < pcfg.max_det:
             import warnings
 
@@ -290,6 +331,16 @@ class TrackingPipeline:
             )
         return slab
 
+    def _embed_dets(self, frame_u8, tlbr):
+        """(H, W, 3) uint8 frame + (D, 4) det boxes -> (D, F) ReID
+        features via on-device crops (reid/extractor.py). Traced inside
+        the fused step jits."""
+        from .reid import extractor
+
+        reid_model, reid_vars, reid_hw = self._reid
+        crops = extractor.extract_crops(frame_u8, tlbr, reid_hw)
+        return reid_model.apply(reid_vars, crops).astype(jnp.float32)
+
     def dets_to_slab(self, boxes, score, cls, count):
         d = self.tcfg.det_capacity
         idx = jnp.arange(d)
@@ -369,6 +420,15 @@ class TrackingPipeline:
                 boxes[:, :d], score[:, :d], cls[:, :d], counts
             )
             det_slabs = det_slabs._replace(warp=warps)
+            if self._reid is not None:
+                # lax.map, not vmap: one frame's crop batch at a time
+                # keeps the (D, 128, 256, 3) activations from
+                # multiplying by the detector batch
+                feats = jax.lax.map(
+                    lambda fb: self._embed_dets(fb[0], fb[1]),
+                    (frames_u8, boxes[:, :d]),
+                )
+                det_slabs = det_slabs._replace(feature=feats)
             return jax.lax.scan(body, slab, det_slabs)
 
         self._detect_cache[key] = process
@@ -412,6 +472,12 @@ class TrackingPipeline:
                 boxes[:, :d], score[:, :d], cls[:, :d], counts
             )
             det_slabs = det_slabs._replace(warp=warps)
+            if self._reid is not None:
+                feats = jax.lax.map(
+                    lambda fb: self._embed_dets(fb[0], fb[1]),
+                    (frames_u8, boxes[:, :d]),
+                )
+                det_slabs = det_slabs._replace(feature=feats)
             return vstep(slabs, det_slabs)
 
         self._detect_cache[key] = process
@@ -454,6 +520,9 @@ class TrackingPipeline:
             det = self.dets_to_slab(
                 boxes[0, :d], score[0, :d], cls[0, :d], counts[0]
             )._replace(warp=warp)
+            if self._reid is not None:
+                det = det._replace(
+                    feature=self._embed_dets(frame_u8, boxes[0, :d]))
             slab, out = self.step(slab, det)
             return slab, out
 
