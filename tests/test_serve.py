@@ -364,3 +364,22 @@ def test_serve_stalled_stream_rejoins_without_corruption(tmp_path,
     out = capsys.readouterr().out
     if "stalled" in out:  # fast ticks may observe the stall...
         assert "rejoined after stall" in out  # ...then must rejoin
+
+
+def test_serve_with_reid(stream_dirs, tmp_path):
+    """The serve CLI's --reid_model_path drives the fused multistream
+    step's on-device embedding branch (strongsort + the reference's
+    shipped OSNet checkpoint)."""
+    osnet = "/root/reference/weights/osnet_x0_25.pth"
+    if not os.path.isfile(osnet):
+        pytest.skip("reference osnet checkpoint not present")
+
+    from yolov7_tracker_tpu.cli import serve
+
+    results, preempted = serve.main(
+        ["--streams", *stream_dirs, "--tracker", "strongsort",
+         "--reid_model_path", osnet, "--max_frames", "4"]
+        + _common(tmp_path))
+    assert not preempted
+    for r in results:
+        assert [fid for fid, *_ in r] == [1, 2, 3, 4]

@@ -62,6 +62,10 @@ def parse_args(argv=None):
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--conf_thresh", type=float, default=0.2)
     p.add_argument("--kalman_format", type=str, default="default")
+    p.add_argument("--reid_model_path", type=str, default="",
+                   help="appearance embeddings for the feature "
+                        "trackers (deepsort CNN / OSNet; arch inferred "
+                        "from the filename)")
     p.add_argument("--capacity", type=int, default=128)
     p.add_argument("--det_capacity", type=int, default=300)
     p.add_argument("--max_frames", type=int, default=0,
@@ -187,20 +191,27 @@ def main(argv=None):
     from ..trackers import slab as S
     from ..trackers.slab import TrackerConfig
 
+    from ..reid import resolve_reid
+
     n = len(opts.streams)
+    reid, reid_variables = resolve_reid(opts.tracker,
+                                        opts.reid_model_path)
     pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
-                          img_size=opts.img_size, conf_thres=0.001)
+                          img_size=opts.img_size, conf_thres=0.001,
+                          reid=reid)
     tcfg = TrackerConfig(tracker=opts.tracker,
                          kalman_format=opts.kalman_format,
                          conf_thresh=opts.conf_thresh,
                          capacity=opts.capacity,
-                         det_capacity=opts.det_capacity)
+                         det_capacity=opts.det_capacity,
+                         feature_dim=512 if reid != "none" else 0)
     variables = None
     if opts.model_path:
         from ..utils import checkpoint
 
         variables = checkpoint.load_variables(opts.model_path)
-    pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables,
+                            reid_variables=reid_variables)
 
     def state_path(i):
         return os.path.join(opts.state_dir, f"stream_{i:02d}.npz")

@@ -117,35 +117,10 @@ def main(argv=None):
     # the filename, default osnet_x0_25 — the checkpoint the reference
     # ships). Mirrors the reference's Extractor wiring
     # (deepsort.py:19-40, strongsort.py:47-72).
-    reid, reid_variables = "none", None
-    if opts.reid_model_path:
-        if opts.tracker == "deepsort":
-            reid = "deepsort_cnn"
-        else:
-            from ..reid.osnet import OSNET_CONFIGS
+    from ..reid import resolve_reid
 
-            base = os.path.basename(opts.reid_model_path)
-            reid = next((n for n in OSNET_CONFIGS if n in base),
-                        "osnet_x0_25")
-        path = opts.reid_model_path
-        if path.endswith((".pth", ".pt", ".t7")):
-            import torch
-
-            ckpt = torch.load(path, map_location="cpu",
-                              weights_only=False)
-            sd = ckpt.get("net_dict", ckpt.get("state_dict", ckpt))
-            if reid == "deepsort_cnn":
-                from ..reid.deepsort_cnn import convert_deepsort_cnn
-
-                reid_variables = convert_deepsort_cnn(sd)
-            else:
-                from ..reid.osnet import convert_osnet
-
-                reid_variables = convert_osnet(sd)
-        else:
-            from ..utils import checkpoint
-
-            reid_variables = checkpoint.load_variables(path)
+    reid, reid_variables = resolve_reid(opts.tracker,
+                                        opts.reid_model_path)
     pcfg = PipelineConfig(
         model=opts.model, nc=opts.nc, img_size=opts.img_size,
         conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,

@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--conf_thresh", type=float, default=0.2)
     p.add_argument("--kalman_format", type=str, default="default")
+    p.add_argument("--reid_model_path", type=str, default="",
+                   help="appearance embeddings for the feature "
+                        "trackers (deepsort CNN / OSNet; arch inferred "
+                        "from the filename)")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--save_dir", type=str, default="./demo_result")
@@ -58,17 +62,24 @@ def main(argv=None):
     from ..pipeline import PipelineConfig, TrackingPipeline
     from ..trackers.slab import TrackerConfig
 
+    from ..reid import resolve_reid
+
+    reid, reid_variables = resolve_reid(opts.tracker,
+                                        opts.reid_model_path)
     pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
-                          img_size=opts.img_size, conf_thres=0.001)
+                          img_size=opts.img_size, conf_thres=0.001,
+                          reid=reid)
     tcfg = TrackerConfig(tracker=opts.tracker,
                          kalman_format=opts.kalman_format,
-                         conf_thresh=opts.conf_thresh)
+                         conf_thresh=opts.conf_thresh,
+                         feature_dim=512 if reid != "none" else 0)
     variables = None
     if opts.model_path:
         from ..utils import checkpoint
 
         variables = checkpoint.load_variables(opts.model_path)
-    pipe = TrackingPipeline(pcfg, tcfg, variables=variables)
+    pipe = TrackingPipeline(pcfg, tcfg, variables=variables,
+                            reid_variables=reid_variables)
 
     is_stream = opts.obj.isdigit() or "://" in opts.obj
     if is_stream:
