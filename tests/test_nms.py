@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from yolov7_tracker_tpu.ops import nms as nms_mod
@@ -114,6 +115,58 @@ def test_nms_from_raw_matches_decoded():
     d2, c2 = nms_mod.nms_from_raw(
         raw, jnp.asarray(spec.anchors_per_level()), tuple(spec.strides),
         0.01, 0.45, max_det=50, top_k=512)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("lane", ["sparse", "overflow"])
+def test_nms_from_raw_candidate_densities(lane):
+    """The raw-path top-K-by-score selection must reproduce
+    decode-everything + nms both when the candidate set fits the K
+    slab (sparse) and when it overflows K and the score-sorted
+    truncation becomes load-bearing (overflow — the reference's
+    max_nms edge, general.py:659-663). The conf threshold is picked
+    from the score distribution so each regime is deterministic."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.models import yolo, zoo
+    from yolov7_tracker_tpu.ops import nms as nms_mod
+
+    spec = zoo.get_spec("yolov7-tiny", nc=4)
+    model, variables = yolo.build_model(spec, img_size=128, init="random")
+    params = dict(variables["params"])
+    for k, v in params.items():
+        if k.startswith("head_m"):
+            v = dict(v)
+            v["kernel"] = v["kernel"] * 6.0
+            params[k] = v
+    variables = {"params": params,
+                 "batch_stats": variables["batch_stats"]}
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32))
+    pred, raw = model.apply(variables, x, training=False)
+
+    # pred is the DECODED head output: obj/cls already sigmoided
+    scores = np.sort(np.asarray(
+        pred[..., 4] * np.max(pred[..., 5:], axis=-1)
+    ), axis=1)[:, ::-1]                            # (B, N) descending
+    if lane == "sparse":
+        k_slab = 512
+        conf = float(scores[:, 20].min())          # >=20 true candidates
+        n_cand = (scores > conf).sum(axis=1)
+        assert 0 < n_cand.max() <= k_slab, "expected the sparse regime"
+    else:
+        k_slab = 64
+        conf = float(scores[:, 200].min())         # >=200 cands per image
+        n_cand = (scores > conf).sum(axis=1)
+        assert n_cand.max() > k_slab, "expected the overflow regime"
+
+    d1, c1 = nms_mod.nms(pred.astype(jnp.float32), conf, 0.45,
+                         max_det=32, top_k=k_slab)
+    d2, c2 = nms_mod.nms_from_raw(
+        raw, jnp.asarray(spec.anchors_per_level()), tuple(spec.strides),
+        conf, 0.45, max_det=32, top_k=k_slab)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-5, atol=1e-4)

@@ -139,49 +139,50 @@ def nms(
       dets: (max_det, 6) float32 [x1, y1, x2, y2, conf, cls], zero-padded.
       count: () int32 number of valid rows.
     """
-    if prediction.ndim == 3:
-        return jax.vmap(
-            lambda p: nms(
-                p,
-                conf_thres,
-                iou_thres,
-                max_det=max_det,
-                top_k=top_k,
-                multi_label=multi_label,
-                agnostic=agnostic,
-            )
-        )(prediction)
+    squeeze = prediction.ndim == 2
+    if squeeze:
+        prediction = prediction[None]
 
     nc = prediction.shape[-1] - 5
-    obj = prediction[:, 4]
+    obj = prediction[..., 4]
     cand = obj > conf_thres  # first gate (general.py:616)
-    box_xyxy = boxops.xywh_to_xyxy(prediction[:, :4])
-    cls_conf = prediction[:, 5:] * obj[:, None]  # conf = obj * cls
+    box_xyxy = boxops.xywh_to_xyxy(prediction[..., :4])
+    cls_conf = prediction[..., 5:] * obj[..., None]  # conf = obj * cls
+    b, n = prediction.shape[0], prediction.shape[1]
 
     if multi_label and nc > 1:
         # candidates are (box, class) pairs; flatten N x nc
-        n = prediction.shape[0]
-        conf = cls_conf.reshape(-1)  # (N*nc,)
+        conf = cls_conf.reshape(b, -1)  # (B, N*nc)
         cls_id = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (n,))
-        box_rep = jnp.repeat(box_xyxy, nc, axis=0)
-        keep = jnp.repeat(cand, nc) & (conf > conf_thres)
+        cls_id = jnp.broadcast_to(cls_id[None], (b, n * nc))
+        box_rep = jnp.repeat(box_xyxy, nc, axis=1)
+        keep = jnp.repeat(cand, nc, axis=1) & (conf > conf_thres)
     else:
-        conf = jnp.max(cls_conf, axis=1)
-        cls_id = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+        conf = jnp.max(cls_conf, axis=-1)
+        cls_id = jnp.argmax(cls_conf, axis=-1).astype(jnp.float32)
         box_rep = box_xyxy
         keep = cand & (conf > conf_thres)
 
-    score = jnp.where(keep, conf, -1.0)
-    k = min(top_k, score.shape[0])
+    score = jnp.where(keep, conf, -1.0)  # (B, M)
+    k = min(top_k, score.shape[1])
+    # Exact top-K-by-score selection (== the reference's max_nms
+    # score truncation, general.py:659-663). An O(N) cumsum+scatter
+    # compaction was probed and rejected: TPU scatter costs ~5x the
+    # top_k sort at these shapes (tools/tpu_sel_probe.py).
     top_scores, top_idx = jax.lax.top_k(score, k)
-    sel_box = box_rep[top_idx]
-    sel_cls = cls_id[top_idx]
+    sel_box = jnp.take_along_axis(box_rep, top_idx[..., None], axis=1)
+    sel_cls = jnp.take_along_axis(cls_id, top_idx, axis=1)
     offset = jnp.where(agnostic, 0.0, sel_cls * MAX_WH)
-    off_box = sel_box + offset[:, None]
-
+    off_box = sel_box + offset[..., None]
     scores0 = jnp.where(top_scores > 0, top_scores, -1.0)
-    return greedy_suppress(sel_box, off_box, scores0, sel_cls,
-                           max_det=max_det, iou_thres=iou_thres)
+
+    out, count = jax.vmap(
+        functools.partial(greedy_suppress, max_det=max_det,
+                          iou_thres=iou_thres)
+    )(sel_box, off_box, scores0, sel_cls)
+    if squeeze:
+        return out[0], count[0]
+    return out, count
 
 
 @functools.partial(
@@ -247,6 +248,17 @@ def nms_from_raw(
         flat_meta.append(meta.reshape(ny * nx * na, 5))
     # scores stay in the compute dtype through top_k (ordering-only
     # role). The selected rows re-decode in f32 below.
+    #
+    # This exact top-K-by-score selection (== the reference's max_nms
+    # score truncation, general.py:659-663) was probed against three
+    # alternatives at w6@1088/b16 and kept (tools/tpu_sel_probe.py):
+    # an O(N) cumsum+scatter compaction loses ~5x (TPU scatter), a
+    # dense 6-column decode loses ~2x (f32 relayout traffic), and a
+    # cheap obj-logit ordering key with a lax.cond exact fallback
+    # saves 0.03 ms/frame on paper but the conditional breaks XLA's
+    # fusion with the surrounding stages and measures +0.27 ms/frame
+    # end-to-end. The stage is HBM-read-bound: streaming the head
+    # tensors costs ~0.14 ms/frame, the sort itself ~0.09.
     scores = jnp.concatenate(flat_scores, axis=1)    # (B, N)
     meta = jnp.concatenate(flat_meta, axis=0)        # (N, 5) constants
     n_total = scores.shape[1]
