@@ -19,4 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Persistent compile cache: the suite's wall-clock is dominated by CPU
+# XLA compiles (1-core box); warm runs skip them entirely. Keyed by
+# backend so TPU bench caches don't mix in (same scheme as bench.py).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo, ".jax_cache-cpu-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+sys.path.insert(0, _repo)
