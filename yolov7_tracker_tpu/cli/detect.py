@@ -25,6 +25,8 @@ def main(argv=None):
                         "outnumber streams; parallel/spatial.py). "
                         "0/1 = single-device")
     opts = p.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import cv2
     import jax

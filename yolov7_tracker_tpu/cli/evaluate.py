@@ -73,6 +73,8 @@ def main(argv=None):
     p.add_argument("--output_folder", default="")
     p.add_argument("--result_ext", default=None)
     args = p.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from ..eval import evaluator
 

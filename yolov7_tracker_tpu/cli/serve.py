@@ -181,6 +181,8 @@ def _open_source(obj, max_frames):
 
 def main(argv=None):
     opts = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import signal
 
     import jax

@@ -148,6 +148,8 @@ def main(argv=None):
     p.add_argument("--plots", type=str, default="",
                    help="directory for PR-curve + confusion-matrix pngs")
     opts = p.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     with open(opts.data) as f:
         data_cfg = yaml.safe_load(f)

@@ -99,6 +99,8 @@ def load_dataset_config(opts):
 
 def main(argv=None):
     opts = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     cfgs = load_dataset_config(opts)
 
     import jax

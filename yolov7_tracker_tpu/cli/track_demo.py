@@ -57,6 +57,8 @@ def _write_results(writer, opts, name, results):
 
 def main(argv=None):
     opts = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..data import sequence as seqmod
     from ..data import writer
     from ..pipeline import PipelineConfig, TrackingPipeline

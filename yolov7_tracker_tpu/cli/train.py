@@ -115,6 +115,8 @@ def _find_latest_ckpt(ckpt_dir: str, fingerprint=None):
 
 def main(argv=None):
     opts = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     with open(opts.data) as f:
         data_cfg = yaml.safe_load(f)
 

@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache for the CLI entries.
+
+The w6 detector graph takes minutes to compile cold on a 1-core host
+and ~20-40 s on TPU; every CLI invocation is a fresh process, so
+without a persistent cache each run pays full compile. Same scheme as
+bench.py:95-105: one cache directory per backend (CPU AOT artifacts
+written on one host can SIGILL on another with different CPU features,
+and TPU/CPU entries must not mix).
+
+Replaces nothing in the reference — torch eager has no compile step;
+this is the TPU-native equivalent of its "load weights and go" UX.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache() -> None:
+    """Best-effort: point jax at a backend-scoped on-disk compile cache.
+
+    Call before the first jit compilation. Honors
+    JAX_COMPILATION_CACHE_DIR; defaults next to the package so repo
+    checkouts self-contain their caches.
+    """
+    import jax
+
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if base is None:
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        base = os.path.join(repo, ".jax_cache")
+    try:
+        cache_dir = f"{base}-{jax.default_backend()}"
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization, never a failure
