@@ -91,12 +91,12 @@ def main():
 
     # persistent compilation cache: this host has 1 CPU core and the w6
     # graph takes minutes to compile cold; warm runs reuse the artifact.
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
-    )
-    # namespace by backend: CPU AOT entries written on one host machine
-    # fail (or SIGILL) when loaded on another with different CPU features
-    cache_dir = f"{cache_dir}-{jax.default_backend()}"
+    # env-provided dirs are honored verbatim; only the default is
+    # namespaced by backend (CPU AOT entries written on one host machine
+    # fail (or SIGILL) when loaded on another with different CPU features)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = f"/root/repo/.jax_cache-{jax.default_backend()}"
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

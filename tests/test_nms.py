@@ -1,7 +1,6 @@
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from yolov7_tracker_tpu.ops import nms as nms_mod
@@ -89,8 +88,6 @@ def test_nms_from_raw_matches_decoded():
     """The fused score-first NMS (raw head inputs, top-k before decode)
     produces identical detections to decode-everything + nms on a real
     model (f32 compute, so ordering is exact)."""
-    import jax.numpy as jnp
-
     from yolov7_tracker_tpu.models import yolo, zoo
     from yolov7_tracker_tpu.ops import nms as nms_mod
 
@@ -128,8 +125,6 @@ def test_nms_from_raw_candidate_densities(lane):
     truncation becomes load-bearing (overflow — the reference's
     max_nms edge, general.py:659-663). The conf threshold is picked
     from the score distribution so each regime is deterministic."""
-    import jax.numpy as jnp
-
     from yolov7_tracker_tpu.models import yolo, zoo
     from yolov7_tracker_tpu.ops import nms as nms_mod
 

@@ -19,9 +19,8 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from yolov7_tracker_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

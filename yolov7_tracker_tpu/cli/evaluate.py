@@ -73,8 +73,9 @@ def main(argv=None):
     p.add_argument("--output_folder", default="")
     p.add_argument("--result_ext", default=None)
     args = p.parse_args(argv)
-    from ..utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
+    # No compile cache here: this CLI is pure numpy (eval/evaluator.py
+    # never imports jax), and initializing jax would grab the exclusive
+    # TPU chip lock for the whole metrics run, blocking serve/track.
 
     from ..eval import evaluator
 

@@ -25,13 +25,16 @@ def enable_persistent_cache() -> None:
     """
     import jax
 
-    base = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if base is None:
-        repo = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))))
-        base = os.path.join(repo, ".jax_cache")
+    # An env-provided dir is honored verbatim (it may point at an
+    # existing, prepopulated cache); only the repo-local default gets
+    # the backend suffix that keeps CPU and TPU AOT artifacts apart.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     try:
-        cache_dir = f"{base}-{jax.default_backend()}"
+        if cache_dir is None:
+            repo = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            cache_dir = os.path.join(
+                repo, f".jax_cache-{jax.default_backend()}")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
