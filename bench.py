@@ -74,15 +74,32 @@ def build_pipeline(model, img, batch):
     # BENCH_QUANT=int8 serves the detector W8A8 (models/quant.py;
     # synthetic calibration — a perf measurement, not an accuracy claim)
     quant = os.environ.get("BENCH_QUANT", "none")
+    # BENCH_TRACKER picks any registered tracker (sort/bytetrack/
+    # c_bioutracker/deepsort/botsort/uavmot/strongsort/deepmot);
+    # BENCH_REID adds on-device appearance embeddings (deepsort_cnn or
+    # an OSNet name) exactly as cli/track.py --reid_model_path does.
+    # The headline stays bytetrack — these knobs exist so every
+    # tracker's serving fps is measurable with the same harness
+    # (tools/tracker_fleet_bench.py runs the whole zoo in one session).
+    tracker = os.environ.get("BENCH_TRACKER", "bytetrack")
+    reid = os.environ.get("BENCH_REID", "none")
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
-                          detector_batch=batch, quant=quant)
+                          detector_batch=batch, quant=quant, reid=reid)
     # det_capacity defaults to the CLI parity value (300 = NMS max_det,
     # cli/track.py) so the benchmarked association problem is the
     # semantics-faithful one; BENCH_DET_CAP=64 reproduces the lighter
     # r2 configuration (reported in detail as fps_detcap64).
     det_cap = int(os.environ.get("BENCH_DET_CAP", "300"))
-    tcfg = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
-                         capacity=128, det_capacity=det_cap)
+    extra = {}
+    if tracker == "deepmot":
+        dhn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "weights", "dhn_h32.msgpack")
+        if os.path.isfile(dhn):
+            extra = {"dhn_weights": dhn, "dhn_hidden": 32}
+    tcfg = TrackerConfig(tracker=tracker, conf_thresh=0.5,
+                         capacity=128, det_capacity=det_cap,
+                         feature_dim=512 if reid != "none" else 0,
+                         **extra)
     return TrackingPipeline(pcfg, tcfg, variables=variables, spec=spec)
 
 
@@ -370,10 +387,16 @@ def main():
         except Exception as e2:
             log(f"seqpar subprocess failed: {e2}")
 
-    baseline = 14.32  # reference ByteTrack fps, A100 (README.md:62)
+    # reference per-tracker fps on an A100 (README.md:60-65); deepmot's
+    # 7.64 doubles for strongsort/c_biou which the reference publishes
+    # no number for (strongsort is marked broken, README.md:191)
+    ref_fps = {"sort": 12.2, "deepsort": 12.51, "bytetrack": 14.32,
+               "deepmot": 7.64, "botsort": 5.41, "uavmot": 18.56}
+    tracker_name = pipe.tcfg.tracker
+    baseline = ref_fps.get(tracker_name, 14.32)
     frame_mb = np.prod(host_frames[0].shape[1:]) / 1e6
     print(json.dumps({
-        "metric": f"e2e_bytetrack_fps_{model}_{img}px",
+        "metric": f"e2e_{tracker_name}_fps_{model}_{img}px",
         "value": round(compute_fps, 2),
         "unit": "fps",
         "vs_baseline": round(compute_fps / baseline, 2),
@@ -411,6 +434,8 @@ def main():
                 else None),
             "n_parallel_seqs": nseq,
             "batch": batch,
+            "tracker": tracker_name,
+            "reid": pipe.pcfg.reid,
             "quant": os.environ.get("BENCH_QUANT", "none"),
             "device": str(jax.devices()[0]),
         },

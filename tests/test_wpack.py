@@ -1,0 +1,98 @@
+"""Width-packed execution (models/wpack.py): exactness of every packed
+conv geometry against the direct conv, the concat-permutation fold, the
+region planner, and (slow) full-model parity on the real yolov7-w6
+graph — the packed region must be output-identical to the regular
+fused path (it reorders f32 accumulation only).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov7_tracker_tpu.models import wpack
+
+
+def conv(x, k, s, pad):
+    return jax.lax.conv_general_dilated(
+        x, k, s, pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def rand(rng, *shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "k,s,pad,q",
+    [(3, 1, 1, 2), (3, 2, 1, 2), (3, 2, 1, 1), (1, 1, 0, 2),
+     (6, 2, 2, 2)],
+)
+def test_packed_conv_exact(k, s, pad, q):
+    rng = np.random.default_rng(k * 10 + s + q)
+    w_in = 16
+    x = rand(rng, 2, 8, w_in, 5)
+    kern = rand(rng, k, k, 5, 7)
+    base = conv(x, kern, (s, s), ((pad, pad), (pad, pad)))
+    kp, sp, pads = wpack.pack_kernel(kern, s=s, pad=pad, q=q)
+    y = conv(wpack.pack_w(x), kp, (s, sp), ((pad, pad), pads))
+    got = wpack.unpack_w(y) if q == 2 else y
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_concat_perm_folds_into_consumer(k):
+    rng = np.random.default_rng(3 + k)
+    parts = [rand(rng, 2, 8, 12, c) for c in (3, 5, 4)]
+    kern = rand(rng, k, k, 12, 6)
+    pad = k // 2
+    base = conv(jnp.concatenate(parts, -1), kern, (1, 1),
+                ((pad, pad), (pad, pad)))
+    raw = jnp.concatenate([wpack.pack_w(p) for p in parts], -1)
+    perm = wpack.concat_perm([3, 5, 4])
+    kp, sp, pads = wpack.pack_kernel(kern, s=1, pad=pad, q=2,
+                                     in_perm=perm)
+    got = wpack.unpack_w(conv(raw, kp, (1, sp), ((pad, pad), pads)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plan_region_w6_front():
+    from yolov7_tracker_tpu.models import zoo
+
+    r = wpack.plan_region(zoo.get_spec("yolov7-w6", nc=80))
+    assert r is not None
+    assert r["exit"] == 11 and r["plan"][11] == "exit"
+    assert r["plan"][1] == "stem" and r["plan"][9] == "concat"
+    # the concat consumer carries the permutation
+    assert list(r["perm"]) == [10]
+    # ELAN branch widths at the concat (cfg yolov7-w6.yaml rows 3-9)
+    assert len(r["perm"][10]) == 2 * 256
+
+
+@pytest.mark.parametrize("name", ["yolov7", "yolov7-tiny", "yolov7x"])
+def test_plan_region_none_for_non_reorg_fronts(name):
+    from yolov7_tracker_tpu.models import zoo
+
+    assert wpack.plan_region(zoo.get_spec(name, nc=80)) is None
+
+
+@pytest.mark.slow  # w6 CPU compile is minutes; parity on the real graph
+def test_w6_wpack_full_model_parity():
+    from yolov7_tracker_tpu.models import yolo, zoo
+    from yolov7_tracker_tpu.models.fuse import fuse_variables
+
+    spec = zoo.get_spec("yolov7-w6", nc=8)
+    _, variables = yolo.build_model(spec, img_size=128, init="random")
+    fv = fuse_variables(variables)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 128, 128, 3)).astype(np.float32))
+    pb, rb = yolo.YoloV7(spec, fused=True).apply(fv, x, training=False)
+    pp, rp = yolo.YoloV7(spec, fused=True, wpack=True).apply(
+        fv, x, training=False)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pb),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(rb, rp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

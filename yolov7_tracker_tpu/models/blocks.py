@@ -87,6 +87,70 @@ class _ReOrgFoldedConv(nn.Module):
         return y
 
 
+class _WPackConv(nn.Module):
+    """Fused conv executed on width-packed tensors (models/wpack.py).
+
+    Parameters keep the regular fused-conv tree ("kernel"/"bias" with
+    reference shapes — for mode='stem' the _ReOrgFoldedConv shape
+    (3, 3, 4C, c2)), so checkpoints, the torch converter, and
+    fuse_variables are all unaffected; the packed kernel is a cheap
+    in-call rearrangement (a few dynamic-update-slices on a tensor of
+    kernel size, nothing proportional to activations).
+
+    Modes:
+      'stem'   raw image in -> packed out: fold ReOrg+3x3 to 6x6/s2
+               (exact, see _ReOrgFoldedConv), then pack q=2;
+      'packed' packed in -> packed out (s in {1, 2});
+      'exit'   packed in -> regular out (s=2 only).
+    perm: canonical packed input channel held at each raw position —
+    set when the input is a concat of packed tensors (wpack.concat_perm).
+    """
+
+    c2: int
+    k: int
+    s: int
+    mode: str
+    perm: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from . import wpack
+
+        if self.mode == "stem":
+            c1 = x.shape[-1]
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (3, 3, 4 * c1, self.c2),
+            )
+            # ReOrg fold: (3,3,4C,c2) -> 6x6/s2 kernel (the exact
+            # relabeling derived in _ReOrgFoldedConv)
+            k6 = (kernel
+                  .reshape(3, 3, 2, 2, c1, self.c2)
+                  .transpose(0, 3, 1, 2, 4, 5)
+                  .reshape(6, 6, c1, self.c2))
+            kp, sp, pads = wpack.pack_kernel(k6, s=2, pad=2, q=2)
+            y = jax.lax.conv_general_dilated(
+                wpack.pack_w(x), kp.astype(x.dtype), (2, sp),
+                ((2, 2), pads),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            bias = self.param("bias", nn.initializers.zeros, (self.c2,))
+            return y + wpack.packed_bias(bias, 2).astype(y.dtype)
+        c1 = x.shape[-1] // 2
+        q = 2 if self.mode == "packed" else 1
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.k, self.k, c1, self.c2),
+        )
+        kp, sp, pads = wpack.pack_kernel(
+            kernel, s=self.s, pad=self.k // 2, q=q, in_perm=self.perm)
+        y = jax.lax.conv_general_dilated(
+            x, kp.astype(x.dtype), (self.s, sp),
+            ((self.k // 2, self.k // 2), pads),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,))
+        return y + wpack.packed_bias(bias, q).astype(y.dtype)
+
+
 class _QuantConv(nn.Module):
     """W8A8 static-PTQ conv (no reference counterpart — the reference
     serves fp16; this is a TPU-native lever: the v5e MXU runs int8
@@ -168,7 +232,17 @@ class ConvBnAct(nn.Module):
 
     reorg_fold=True: the layer consumes the RAW pre-ReOrg input and
     computes conv(reorg(x)) as one folded 6x6/s2 conv
-    (_ReOrgFoldedConv); only valid for k=3, s=1, g=1."""
+    (_ReOrgFoldedConv); only valid for k=3, s=1, g=1.
+
+    wpack ('stem' | 'packed' | 'exit'): the layer participates in a
+    width-packed region (models/wpack.py): column pairs ride in the
+    channel axis so the narrow-channel w6 front hits the full 128-lane
+    tile width. 'stem' consumes the RAW image, packs it, and emits a
+    packed output (implies reorg_fold); 'packed' consumes + produces
+    packed tensors; 'exit' is the region's stride-2 boundary (packed
+    in, regular out). Exact transform — parameters keep their
+    reference shapes, the block-structured packed kernel is built
+    in-call. Inference-only: requires fused=True."""
 
     c2: int
     k: int = 1
@@ -178,9 +252,19 @@ class ConvBnAct(nn.Module):
     fused: bool = False
     p: Optional[int] = None  # explicit pad (yolov5's 6x6/s2/p2 stem)
     reorg_fold: bool = False
+    wpack: str = ""
+    wpack_perm: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if self.wpack:
+            if self.fused is not True:
+                raise ValueError("wpack requires fused=True")
+            x = _WPackConv(
+                self.c2, self.k, self.s, mode=self.wpack,
+                perm=self.wpack_perm, name="conv",
+            )(x)
+            return activation(self.act)(x)
         if self.fused == INT8:
             x = _QuantConv(
                 self.c2, self.k, self.s, self.g, self.p,

@@ -33,6 +33,15 @@ from .spec import ModelSpec
 class YoloV7(nn.Module):
     spec: ModelSpec
     fused: bool = False  # BN folded into conv (models/fuse.py)
+    # Width-packed execution of the narrow-channel front (models/
+    # wpack.py): when the spec matches the w6-family ReOrg-stem
+    # pattern, the stem through the first E-ELAN stages runs on
+    # column-pair-packed tensors so 64-channel convs use all 128
+    # vector lanes (measured ~4x per-conv on v5e,
+    # tools/tpu_pack_probe.py). Exact transform, parameter tree
+    # unchanged; inference-only (requires fused=True). No-op when the
+    # spec doesn't match (plan_region returns None).
+    wpack: bool = False
     # Applied to each per-level decoded tensor, both the (B, ny, nx,
     # [na,] C) grid-shaped form and the flattened (B, N, C) form. The
     # spatial-inference path (parallel/spatial.py) installs a
@@ -63,14 +72,31 @@ class YoloV7(nn.Module):
                 fold_convs.add(nxt.index)
         self._folded_reorg = tuple(folded_reorg)
 
+        wplan = {}
+        wperm = {}
+        if self.wpack and self.fused is True:
+            from . import wpack as wpack_mod
+
+            region = wpack_mod.plan_region(self.spec)
+            # the packed stem subsumes the ReOrg fold; only engage when
+            # the fold itself is eligible (it always is for w6-family)
+            if region is not None and 1 in fold_convs:
+                wplan = region["plan"]
+                wperm = {i: tuple(int(v) for v in p)
+                         for i, p in region["perm"].items()}
+
         mods = {}
         for l in self.spec.layers:
             if l.kind == "Conv":
                 k, s, g, act = l.args[:4]
                 p = l.args[4] if len(l.args) > 4 else None
+                mode = wplan.get(l.index, "")
                 mods[str(l.index)] = blocks.ConvBnAct(
                     l.c_out, k, s, g, act, fused=self.fused, p=p,
                     reorg_fold=l.index in fold_convs,
+                    wpack=mode if mode in ("stem", "packed", "exit")
+                    else "",
+                    wpack_perm=wperm.get(l.index),
                     name=f"layer{l.index}",
                 )
             elif l.kind == "RepConv":

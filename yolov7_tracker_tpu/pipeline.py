@@ -57,6 +57,13 @@ class PipelineConfig:
                                    # (tools/mxu_probe.py: this runtime
                                    # runs int8 convs at ~bf16 rate).
                                    # Heads stay in the compute dtype.
+    wpack: bool = True             # width-packed execution of the
+                                   # narrow-channel model front
+                                   # (models/wpack.py) — exact, ~4x on
+                                   # the w6 stem/ELAN-1 convs; no-op
+                                   # for specs without a ReOrg front.
+                                   # Auto-disabled for int8 and the
+                                   # spatially-sharded mode.
     reid: str = "none"             # appearance embeddings for the
                                    # feature trackers: "deepsort_cnn"
                                    # (128h x 64w crops, deepsort.py:19-40)
@@ -115,7 +122,9 @@ class TrackingPipeline:
             )
             self.model = yolo.YoloV7(self.spec, fused="int8")
         else:
-            self.model = yolo.YoloV7(self.spec, fused=pcfg.fuse)
+            self.model = yolo.YoloV7(
+                self.spec, fused=pcfg.fuse,
+                wpack=pcfg.wpack and pcfg.fuse is True)
         # int8 variables stay as produced (int8 kernels + f32 scales:
         # the dequant multiply runs in f32 regardless, and bf16-rounding
         # the scales would only add error); otherwise cast to bf16
@@ -242,7 +251,10 @@ class TrackingPipeline:
                     return jax.lax.with_sharding_constraint(x, _h)
                 return jax.lax.with_sharding_constraint(x, _r)
 
-            model = model.clone(decode_hook=_hook)
+            # wpack off under spatial sharding: the packed region would
+            # drag GSPMD through the block-kernel rearrangement for no
+            # gain (the mode targets single-chip lane utilization)
+            model = model.clone(decode_hook=_hook, wpack=False)
             # spatial mode consumes the model's DECODED predictions
             # (gathered replicated by the hook) so the NMS stays out of
             # the partitioned region; the raw-path fused NMS would drag
