@@ -40,17 +40,10 @@ def main():
 
     import jax
 
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
+    from yolov7_tracker_tpu.utils.compile_cache import (
+        enable_persistent_cache,
     )
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            f"{cache_dir}-{jax.default_backend()}",
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -100,12 +93,35 @@ def main():
         state, metrics = step(state, imgs, targets, tmask)
     np.asarray(metrics["loss"])
     dt = (time.time() - t0) / args.steps
+
+    # step FLOPs from XLA's own cost analysis -> achieved TFLOP/s and
+    # MFU against the chip's bf16 peak (same pattern as bench.py's
+    # detector MFU) so the training hot loop's efficiency is a tracked
+    # number, not arithmetic from imgs/s
+    tflops = mfu = flops_per_step = None
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197.0"))
+    try:
+        cost = step.lower(
+            state, imgs, targets, tmask).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"])
+        tflops = flops_per_step / dt / 1e12
+        mfu = tflops / (peak * len(jax.devices()))
+    except Exception as e:  # cost analysis is backend-best-effort
+        print(f"[train_bench] cost analysis unavailable: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "model": args.model,
         "img": args.img,
         "batch": b,
         "imgs_per_s": round(b / dt, 2),
         "step_ms": round(dt * 1e3, 2),
+        "step_gflops": (round(flops_per_step / 1e9, 1)
+                        if flops_per_step else None),
+        "tflops": round(tflops, 1) if tflops else None,
+        "mfu": round(mfu, 3) if mfu else None,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
     }))

@@ -150,13 +150,21 @@ class _StreamReader:
 
 
 def _stream_name(i, obj):
-    base = os.path.splitext(os.path.basename(obj.rstrip("/")))[0]
-    safe = base.replace("://", "_").replace("/", "_") or "stream"
+    import re
+
+    # URL queries (rtsp://cam?auth=..., synth://...?stall=...) don't
+    # belong in filenames; neither do separators or unbounded length
+    base = os.path.splitext(
+        os.path.basename(obj.split("?")[0].rstrip("/")))[0]
+    safe = re.sub(r"[^A-Za-z0-9._-]+", "_", base)[:80] or "stream"
     return f"{i:02d}_{safe}"
 
 
 def _is_live(obj):
-    """Webcam/RTSP sources cannot be replayed; files and dirs can."""
+    """Webcam/RTSP sources cannot be replayed; files, dirs, and synth
+    specs can (synth regenerates deterministically from its spec)."""
+    if obj.startswith("synth://"):
+        return False
     return obj.isdigit() or "://" in obj
 
 
@@ -164,6 +172,8 @@ def _open_source(obj, max_frames):
     """Uniform frame iterator over the demo CLI's source kinds."""
     from ..data import sequence as seqmod
 
+    if obj.startswith("synth://"):
+        return iter(seqmod.SynthFrames(obj))
     if _is_live(obj):
         return iter(seqmod.StreamFrames(obj, max_frames=max_frames))
     if os.path.isdir(obj):

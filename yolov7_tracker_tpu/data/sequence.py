@@ -160,3 +160,59 @@ class StreamFrames:
 
     def release(self):
         self.cap.release()
+
+
+class SynthFrames:
+    """Deterministic synthetic camera for soak/fault testing — no
+    reference counterpart (the reference has no serving loop to soak).
+
+    Spec string: ``synth://<n>x<h>x<w>[?seed=K&shift=PX&stall=F:SEC,...]``
+      n          frames to emit
+      h, w       frame size (HWC uint8 BGR)
+      seed       RNG seed for the base scene (default 0)
+      shift      horizontal pixels the scene moves per frame (default 2)
+      stall      injected hiccups: at frame F the reader sleeps SEC
+                 seconds before yielding (comma-separated list)
+
+    The scene is a fixed noise background plus bright blocks that
+    translate ``shift`` px/frame, so a sharpened detector yields stable
+    boxes that re-associate frame to frame; replaying the same spec
+    reproduces the identical frame sequence (resume fast-forward safe).
+    """
+
+    def __init__(self, spec: str):
+        import re as _re
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(spec)
+        m = _re.fullmatch(r"(\d+)x(\d+)x(\d+)", u.netloc + u.path)
+        assert m, f"bad synth spec {spec!r} (want synth://NxHxW)"
+        self.n, self.h, self.w = (int(g) for g in m.groups())
+        q = parse_qs(u.query)
+        self.seed = int(q.get("seed", ["0"])[0])
+        self.shift = int(q.get("shift", ["2"])[0])
+        self.stalls = {}
+        for part in q.get("stall", [""])[0].split(","):
+            if part:
+                f, sec = part.split(":")
+                self.stalls[int(f)] = float(sec)
+        rng = __import__("numpy").random.default_rng(self.seed)
+        np = __import__("numpy")
+        base = rng.integers(0, 96, (self.h, self.w, 3), np.uint8)
+        for _ in range(6):  # bright trackable blocks
+            y = int(rng.integers(0, max(1, self.h - 24)))
+            x = int(rng.integers(0, max(1, self.w - 24)))
+            base[y:y + 24, x:x + 24] = rng.integers(200, 255, 3)
+        self.base = base
+        self.fps = 30
+
+    def __iter__(self):
+        import time as _time
+
+        import numpy as np
+
+        for i in range(self.n):
+            sec = self.stalls.get(i)
+            if sec:
+                _time.sleep(sec)
+            yield np.roll(self.base, (i * self.shift) % self.w, axis=1)

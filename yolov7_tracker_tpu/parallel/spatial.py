@@ -17,10 +17,15 @@ streams outnumber chips. Use `shard-H` when chips outnumber streams.
 
 Validated numerically against the unsharded forward on the virtual
 8-device CPU mesh (tests/test_spatial.py) and compile-checked by the
-driver's `dryrun_multichip` hook. Halo-exchange cost scales with the
-receptive-field overlap at each shard boundary: one row-block of
-~stride-64 features per chip pair per layer, a few kB over ICI — far
-below the conv FLOPs it unlocks.
+driver's `dryrun_multichip` hook. NO latency has been MEASURED for
+this mode: this harness has one real chip, so the halo-exchange cost
+over ICI is an estimate, not a number. The estimate: halo traffic
+scales with the receptive-field overlap at each shard boundary (one
+row-block of features per chip pair per layer — for w6@1088 on 4
+chips, ~1-2 MB aggregate per frame, ~2-4 us/layer at ICI's ~100 GB/s,
+vs the ~0.4 ms/chip of conv work it unlocks), so the mode should
+approach linear latency scaling — but treat that as a design claim
+until a multi-chip run measures it.
 """
 
 from __future__ import annotations

@@ -25,6 +25,18 @@ def enable_persistent_cache() -> None:
     """
     import jax
 
+    # Honor JAX_PLATFORMS even on hosts whose sitecustomize
+    # force-registers an accelerator plugin (which makes jax ignore the
+    # env var): a CLI run with JAX_PLATFORMS=cpu must NOT grab the
+    # exclusive TPU chip lock (tests, soaks, and anything sharing the
+    # host with a serving process rely on this).
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+
     # An env-provided dir is honored verbatim (it may point at an
     # existing, prepopulated cache); only the repo-local default gets
     # the backend suffix that keeps CPU and TPU AOT artifacts apart.
