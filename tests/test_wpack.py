@@ -58,6 +58,112 @@ def test_concat_perm_folds_into_consumer(k):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stem_unpacked_kernel_exact():
+    # unpacked-canvas stem kernel vs the plain folded 6x6/s2 conv
+    rng = np.random.default_rng(11)
+    x = rand(rng, 2, 12, 16, 3)
+    k6 = rand(rng, 6, 6, 3, 7)
+    base = conv(x, k6, (2, 2), ((2, 2), (2, 2)))
+    kp, strides, pads = wpack.stem_kernel_unpacked(k6)
+    got = wpack.unpack_w(conv(x, kp, strides, pads))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_raw_fold_matches_normalized_path():
+    # raw-scale BGR canvas with the kernel-side flip + 1/255 fold
+    # (blocks._WPackConv raw_in) == the normalized-canvas path
+    rng = np.random.default_rng(12)
+    raw = jnp.asarray(
+        rng.uniform(0, 255, (2, 12, 16, 3)).astype(np.float32))
+    k6 = rand(rng, 6, 6, 3, 7)
+    base = conv(raw[..., ::-1] / 255.0, k6, (2, 2), ((2, 2), (2, 2)))
+    kp, strides, pads = wpack.stem_kernel_unpacked(
+        k6[:, :, ::-1, :] * (1.0 / 255.0))
+    got = wpack.unpack_w(conv(raw, kp, strides, pads))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _mini_w6_cfg():
+    """Smallest cfg matching the w6-family packable-front pattern:
+    ReOrg stem + narrow E-ELAN-ish stage + concat + stride-2 exit."""
+    return {
+        "nc": 4,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "ReOrg", []],
+            [-1, 1, "Conv", [16, 3, 1]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [16, 1, 1]],
+            [-2, 1, "Conv", [16, 1, 1]],
+            [-1, 1, "Conv", [16, 3, 1]],
+            [[-1, -2, -4], 1, "Concat", [1]],
+            [-1, 1, "Conv", [32, 1, 1]],
+            [-1, 1, "Conv", [128, 3, 2]],
+        ],
+        "head": [[[-1], 1, "IDetect", ["nc", "anchors"]]],
+    }
+
+
+def test_mini_front_full_model_parity_incl_raw_stem():
+    from yolov7_tracker_tpu.models import spec as spec_mod
+    from yolov7_tracker_tpu.models import yolo
+    from yolov7_tracker_tpu.models.fuse import fuse_variables
+
+    s = spec_mod.parse_yaml_cfg(_mini_w6_cfg(), name="mini-w6", nc=4)
+    assert wpack.plan_region(s) is not None
+    assert yolo.wpack_stem_active(s)
+    _, variables = yolo.build_model(s, img_size=64, init="random")
+    fv = fuse_variables(variables)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32))
+    pb, _ = yolo.YoloV7(s, fused=True).apply(fv, x, training=False)
+    pp, _ = yolo.YoloV7(s, fused=True, wpack=True).apply(
+        fv, x, training=False)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pb),
+                               rtol=1e-4, atol=1e-5)
+    # raw-scale BGR input, normalization folded into the stem kernel
+    x_raw = x[..., ::-1] * 255.0
+    pr, _ = yolo.YoloV7(
+        s, fused=True, wpack=True, wpack_raw_stem=True
+    ).apply(fv, x_raw, training=False)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mini_front_pipeline_detect_parity():
+    """detect_batch with the raw-canvas wpack serving path (preprocess
+    normalize=False + wpack_raw_stem) == the unpacked pipeline."""
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    from yolov7_tracker_tpu.models import spec as spec_mod
+    from yolov7_tracker_tpu.models import yolo
+    from yolov7_tracker_tpu.pipeline import PipelineConfig, TrackingPipeline
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    s = spec_mod.parse_yaml_cfg(_mini_w6_cfg(), name="mini-w6", nc=4)
+    _, variables = yolo.build_model(s, img_size=64, init="random")
+    tc = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
+                       capacity=8, det_capacity=8)
+    frames = np.asarray(np.random.default_rng(1).integers(
+        0, 255, (2, 60, 80, 3)), np.uint8)
+    outs = []
+    for wp in (False, True):
+        pipe = TrackingPipeline(
+            PipelineConfig(model="mini-w6", nc=4, img_size=64,
+                           detector_batch=2, dtype="float32", wpack=wp),
+            tc, variables=variables, spec=s)
+        assert pipe._wpack_raw is wp
+        outs.append(pipe.detect_batch(frames))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_plan_region_w6_front():
     from yolov7_tracker_tpu.models import zoo
 
@@ -96,3 +202,10 @@ def test_w6_wpack_full_model_parity():
     for a, b in zip(rb, rp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+    # raw-canvas serving variant on the real graph: BGR raw-scale in,
+    # normalization folded into the packed stem kernel
+    pr, _ = yolo.YoloV7(spec, fused=True, wpack=True,
+                        wpack_raw_stem=True).apply(
+        fv, x[..., ::-1] * 255.0, training=False)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pb),
+                               rtol=1e-4, atol=1e-4)

@@ -66,12 +66,14 @@ def letterbox_host(img: np.ndarray, new_shape=(640, 640), stride: int = 32,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "src_hw", "unpad_hw", "bgr_to_rgb", "dtype"),
+    static_argnames=("out_hw", "src_hw", "unpad_hw", "bgr_to_rgb", "dtype",
+                     "normalize"),
 )
 def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
                       out_hw: Tuple[int, int],
                       unpad_hw: Tuple[int, int] | None = None,
-                      bgr_to_rgb: bool = True, dtype=jnp.float32):
+                      bgr_to_rgb: bool = True, dtype=jnp.float32,
+                      normalize: bool = True):
     """Fused on-device preprocessing for a (B, H, W, 3) uint8 batch.
 
     Bilinear-resizes to the letterbox rectangle for a *fixed* source size
@@ -106,6 +108,12 @@ def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
         (frames.shape[0], out_hw[0], out_hw[1], 3), PAD_VALUE, dtype
     )
     out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    if not normalize:
+        # raw-scale BGR canvas (pad band stays 114): the width-packed
+        # stem kernel absorbs the channel swap and the /255 scale
+        # (models/wpack.stem_kernel_unpacked + blocks._WPackConv
+        # raw_in) — drops a canvas-sized elementwise pass.
+        return out, (r, (dw, dh))
     if bgr_to_rgb:
         out = out[..., ::-1]
     return out / 255.0, (r, (dw, dh))

@@ -98,12 +98,19 @@ class _WPackConv(nn.Module):
     kernel size, nothing proportional to activations).
 
     Modes:
-      'stem'   raw image in -> packed out: fold ReOrg+3x3 to 6x6/s2
-               (exact, see _ReOrgFoldedConv), then pack q=2;
+      'stem'   letterbox canvas in -> packed out: fold ReOrg+3x3 to
+               6x6/s2 (exact, see _ReOrgFoldedConv), then emit the
+               packed output straight from the UNPACKED canvas
+               (wpack.stem_kernel_unpacked — no image relayout);
       'packed' packed in -> packed out (s in {1, 2});
       'exit'   packed in -> regular out (s=2 only).
     perm: canonical packed input channel held at each raw position —
     set when the input is a concat of packed tensors (wpack.concat_perm).
+    raw_in: the canvas skipped BGR->RGB and /255 (device_preprocess
+    normalize=False); both fold into the stem kernel — exact for the
+    flip, and the scale just moves one rounding from every canvas
+    element onto the kernel (zero conv padding commutes with a linear
+    scale; the 114 pad band scales identically on either side).
     """
 
     c2: int
@@ -111,6 +118,7 @@ class _WPackConv(nn.Module):
     s: int
     mode: str
     perm: Optional[Tuple[int, ...]] = None
+    raw_in: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -128,10 +136,11 @@ class _WPackConv(nn.Module):
                   .reshape(3, 3, 2, 2, c1, self.c2)
                   .transpose(0, 3, 1, 2, 4, 5)
                   .reshape(6, 6, c1, self.c2))
-            kp, sp, pads = wpack.pack_kernel(k6, s=2, pad=2, q=2)
+            if self.raw_in:
+                k6 = k6[:, :, ::-1, :] * (1.0 / 255.0)
+            kp, strides, pads = wpack.stem_kernel_unpacked(k6)
             y = jax.lax.conv_general_dilated(
-                wpack.pack_w(x), kp.astype(x.dtype), (2, sp),
-                ((2, 2), pads),
+                x, kp.astype(x.dtype), strides, pads,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             bias = self.param("bias", nn.initializers.zeros, (self.c2,))
             return y + wpack.packed_bias(bias, 2).astype(y.dtype)
@@ -237,12 +246,14 @@ class ConvBnAct(nn.Module):
     wpack ('stem' | 'packed' | 'exit'): the layer participates in a
     width-packed region (models/wpack.py): column pairs ride in the
     channel axis so the narrow-channel w6 front hits the full 128-lane
-    tile width. 'stem' consumes the RAW image, packs it, and emits a
-    packed output (implies reorg_fold); 'packed' consumes + produces
-    packed tensors; 'exit' is the region's stride-2 boundary (packed
-    in, regular out). Exact transform — parameters keep their
-    reference shapes, the block-structured packed kernel is built
-    in-call. Inference-only: requires fused=True."""
+    tile width. 'stem' consumes the letterbox canvas directly and
+    emits a packed output (implies reorg_fold); 'packed' consumes +
+    produces packed tensors; 'exit' is the region's stride-2 boundary
+    (packed in, regular out). wpack_raw marks a 'stem' whose canvas is
+    raw-scale BGR (the kernel absorbs BGR->RGB and /255). Exact
+    transform — parameters keep their reference shapes, the
+    block-structured packed kernel is built in-call. Inference-only:
+    requires fused=True."""
 
     c2: int
     k: int = 1
@@ -254,6 +265,7 @@ class ConvBnAct(nn.Module):
     reorg_fold: bool = False
     wpack: str = ""
     wpack_perm: Optional[Tuple[int, ...]] = None
+    wpack_raw: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -262,7 +274,8 @@ class ConvBnAct(nn.Module):
                 raise ValueError("wpack requires fused=True")
             x = _WPackConv(
                 self.c2, self.k, self.s, mode=self.wpack,
-                perm=self.wpack_perm, name="conv",
+                perm=self.wpack_perm, raw_in=self.wpack_raw,
+                name="conv",
             )(x)
             return activation(self.act)(x)
         if self.fused == INT8:

@@ -116,6 +116,30 @@ def pack_kernel(kernel, s: int, pad: Optional[int] = None, q: int = 2,
     return kp, stride_p, pads
 
 
+def stem_kernel_unpacked(k6):
+    """Folded-ReOrg 6x6/s2 stem kernel -> a kernel that reads the
+    UNPACKED letterbox canvas and emits the q=2 packed output directly:
+    (6, 6, C, c2) -> (6, 8, C, 2*c2) with raw strides (2, 4) and
+    pads ((2, 2), (2, 2)).
+
+    Output block o of packed column j is stem output column 2j+o,
+    whose taps sit at raw columns 4j + (2o + t - 2): offsets u in
+    [-2, 5], i.e. a width-8 window advancing 4 raw columns per packed
+    position. Same math as pack_w(image) + pack_kernel(k6, s=2, pad=2,
+    q=2), but the canvas never takes the (B,H,W,3)->(B,H,W/2,6)
+    reshape — a measured 1.36 ms/iter relayout copy at w6@1088 b32
+    (tools/tpu_wpack_ab.py trace, copy.38) for a tensor only the stem
+    consumes.
+    """
+    kh, kw, c, co = k6.shape
+    assert (kh, kw) == (6, 6), "stem geometry is the folded 6x6/s2 conv"
+    kp = jnp.zeros((6, 8, c, 2 * co), k6.dtype)
+    for o in range(2):
+        for t in range(6):
+            kp = kp.at[:, 2 * o + t, :, o * co:(o + 1) * co].add(k6[:, t])
+    return kp, (2, 4), ((2, 2), (2, 2))
+
+
 def concat_perm(part_channels: Sequence[int]) -> np.ndarray:
     """Packed-channel layout produced by concatenating packed parts.
 

@@ -30,6 +30,26 @@ from . import spec as spec_mod
 from .spec import ModelSpec
 
 
+def wpack_stem_active(spec: ModelSpec) -> bool:
+    """True iff YoloV7(fused=True, wpack=True) will run the width-packed
+    stem for this spec — i.e. wpack.plan_region matches AND the ReOrg
+    fold is eligible (the same two conditions setup() checks). The
+    serving pipeline keys its preprocess off this: a packed stem can
+    absorb the canvas normalization (wpack_raw_stem)."""
+    from . import wpack as wpack_mod
+
+    if wpack_mod.plan_region(spec) is None:
+        return False
+    by_index = {l.index: l for l in spec.layers}
+    l0, l1 = by_index.get(0), by_index.get(1)
+    return (l0 is not None and l0.kind == "ReOrg"
+            and l0.index not in spec.save
+            and l1 is not None and l1.kind == "Conv"
+            and tuple(l1.frm) == (0,)
+            and tuple(l1.args[:3]) == (3, 1, 1)
+            and (len(l1.args) < 5 or l1.args[4] is None))
+
+
 class YoloV7(nn.Module):
     spec: ModelSpec
     fused: bool = False  # BN folded into conv (models/fuse.py)
@@ -42,6 +62,12 @@ class YoloV7(nn.Module):
     # unchanged; inference-only (requires fused=True). No-op when the
     # spec doesn't match (plan_region returns None).
     wpack: bool = False
+    # The serving pipeline feeds the stem a RAW-SCALE BGR canvas
+    # (device_preprocess normalize=False) and the packed stem kernel
+    # absorbs BGR->RGB + /255 — removes the canvas-sized normalize
+    # multiply from the graph. Only meaningful when the wpack stem is
+    # engaged (see wpack_stem_active); ignored otherwise.
+    wpack_raw_stem: bool = False
     # Applied to each per-level decoded tensor, both the (B, ny, nx,
     # [na,] C) grid-shaped form and the flattened (B, N, C) form. The
     # spatial-inference path (parallel/spatial.py) installs a
@@ -97,6 +123,7 @@ class YoloV7(nn.Module):
                     wpack=mode if mode in ("stem", "packed", "exit")
                     else "",
                     wpack_perm=wperm.get(l.index),
+                    wpack_raw=(mode == "stem" and self.wpack_raw_stem),
                     name=f"layer{l.index}",
                 )
             elif l.kind == "RepConv":

@@ -121,10 +121,16 @@ class TrackingPipeline:
                 self.spec, variables, calib_batches=quant_calib
             )
             self.model = yolo.YoloV7(self.spec, fused="int8")
+            self._wpack_raw = False
         else:
+            # raw-canvas serving: when the width-packed stem is engaged
+            # it absorbs BGR->RGB + /255, so the preprocess emits the
+            # raw-scale canvas (normalize=False in _detect_fn)
+            wpack_on = pcfg.wpack and pcfg.fuse is True
+            self._wpack_raw = wpack_on and yolo.wpack_stem_active(self.spec)
             self.model = yolo.YoloV7(
-                self.spec, fused=pcfg.fuse,
-                wpack=pcfg.wpack and pcfg.fuse is True)
+                self.spec, fused=pcfg.fuse, wpack=wpack_on,
+                wpack_raw_stem=self._wpack_raw)
         # int8 variables stay as produced (int8 kernels + f32 scales:
         # the dequant multiply runs in f32 regardless, and bf16-rounding
         # the scales would only add error); otherwise cast to bf16
@@ -261,11 +267,16 @@ class TrackingPipeline:
             # its reshapes/top_k through GSPMD instead
             fused_nms = False
 
+        # the packed stem absorbs normalization (raw-scale BGR canvas);
+        # spatial mode clones the model with wpack=False, so it keeps
+        # the normalized preprocess
+        normalize = not (self._wpack_raw and spatial_mesh is None)
+
         @jax.jit
         def detect(variables, frames_u8):
             imgs, _ = letterbox.device_preprocess(
                 frames_u8, src_hw, (out_h, out_w), unpad_hw=(uh, uw),
-                dtype=compute_dtype,
+                dtype=compute_dtype, normalize=normalize,
             )
             if h_sharded is not None:
                 imgs = jax.lax.with_sharding_constraint(imgs, h_sharded)

@@ -32,8 +32,17 @@ def enable_persistent_cache() -> None:
     # host with a serving process rely on this).
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
+        # Keep the host cpu backend reachable when the env var names
+        # only accelerator platforms (jax's own default is
+        # "<plugin>,cpu"): build_model(init='random') and other
+        # host-staging paths use jax.devices("cpu"), and a verbatim
+        # "axon" would strip it. "cpu"-only stays cpu-only — that's
+        # the pin the soak/test processes rely on.
+        names = [p.strip() for p in platforms.split(",") if p.strip()]
+        if "cpu" not in names:
+            names.append("cpu")
         try:
-            jax.config.update("jax_platforms", platforms)
+            jax.config.update("jax_platforms", ",".join(names))
         except Exception:
             pass
 
