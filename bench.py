@@ -92,10 +92,18 @@ def build_pipeline(model, img, batch):
     det_cap = int(os.environ.get("BENCH_DET_CAP", "300"))
     extra = {}
     if tracker == "deepmot":
-        dhn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "weights", "dhn_h32.msgpack")
-        if os.path.isfile(dhn):
-            extra = {"dhn_weights": dhn, "dhn_hidden": 32}
+        # serving default is the parallel sinkhorn DHN (reid/dhn.py):
+        # the GRU Munkrs shape scans H*W sequential steps and costs
+        # ~200 ms/frame at the 128x300 slab; BENCH_DHN=gru measures it
+        wdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights")
+        arch = os.environ.get("BENCH_DHN", "sinkhorn")
+        skh = os.path.join(wdir, "dhn_sinkhorn.msgpack")
+        gru = os.path.join(wdir, "dhn_h32.msgpack")
+        if arch == "sinkhorn" and os.path.isfile(skh):
+            extra = {"dhn_weights": skh, "dhn_arch": "sinkhorn"}
+        elif os.path.isfile(gru):
+            extra = {"dhn_weights": gru, "dhn_hidden": 32}
     tcfg = TrackerConfig(tracker=tracker, conf_thresh=0.5,
                          capacity=128, det_capacity=det_cap,
                          feature_dim=512 if reid != "none" else 0,

@@ -68,6 +68,30 @@ def test_fused_reid_matches_manual_chain():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_multistream_reid_after_fused_first_touch():
+    """Regression: reid.extractor is imported lazily from INSIDE the
+    traced fused step (pipeline._embed_dets). When its module-level
+    normalization constants were jnp arrays, first-touch under
+    process_batch's scan trace leaked them as tracers into the module
+    globals, and the next distinct trace (process_multistream) died
+    with UnexpectedTracerError (found by tools/tracker_fleet_bench.py).
+    The constants are numpy now; this pins the exact failing sequence
+    with a cold module."""
+    import sys
+
+    sys.modules.pop("yolov7_tracker_tpu.reid.extractor", None)
+    pipe = _make_pipe()
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 200, 280, 3), np.uint8)
+
+    slab, outs = pipe.process_batch(pipe.init_tracker(), frames)
+    assert np.isfinite(np.asarray(outs.tlwh)).all()
+
+    slabs = pipe.init_multistream(2)
+    slabs, mouts = pipe.process_multistream(slabs, frames)
+    assert np.isfinite(np.asarray(mouts.tlwh)).all()
+
+
 def test_reid_requires_feature_dim():
     from yolov7_tracker_tpu.pipeline import (PipelineConfig,
                                              TrackingPipeline)

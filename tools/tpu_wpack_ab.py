@@ -53,13 +53,14 @@ def main():
     left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
     out_h, out_w = uh + top + bottom, uw + left + right
 
-    def make_fwd(m):
+    def make_fwd(m, normalize=True):
         @jax.jit
         def stage_fwd(variables, frames):
             imgs, _ = LB.device_preprocess(frames, src_hw,
                                            (out_h, out_w),
                                            unpad_hw=(uh, uw),
-                                           dtype=jnp.bfloat16)
+                                           dtype=jnp.bfloat16,
+                                           normalize=normalize)
             _, raw = m.apply(variables, imgs, training=False)
             return sum(jnp.sum(x[..., 4].astype(jnp.float32))
                        for x in raw)
@@ -79,7 +80,7 @@ def main():
         ms = (time.time() - t0) / (n * batch) * 1e3
         result(name, ms_per_frame=round(ms, 4), batch=batch)
 
-    fwd_on = make_fwd(pipe.model)
+    fwd_on = make_fwd(pipe.model, normalize=not pipe._wpack_raw)
     log("compiling packed fwd...")
     time_stage("fwd_wpack_on", fwd_on)
     log("compiling packed full detect...")
@@ -92,10 +93,16 @@ def main():
 
     @jax.jit
     def diff(variables, frames):
+        # each side gets its own preprocess: the packed raw stem eats
+        # the raw-scale BGR canvas, the plain model the normalized one
+        imgs_on, _ = LB.device_preprocess(frames, src_hw, (out_h, out_w),
+                                          unpad_hw=(uh, uw),
+                                          dtype=jnp.bfloat16,
+                                          normalize=not pipe._wpack_raw)
         imgs, _ = LB.device_preprocess(frames, src_hw, (out_h, out_w),
                                        unpad_hw=(uh, uw),
                                        dtype=jnp.bfloat16)
-        p_on, _ = pipe.model.apply(variables, imgs, training=False)
+        p_on, _ = pipe.model.apply(variables, imgs_on, training=False)
         p_off, _ = m_off.apply(variables, imgs, training=False)
         p_on = p_on.astype(jnp.float32)
         p_off = p_off.astype(jnp.float32)

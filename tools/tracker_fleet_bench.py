@@ -38,17 +38,24 @@ def result(name, **kw):
     print(json.dumps({"measure": name, **kw}), flush=True)
 
 
-# (report name, BENCH_TRACKER, BENCH_REID, note)
+# (report name, BENCH_TRACKER, BENCH_REID, BENCH_DHN, note)
 CONFIGS = [
-    ("sort", "sort", "none", ""),
-    ("bytetrack", "bytetrack", "none", ""),
-    ("c_biou", "c_bioutracker", "none", ""),
-    ("uavmot", "uavmot", "none", ""),
-    ("deepmot", "deepmot", "none", "trained DHN (weights/dhn_h32)"),
-    ("deepsort", "deepsort", "deepsort_cnn", "on-device 128x64 crops"),
-    ("strongsort", "strongsort", "osnet_x0_25", "on-device 128x256 crops"),
-    ("botsort", "botsort", "none", "motion-only (GMC timed separately)"),
-    ("botsort_reid", "botsort", "osnet_x0_25", "dual-threshold fusion"),
+    ("sort", "sort", "none", "", ""),
+    ("bytetrack", "bytetrack", "none", "", ""),
+    ("c_biou", "c_bioutracker", "none", "", ""),
+    ("uavmot", "uavmot", "none", "", ""),
+    ("deepmot", "deepmot", "none", "sinkhorn",
+     "parallel sinkhorn DHN (weights/dhn_sinkhorn)"),
+    ("deepmot_gru", "deepmot", "none", "gru",
+     "sequential GRU DHN (weights/dhn_h32, reference Munkrs shape)"),
+    ("deepsort", "deepsort", "deepsort_cnn", "",
+     "on-device 128x64 crops"),
+    ("strongsort", "strongsort", "osnet_x0_25", "",
+     "on-device 128x256 crops"),
+    ("botsort", "botsort", "none", "",
+     "motion-only (GMC timed separately)"),
+    ("botsort_reid", "botsort", "osnet_x0_25", "",
+     "dual-threshold fusion"),
 ]
 
 
@@ -109,10 +116,15 @@ def main():
             assert len(results) == n_frames
         return n_frames / best
 
+    only = os.environ.get("FLEET_ONLY", "")
     det_ms = None
-    for name, tracker, reid, note in CONFIGS:
+    for name, tracker, reid, dhn_arch, note in CONFIGS:
+        if only and name not in only.split(","):
+            continue
         os.environ["BENCH_TRACKER"] = tracker
         os.environ["BENCH_REID"] = reid
+        if dhn_arch:
+            os.environ["BENCH_DHN"] = dhn_arch
         log(f"building {name} (tracker={tracker}, reid={reid})...")
         t0 = time.time()
         pipe = bench.build_pipeline(model, img, batch)

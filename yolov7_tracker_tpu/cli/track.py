@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--track_buffer", type=int, default=30)
     p.add_argument("--gamma", type=float, default=0.1)
     p.add_argument("--dhn_hidden", type=int, default=256)
+    p.add_argument("--dhn_arch", type=str, default="gru",
+                   choices=["gru", "sinkhorn"],
+                   help="DHN architecture: 'gru' mirrors the reference "
+                        "Munkrs; 'sinkhorn' is the parallel TPU head "
+                        "(reid/dhn.py SinkhornDHN)")
     p.add_argument("--kalman_format", type=str, default="default")
     p.add_argument("--min_area", type=float, default=150)
     p.add_argument("--save_images", action="store_true")
@@ -135,7 +140,7 @@ def main(argv=None):
         track_buffer=opts.track_buffer, capacity=opts.capacity,
         det_capacity=opts.det_capacity, gamma=opts.gamma,
         min_area=opts.min_area, dhn_weights=opts.dhn_path,
-        dhn_hidden=opts.dhn_hidden,
+        dhn_hidden=opts.dhn_hidden, dhn_arch=opts.dhn_arch,
         # trackers whose registry entry doesn't set a feature dim
         # (bytetrack gamma-fusion, botsort with-reid) get 512 when a
         # reid model is supplied; deepsort/strongsort resolve their own

@@ -86,6 +86,79 @@ class DHN(nn.Module):
         return jax.nn.sigmoid(x).reshape(h, w)
 
 
+class SinkhornDHN(nn.Module):
+    """Parallel Deep Hungarian Net: entropic-assignment potentials at
+    learned temperatures + a per-cell MLP head.
+
+    The reference's Munkrs (tracker/deepmot.py:10-140) learns the 2-D
+    assignment structure by scanning the FLATTENED cost matrix with
+    bidirectional GRUs — an inherently sequential recurrence whose TPU
+    cost is ~5 us per scan step x 8 scans x H*W steps (≈200 ms at the
+    128x300 serving slab; tools/tracker_fleet_bench.py round-4 capture).
+    This head reaches the same soft-assignment targets with only
+    matrix-parallel ops: for a handful of learned temperatures tau it
+    runs ``iters`` log-domain Sinkhorn sweeps (row/col logsumexp — the
+    entropic relaxation of the Hungarian problem, exact as tau -> 0),
+    then scores each cell from [cost, the multi-scale transport plans,
+    row-softmin gap, col-softmin gap]. Everything is a reduction or an
+    elementwise op over the (H, W) matrix: O(iters) fused XLA kernels,
+    no recurrence, microseconds where the GRU takes hundreds of ms.
+
+    Trained by the same recipe (train/dhn_train.py --arch sinkhorn);
+    size-agnostic by construction (only normalized reductions), so one
+    checkpoint serves any padded slab geometry. Padding contract
+    matches compact_cost: pad cells carry cost 1.0 and train to 0.
+    """
+
+    iters: int = 20
+    taus: Tuple[float, ...] = (0.02, 0.05, 0.15)
+    feat: int = 32
+
+    @nn.compact
+    def __call__(self, d):  # d: (H, W) costs, roughly [0, 1]
+        log_tau = self.param(
+            "log_tau",
+            lambda _: jnp.log(jnp.asarray(self.taus, jnp.float32)),
+        )
+        planes = [d]
+        for i in range(len(self.taus)):
+            tau = jnp.exp(log_tau[i])
+            f = jnp.zeros(d.shape[0], d.dtype)
+            g = jnp.zeros(d.shape[1], d.dtype)
+
+            def sweep(carry, _):
+                f, g = carry
+                f = -tau * jax.nn.logsumexp(
+                    (-d + g[None, :]) / tau, axis=1)
+                g = -tau * jax.nn.logsumexp(
+                    (-d + f[:, None]) / tau, axis=0)
+                return (f, g), None
+
+            (f, g), _ = jax.lax.scan(sweep, (f, g), None,
+                                     length=self.iters)
+            planes.append(jnp.exp((-d + f[:, None] + g[None, :]) / tau))
+        # softmin gaps: how far each cell sits above its row/col best
+        planes.append(d - (-0.05) * jax.nn.logsumexp(
+            d / -0.05, axis=1, keepdims=True))
+        planes.append(d - (-0.05) * jax.nn.logsumexp(
+            d / -0.05, axis=0, keepdims=True))
+        x = jnp.stack([jnp.broadcast_to(p, d.shape) for p in planes], -1)
+        x = nn.relu(nn.Dense(self.feat, name="cell_1")(x))
+        x = nn.relu(nn.Dense(self.feat, name="cell_2")(x))
+        x = nn.Dense(1, name="cell_out")(x)
+        return jax.nn.sigmoid(x[..., 0])
+
+
+def build_dhn(arch: str, hidden: int = HIDDEN):
+    """DHN module by architecture name: 'gru' (reference Munkrs shape)
+    or 'sinkhorn' (parallel, TPU serving default — see SinkhornDHN)."""
+    if arch == "gru":
+        return DHN(hidden=hidden)
+    if arch == "sinkhorn":
+        return SinkhornDHN()
+    raise ValueError(f"unknown dhn arch {arch!r}; have gru|sinkhorn")
+
+
 def compact_cost(cost: jnp.ndarray, row_mask, col_mask,
                  pad_value: float = 1.0,
                  row_key=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

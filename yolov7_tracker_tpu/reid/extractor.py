@@ -21,9 +21,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# numpy on purpose: this module is imported lazily from inside traced
+# code (pipeline._embed_dets under a scanned multistream step), and a
+# module-level jnp constant created while a trace is live becomes a
+# tracer that escapes into the module globals (UnexpectedTracerError on
+# the next trace). numpy constants are trace-inert.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _bilinear_crop(img: jnp.ndarray, tlbr: jnp.ndarray,

@@ -69,7 +69,7 @@ def deepmot_step(slab: S.TrackSlab, dets: S.DetSlab, cfg: S.TrackerConfig,
     if dhn_variables is not None:
         comp, rperm, cperm = dhn_mod.compact_cost(
             cost, pmask, high, row_key=pool_rank)
-        scores = dhn_mod.DHN(hidden=cfg.dhn_hidden).apply(
+        scores = dhn_mod.build_dhn(cfg.dhn_arch, cfg.dhn_hidden).apply(
             dhn_variables, comp
         )
         cost = 1.0 - dhn_mod.uncompact(scores, rperm, cperm)

@@ -98,6 +98,8 @@ class TrackerConfig:
     min_area: float = 150.0      # output area filter (track.py opts.min_area)
     dhn_weights: str = ""        # DeepMOT: msgpack path of trained DHN
     dhn_hidden: int = 256        # DHN GRU width (reference arch: 256)
+    dhn_arch: str = "gru"        # 'gru' (reference Munkrs shape) or
+                                 # 'sinkhorn' (parallel, reid/dhn.py)
 
     @property
     def max_time_lost(self) -> int:
