@@ -98,3 +98,21 @@ def test_default_unpad_matches_auto_false():
         bgr_to_rgb=False,
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resize_linear_matches_jax_image():
+    """_resize_linear is pinned to jax.image.resize's linear lowering
+    (the dense banded matmul measured fastest on TPU — see the
+    docstring and tools/tpu_resize_probe.py); any reformulation must
+    keep these values."""
+    import jax
+
+    from yolov7_tracker_tpu.data.letterbox import _resize_linear
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 1080, 1920, 3)),
+        jnp.float32)
+    ref = jax.image.resize(x, (2, 608, 1088, 3), method="linear",
+                           antialias=False)
+    np.testing.assert_allclose(np.asarray(_resize_linear(x, 608, 1088)),
+                               np.asarray(ref), atol=0.05)

@@ -40,7 +40,8 @@ def main():
 
     from yolov7_tracker_tpu.data import letterbox as LB
 
-    model, img, batch = "yolov7-w6", 1088, 32
+    model, img = "yolov7-w6", 1088
+    batch = int(os.environ.get("WPAB_BATCH", "32"))
     src_hw = (1080, 1920)
     pipe = bench.build_pipeline(model, img, batch)  # wpack on (default)
     rng = np.random.default_rng(0)

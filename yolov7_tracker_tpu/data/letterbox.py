@@ -27,6 +27,24 @@ import jax.numpy as jnp
 PAD_VALUE = 114.0
 
 
+def _resize_linear(x: jnp.ndarray, uh: int, uw: int) -> jnp.ndarray:
+    """Bilinear (B, H, W, C) -> (B, uh, uw, C).
+
+    Kept as jax.image.resize's dense banded-matmul lowering ON PURPOSE:
+    its matrices are 2-tap banded (~64x algorithmic FLOP waste) but run
+    at ~166 TFLOP/s on the MXU, and every lower-FLOP reformulation
+    measured SLOWER on a v5e at the serving geometry — blocked
+    einsum 5.5 ms/iter, transpose-sandwich 5.0, 2-tap gather 6.3,
+    grouped-conv 6.7, vs dense 3.9 (tools/tpu_resize_probe.py). The
+    C=3-minor tensor gives reductions/gathers no lane parallelism;
+    only the MXU formulation has full tiles.
+    """
+    return jax.image.resize(
+        x, (x.shape[0], uh, uw, x.shape[3]), method="linear",
+        antialias=False,
+    )
+
+
 def letterbox_params(shape_hw: Tuple[int, int], new_shape: Tuple[int, int],
                      stride: int = 32, auto: bool = True,
                      scaleup: bool = True):
@@ -98,10 +116,7 @@ def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
         r = min(uh / src_hw[0], uw / src_hw[1])
     dw = (out_hw[1] - uw) / 2
     dh = (out_hw[0] - uh) / 2
-    x = frames.astype(dtype)
-    x = jax.image.resize(
-        x, (frames.shape[0], uh, uw, 3), method="linear", antialias=False
-    )
+    x = _resize_linear(frames.astype(dtype), uh, uw)
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
     out = jnp.full(

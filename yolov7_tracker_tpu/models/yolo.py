@@ -369,7 +369,10 @@ class YoloV7(nn.Module):
         anchors = jnp.asarray(spec.anchors_per_level())  # (nl, na, 2) px
         raw: List[Any] = []
         decoded: List[Any] = []
-        implicit = spec.head_kind in ("IDetect", "IAuxDetect", "IBin")
+        # fused variables carry ia/im folded into the lead head convs
+        # (fuse._fold_implicit) — any truthy fused mode skips them
+        implicit = (spec.head_kind in ("IDetect", "IAuxDetect", "IBin")
+                    and not self.fused)
         for i, feat in enumerate(head_inputs):
             lead = i < nl
             if lead and implicit:
