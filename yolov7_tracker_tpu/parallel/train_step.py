@@ -241,8 +241,22 @@ def make_train_step(spec: ModelSpec, mesh: Mesh, img_size: int = 640,
         fwd = jax.checkpoint(fwd)
 
     def loss_fn(params, batch_stats, imgs, targets, tmask):
-        x = imgs.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else imgs
-        preds, updates = fwd(params, batch_stats, x)
+        if compute_dtype == "bfloat16":
+            x = imgs.astype(jnp.bfloat16)
+            # bf16 COMPUTE params (f32 masters stay in the state; the
+            # cast's transpose returns f32 grads). Without this, flax
+            # promotes f32 kernel x bf16 input back to f32 and every
+            # conv + its backward runs at half the MXU rate — the
+            # training step measured ~13% MFU vs serving's ~40% until
+            # the forward actually ran bf16. BatchNorm still computes
+            # batch statistics in f32 internally (flax _compute_stats
+            # upcasts), so running stats keep f32 precision.
+            cparams = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
+        else:
+            x, cparams = imgs, params
+        preds, updates = fwd(cparams, batch_stats, x)
         if use_aux:
             preds = [p.astype(jnp.float32) for p in preds]
             loss, metrics = compute_loss_aux_ota(
