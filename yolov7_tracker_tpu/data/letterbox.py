@@ -38,6 +38,10 @@ def _resize_linear(x: jnp.ndarray, uh: int, uw: int) -> jnp.ndarray:
     grouped-conv 6.7, vs dense 3.9 (tools/tpu_resize_probe.py). The
     C=3-minor tensor gives reductions/gathers no lane parallelism;
     only the MXU formulation has full tiles.
+
+    device_preprocess now uses jax.image.scale_and_translate (the same
+    dense lowering) to land the resize directly in the padded canvas;
+    this stays as the pinned reference formulation for that probe.
     """
     return jax.image.resize(
         x, (x.shape[0], uh, uw, x.shape[3]), method="linear",
@@ -116,13 +120,27 @@ def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
         r = min(uh / src_hw[0], uw / src_hw[1])
     dw = (out_hw[1] - uw) / 2
     dh = (out_hw[0] - uh) / 2
-    x = _resize_linear(frames.astype(dtype), uh, uw)
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
-    out = jnp.full(
-        (frames.shape[0], out_hw[0], out_hw[1], 3), PAD_VALUE, dtype
+    # Resize straight INTO the padded canvas: scale_and_translate emits
+    # the same dense banded-matmul lowering as jax.image.resize (see
+    # _resize_linear's probe note) but with the output translated to the
+    # letterbox offset — rows/cols in the pad band get all-zero weights,
+    # and the constant 114 band is added as a fused elementwise mask.
+    # This deletes the canvas-sized full+dynamic_update_slice copy
+    # (1.56 ms/iter of pure data formatting at the w6@1088 b64 trace)
+    # at the cost of ~5% extra rows in the H matmul.
+    x = jax.image.scale_and_translate(
+        frames.astype(dtype),
+        (frames.shape[0], out_hw[0], out_hw[1], 3),
+        (1, 2),
+        jnp.array([uh / src_hw[0], uw / src_hw[1]], jnp.float32),
+        jnp.array([float(top), float(left)], jnp.float32),
+        method="linear", antialias=False,
     )
-    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    band = np.full((out_hw[0], out_hw[1], 1), PAD_VALUE, np.float32)
+    band[top:top + uh, left:left + uw] = 0.0
+    out = x + jnp.asarray(band, dtype)
     if not normalize:
         # raw-scale BGR canvas (pad band stays 114): the width-packed
         # stem kernel absorbs the channel swap and the /255 scale
