@@ -147,6 +147,14 @@ def main(argv=None):
                    help="aspect-ratio-bucketed rectangular val batches")
     p.add_argument("--plots", type=str, default="",
                    help="directory for PR-curve + confusion-matrix pngs")
+    p.add_argument("--save_json", type=str, default="",
+                   help="write COCO-format detections json "
+                        "(reference test.py --save-json)")
+    p.add_argument("--coco_gt", type=str, default="",
+                   help="COCO ground-truth json: score --save_json "
+                        "in-process with eval/cocoeval_lite (the "
+                        "reference needs pycocotools for this, "
+                        "test.py:173-193)")
     opts = p.parse_args(argv)
     from ..utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -161,7 +169,11 @@ def main(argv=None):
     res = evaluate_map(spec, variables, data_cfg["val"], img=opts.img,
                        batch=opts.batch, conf_thres=opts.conf,
                        iou_thres=opts.iou, rect=opts.rect,
-                       plots_dir=opts.plots)
+                       plots_dir=opts.plots, save_json=opts.save_json)
+    if opts.save_json and opts.coco_gt:
+        from ..eval.cocoeval_lite import evaluate_json
+
+        res["coco"] = evaluate_json(opts.coco_gt, opts.save_json)
     print(res)
     return res
 
