@@ -83,8 +83,14 @@ def build_pipeline(model, img, batch):
     # (tools/tracker_fleet_bench.py runs the whole zoo in one session).
     tracker = os.environ.get("BENCH_TRACKER", "bytetrack")
     reid = os.environ.get("BENCH_REID", "none")
+    # BENCH_REID_CAP caps the crop+CNN stage at the top-K score-ordered
+    # dets (PipelineConfig.reid_capacity); default 128 = slab capacity.
+    # The synthetic load fills det_capacity=300, which real scenes (and
+    # the reference's own fps table) never approach.
+    reid_cap = int(os.environ.get("BENCH_REID_CAP", "128"))
     pcfg = PipelineConfig(model=model, nc=80, img_size=img,
-                          detector_batch=batch, quant=quant, reid=reid)
+                          detector_batch=batch, quant=quant, reid=reid,
+                          reid_capacity=reid_cap)
     # det_capacity defaults to the CLI parity value (300 = NMS max_det,
     # cli/track.py) so the benchmarked association problem is the
     # semantics-faithful one; BENCH_DET_CAP=64 reproduces the lighter

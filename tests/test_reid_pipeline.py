@@ -92,6 +92,44 @@ def test_multistream_reid_after_fused_first_touch():
     assert np.isfinite(np.asarray(mouts.tlwh)).all()
 
 
+def test_reid_capacity_caps_and_zero_pads():
+    """reid_capacity=K embeds only the top-K (score-ordered) dets;
+    rows past K carry exact-zero features (= cosine distance 1 in the
+    appearance stage), and the first K match the uncapped path."""
+    import jax.numpy as jnp
+
+    from yolov7_tracker_tpu.pipeline import (PipelineConfig,
+                                             TrackingPipeline)
+    from yolov7_tracker_tpu.trackers.slab import TrackerConfig
+
+    pipe = TrackingPipeline(
+        PipelineConfig(model="yolov7-tiny", nc=4, img_size=160,
+                       detector_batch=2, dtype="float32",
+                       conf_thres=0.01, reid="deepsort_cnn",
+                       reid_capacity=4),
+        TrackerConfig(tracker="deepsort", conf_thresh=0.3,
+                      capacity=16, det_capacity=16))
+    rng = np.random.default_rng(5)
+    frame = jnp.asarray(rng.integers(0, 255, (200, 280, 3), np.uint8))
+    boxes = jnp.asarray(
+        rng.uniform(10, 120, (16, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 40)
+    feats = np.asarray(pipe._embed_dets(frame, boxes))
+    assert feats.shape == (16, 512)
+    assert (feats[4:] == 0).all()
+    pipe_full = TrackingPipeline(
+        PipelineConfig(model="yolov7-tiny", nc=4, img_size=160,
+                       detector_batch=2, dtype="float32",
+                       conf_thres=0.01, reid="deepsort_cnn"),
+        TrackerConfig(tracker="deepsort", conf_thresh=0.3,
+                      capacity=16, det_capacity=16),
+        variables=pipe.variables,
+        reid_variables=pipe._reid[1])
+    full = np.asarray(pipe_full._embed_dets(frame, boxes))
+    np.testing.assert_allclose(feats[:4], full[:4], rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_reid_requires_feature_dim():
     from yolov7_tracker_tpu.pipeline import (PipelineConfig,
                                              TrackingPipeline)

@@ -34,6 +34,29 @@ def log(msg):
     print(f"[fleet {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def textured_pair(src_hw, dx=12, dy=5, seed=7):
+    """A structured frame pair with a known global shift for the GMC
+    stages: smooth sinusoid shading (ECC gradients) + scattered bright
+    squares (ORB corners). Pure uniform noise is the pathological case
+    for both methods — ORB detects thousands of junk keypoints
+    (~10 s/frame at 1080p) and ECC's Gauss-Newton never converges —
+    and says nothing about real-scene cost."""
+    h, w = src_hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (128 + 50 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+            + 40 * np.sin((xx + yy) / 41.0))
+    rng = np.random.default_rng(seed)
+    for _ in range(400):
+        y = int(rng.integers(0, h - 6))
+        x = int(rng.integers(0, w - 6))
+        base[y:y + 4, x:x + 4] = float(rng.uniform(0, 255))
+    a = np.clip(base, 0, 255).astype(np.uint8)
+    b = np.clip(np.roll(np.roll(base, dy, 0), dx, 1),
+                0, 255).astype(np.uint8)
+    to3 = lambda x: np.repeat(x[..., None], 3, -1)  # noqa: E731
+    return to3(a), to3(b)
+
+
 def result(name, **kw):
     print(json.dumps({"measure": name, **kw}), flush=True)
 
@@ -117,8 +140,11 @@ def main():
         return n_frames / best
 
     only = os.environ.get("FLEET_ONLY", "")
+    sections = os.environ.get("FLEET_SECTIONS", "trackers,gmc").split(",")
     det_ms = None
     for name, tracker, reid, dhn_arch, note in CONFIGS:
+        if "trackers" not in sections:
+            break
         if only and name not in only.split(","):
             continue
         os.environ["BENCH_TRACKER"] = tracker
@@ -192,10 +218,13 @@ def main():
         del pipe
 
     # ---- GMC warp estimation -------------------------------------------
+    if "gmc" not in sections:
+        log("done (gmc skipped)")
+        return
     from yolov7_tracker_tpu.trackers.gmc import GMC
 
-    frame_a = host_frames[0][0]
-    frame_b = host_frames[1][0]
+    frame_a, frame_b = textured_pair(src_hw)
+    tex = [frame_a, frame_b]
     gmc_ms = {}
     for method in ("orb", "ecc"):
         g = GMC(method=method)
@@ -204,7 +233,7 @@ def main():
         t0 = time.time()
         n = 16
         for i in range(n):
-            w = g.apply(host_frames[i % 2][i % batch])
+            w = g.apply(tex[i % 2])
         dt = (time.time() - t0) / n * 1e3
         gmc_ms[method] = dt
         result("gmc_stage", method=method, ms_per_frame=round(dt, 2),
@@ -223,8 +252,8 @@ def main():
         t0 = time.time()
         prev = None
         for bi in range(n_batches):
-            hb = host_frames[bi % 2]
-            wb = np.stack([g.apply(hb[j]) for j in range(batch)])
+            wb = np.stack(
+                [g.apply(tex[(bi * batch + j) % 2]) for j in range(batch)])
             slab, outs = pipe.process_batch(
                 slab, dev_frames, jnp.asarray(wb, jnp.float32))
             packed = pipe.pack_output(outs)

@@ -66,6 +66,10 @@ def parse_args(argv=None):
                    help="appearance embeddings for the feature "
                         "trackers (deepsort CNN / OSNet; arch inferred "
                         "from the filename)")
+    p.add_argument("--reid_capacity", type=int, default=128,
+                   help="embed only the top-K score-ordered dets per "
+                        "frame (0 = all det_capacity; serving default "
+                        "128 bounds the ReID stage at slab capacity)")
     p.add_argument("--capacity", type=int, default=128)
     p.add_argument("--det_capacity", type=int, default=300)
     p.add_argument("--max_frames", type=int, default=0,
@@ -210,7 +214,7 @@ def main(argv=None):
                                         opts.reid_model_path)
     pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
                           img_size=opts.img_size, conf_thres=0.001,
-                          reid=reid)
+                          reid=reid, reid_capacity=opts.reid_capacity)
     tcfg = TrackerConfig(tracker=opts.tracker,
                          kalman_format=opts.kalman_format,
                          conf_thresh=opts.conf_thresh,

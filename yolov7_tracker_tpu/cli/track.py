@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--img_size", type=int, default=1280)
     p.add_argument("--reid_model_path", type=str, default="")
+    p.add_argument("--reid_capacity", type=int, default=0,
+                   help="embed only the top-K score-ordered dets "
+                        "per frame (0 = all det_capacity, the "
+                        "reference semantics; 128 bounds the ReID "
+                        "stage at the slab capacity)")
     p.add_argument("--dhn_path", type=str, default="",
                    help="DeepMOT: trained DHN msgpack "
                         "(train with -m yolov7_tracker_tpu.train.dhn_train)")
@@ -132,7 +137,7 @@ def main(argv=None):
         model=opts.model, nc=opts.nc, img_size=opts.img_size,
         conf_thres=0.01, iou_thres=0.45, detector_batch=opts.detector_batch,
         gmc_method=gmc, detect_per_frame=opts.detect_per_frame,
-        quant=opts.quant, reid=reid,
+        quant=opts.quant, reid=reid, reid_capacity=opts.reid_capacity,
     )
     tcfg = TrackerConfig(
         tracker=opts.tracker, kalman_format=opts.kalman_format,

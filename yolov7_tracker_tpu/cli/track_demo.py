@@ -27,6 +27,9 @@ def parse_args(argv=None):
                    help="appearance embeddings for the feature "
                         "trackers (deepsort CNN / OSNet; arch inferred "
                         "from the filename)")
+    p.add_argument("--reid_capacity", type=int, default=0,
+                   help="embed only the top-K score-ordered dets per "
+                        "frame (0 = all det_capacity)")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--save_dir", type=str, default="./demo_result")
@@ -70,7 +73,7 @@ def main(argv=None):
                                         opts.reid_model_path)
     pcfg = PipelineConfig(model=opts.model, nc=opts.nc,
                           img_size=opts.img_size, conf_thres=0.001,
-                          reid=reid)
+                          reid=reid, reid_capacity=opts.reid_capacity)
     tcfg = TrackerConfig(tracker=opts.tracker,
                          kalman_format=opts.kalman_format,
                          conf_thresh=opts.conf_thresh,

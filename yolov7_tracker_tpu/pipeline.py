@@ -74,6 +74,17 @@ class PipelineConfig:
                                    # (reid/extractor.py) — no host crop
                                    # loop. Pass trained weights via the
                                    # TrackingPipeline reid_variables arg.
+    reid_capacity: int = 0         # embed only the top-K NMS survivors
+                                   # (score-ordered) per frame; 0 = all
+                                   # det_capacity. Dets past K carry a
+                                   # zero feature = cosine distance 1
+                                   # ("no appearance evidence"), so they
+                                   # still match by IoU / init tracks.
+                                   # The reference embeds every det
+                                   # (deepsort.py:109) but real scenes
+                                   # hold a few dozen; a 128 cap bounds
+                                   # the crop+CNN stage at the slab
+                                   # capacity instead of det_capacity.
 
 
 @jax.jit
@@ -357,12 +368,24 @@ class TrackingPipeline:
     def _embed_dets(self, frame_u8, tlbr):
         """(H, W, 3) uint8 frame + (D, 4) det boxes -> (D, F) ReID
         features via on-device crops (reid/extractor.py). Traced inside
-        the fused step jits."""
+        the fused step jits. With reid_capacity K in (0, D), only the
+        top-K score-ordered dets are embedded (NMS emits survivors in
+        greedy score order, ops/nms.py); the rest get zero features."""
         from .reid import extractor
 
         reid_model, reid_vars, reid_hw = self._reid
-        crops = extractor.extract_crops(frame_u8, tlbr, reid_hw)
-        return reid_model.apply(reid_vars, crops).astype(jnp.float32)
+        d = tlbr.shape[0]
+        k = self.pcfg.reid_capacity
+        sub = tlbr[:k] if 0 < k < d else tlbr
+        crops = extractor.extract_crops(frame_u8, sub, reid_hw)
+        feats = reid_model.apply(reid_vars, crops).astype(jnp.float32)
+        if feats.shape[0] < d:
+            feats = jnp.concatenate([
+                feats,
+                jnp.zeros((d - feats.shape[0], feats.shape[1]),
+                          jnp.float32),
+            ])
+        return feats
 
     def dets_to_slab(self, boxes, score, cls, count):
         d = self.tcfg.det_capacity
