@@ -85,6 +85,33 @@ def test_stem_raw_fold_matches_normalized_path():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stem_band_absorption_exact():
+    """Unpadded-input stem with widened zero padding + strip-conv
+    corrections == the stem on the 114-padded canvas (the conv is
+    linear in its input, so the constant band's contribution is itself
+    a conv of the band-only canvas)."""
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(
+        rng.uniform(0, 255, (2, 12, 16, 3)).astype(np.float32))
+    k6 = rand(rng, 6, 6, 3, 7)
+    for top, bot in [(3, 5), (14, 14), (1, 0), (0, 2)]:
+        canvas = jnp.pad(img, ((0, 0), (top, bot), (0, 0), (0, 0)),
+                         constant_values=114.0)
+        kp, strides, pads = wpack.stem_kernel_unpacked(k6)
+        base = conv(canvas, kp, strides, pads)
+        y = conv(img, kp, strides,
+                 ((pads[0][0] + top, pads[0][1] + bot), pads[1]))
+        ct, cb, r_top, r_bot = wpack.stem_band_corrections(
+            kp, 12, 16, (top, bot), 114.0)
+        if ct is not None:
+            y = y.at[:, :r_top].add(ct)
+        if cb is not None:
+            y = y.at[:, r_bot:].add(cb)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(base),
+                                   rtol=1e-4, atol=1e-3,
+                                   err_msg=f"bands=({top},{bot})")
+
+
 def _mini_w6_cfg():
     """Smallest cfg matching the w6-family packable-front pattern:
     ReOrg stem + narrow E-ELAN-ish stage + concat + stride-2 exit."""
@@ -149,19 +176,25 @@ def test_mini_front_pipeline_detect_parity():
     _, variables = yolo.build_model(s, img_size=64, init="random")
     tc = TrackerConfig(tracker="bytetrack", conf_thresh=0.5,
                        capacity=8, det_capacity=8)
-    frames = np.asarray(np.random.default_rng(1).integers(
-        0, 255, (2, 60, 80, 3)), np.uint8)
-    outs = []
-    for wp in (False, True):
-        pipe = TrackingPipeline(
-            PipelineConfig(model="mini-w6", nc=4, img_size=64,
-                           detector_batch=2, dtype="float32", wpack=wp),
-            tc, variables=variables, spec=s)
-        assert pipe._wpack_raw is wp
-        outs.append(pipe.detect_batch(frames))
-    for a, b in zip(outs[0], outs[1]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-3)
+    # (60, 80) letterboxes with no pad band; (52, 80) produces
+    # top/bottom 114 bands with left=right=0, which routes the wpack
+    # side through the band-absorbing stem (pipeline stem_bands)
+    for src_hw in [(60, 80), (52, 80)]:
+        frames = np.asarray(np.random.default_rng(1).integers(
+            0, 255, (2,) + src_hw + (3,)), np.uint8)
+        outs = []
+        for wp in (False, True):
+            pipe = TrackingPipeline(
+                PipelineConfig(model="mini-w6", nc=4, img_size=64,
+                               detector_batch=2, dtype="float32",
+                               wpack=wp),
+                tc, variables=variables, spec=s)
+            assert pipe._wpack_raw is wp
+            outs.append(pipe.detect_batch(frames))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-3,
+                                       err_msg=f"src_hw={src_hw}")
 
 
 def test_plan_region_w6_front():

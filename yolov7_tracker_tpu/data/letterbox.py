@@ -89,13 +89,13 @@ def letterbox_host(img: np.ndarray, new_shape=(640, 640), stride: int = 32,
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "src_hw", "unpad_hw", "bgr_to_rgb", "dtype",
-                     "normalize"),
+                     "normalize", "pad_to_canvas"),
 )
 def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
                       out_hw: Tuple[int, int],
                       unpad_hw: Tuple[int, int] | None = None,
                       bgr_to_rgb: bool = True, dtype=jnp.float32,
-                      normalize: bool = True):
+                      normalize: bool = True, pad_to_canvas: bool = True):
     """Fused on-device preprocessing for a (B, H, W, 3) uint8 batch.
 
     Bilinear-resizes to the letterbox rectangle for a *fixed* source size
@@ -120,27 +120,27 @@ def device_preprocess(frames: jnp.ndarray, src_hw: Tuple[int, int],
         r = min(uh / src_hw[0], uw / src_hw[1])
     dw = (out_hw[1] - uw) / 2
     dh = (out_hw[0] - uh) / 2
+    x = _resize_linear(frames.astype(dtype), uh, uw)
+    if not pad_to_canvas:
+        # unpadded resize: the caller's stem conv absorbs the 114 band
+        # via explicit conv padding + an exact per-row correction
+        # (blocks._WPackConv bands) — the canvas-sized pad write
+        # never happens. Probed alternatives: the original
+        # full+dynamic_update_slice costs 0.78 ms/iter of data
+        # formatting at w6@1088 b32, and a scale_and_translate-into-
+        # canvas + fused 114-mask add measured WORSE (the add absorbed
+        # the layout copy at 127 GB/s: 2.11 ms/iter, r5 trace).
+        if normalize:
+            if bgr_to_rgb:
+                x = x[..., ::-1]
+            return x / 255.0, (r, (dw, dh))
+        return x, (r, (dw, dh))
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
-    # Resize straight INTO the padded canvas: scale_and_translate emits
-    # the same dense banded-matmul lowering as jax.image.resize (see
-    # _resize_linear's probe note) but with the output translated to the
-    # letterbox offset — rows/cols in the pad band get all-zero weights,
-    # and the constant 114 band is added as a fused elementwise mask.
-    # This deletes the canvas-sized full+dynamic_update_slice copy
-    # (1.56 ms/iter of pure data formatting at the w6@1088 b64 trace)
-    # at the cost of ~5% extra rows in the H matmul.
-    x = jax.image.scale_and_translate(
-        frames.astype(dtype),
-        (frames.shape[0], out_hw[0], out_hw[1], 3),
-        (1, 2),
-        jnp.array([uh / src_hw[0], uw / src_hw[1]], jnp.float32),
-        jnp.array([float(top), float(left)], jnp.float32),
-        method="linear", antialias=False,
+    out = jnp.full(
+        (frames.shape[0], out_hw[0], out_hw[1], 3), PAD_VALUE, dtype
     )
-    band = np.full((out_hw[0], out_hw[1], 1), PAD_VALUE, np.float32)
-    band[top:top + uh, left:left + uw] = 0.0
-    out = x + jnp.asarray(band, dtype)
+    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
     if not normalize:
         # raw-scale BGR canvas (pad band stays 114): the width-packed
         # stem kernel absorbs the channel swap and the /255 scale

@@ -121,9 +121,11 @@ class _WPackConv(nn.Module):
     raw_in: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bands=None):
         from . import wpack
 
+        if bands is not None and self.mode != "stem":
+            raise ValueError("bands only apply to the stem mode")
         if self.mode == "stem":
             c1 = x.shape[-1]
             kernel = self.param(
@@ -139,9 +141,29 @@ class _WPackConv(nn.Module):
             if self.raw_in:
                 k6 = k6[:, :, ::-1, :] * (1.0 / 255.0)
             kp, strides, pads = wpack.stem_kernel_unpacked(k6)
+            if bands is not None and any(bands):
+                # input is the UNPADDED letterbox resize: widen the H
+                # conv padding by the band rows (zeros) and add the
+                # exact constant-band contribution to the affected
+                # output rows (wpack.stem_band_corrections)
+                top_b, bot_b = bands
+                pads = ((pads[0][0] + top_b, pads[0][1] + bot_b),
+                        pads[1])
             y = jax.lax.conv_general_dilated(
                 x, kp.astype(x.dtype), strides, pads,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if bands is not None and any(bands):
+                # canvas band value: raw stems see the raw-scale 114,
+                # normalized stems the /255 one (BGR flip is moot — the
+                # band is channel-constant)
+                band_val = 114.0 if self.raw_in else 114.0 / 255.0
+                ct, cb, r_top, r_bot = wpack.stem_band_corrections(
+                    kp.astype(x.dtype), x.shape[1], x.shape[2],
+                    bands, band_val)
+                if ct is not None:
+                    y = y.at[:, :r_top].add(ct.astype(y.dtype))
+                if cb is not None:
+                    y = y.at[:, r_bot:].add(cb.astype(y.dtype))
             bias = self.param("bias", nn.initializers.zeros, (self.c2,))
             return y + wpack.packed_bias(bias, 2).astype(y.dtype)
         c1 = x.shape[-1] // 2
@@ -268,7 +290,7 @@ class ConvBnAct(nn.Module):
     wpack_raw: bool = False
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, bands=None):
         if self.wpack:
             if self.fused is not True:
                 raise ValueError("wpack requires fused=True")
@@ -276,8 +298,10 @@ class ConvBnAct(nn.Module):
                 self.c2, self.k, self.s, mode=self.wpack,
                 perm=self.wpack_perm, raw_in=self.wpack_raw,
                 name="conv",
-            )(x)
+            )(x, bands=bands)
             return activation(self.act)(x)
+        if bands is not None:
+            raise ValueError("bands require the width-packed stem")
         if self.fused == INT8:
             x = _QuantConv(
                 self.c2, self.k, self.s, self.g, self.p,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,6 +139,53 @@ def stem_kernel_unpacked(k6):
         for t in range(6):
             kp = kp.at[:, 2 * o + t, :, o * co:(o + 1) * co].add(k6[:, t])
     return kp, (2, 4), ((2, 2), (2, 2))
+
+
+def stem_band_corrections(kp, h_img: int, w_img: int,
+                          bands, band_val: float):
+    """Exact letterbox-band contribution to the unpacked-canvas stem.
+
+    The serving path can feed the stem the UNPADDED resize (h_img rows)
+    with conv padding ((2+top, 2+bot), (2, 2)) of ZEROS, where the
+    reference semantics letterbox the image into a canvas whose extra
+    top/bot rows hold the constant 114. Convolution is linear, so the
+    difference is conv(band-only canvas) — nonzero only for output rows
+    whose 6-row tap window (output row r taps canvas rows 2r-2..2r+3)
+    touches the band. This computes those rows with two strip convs
+    over constant inputs (~3% of the stem's cost vs the canvas-sized
+    pad write it replaces — 0.78 ms/iter of data formatting at w6@1088
+    b32, tools/tpu_wpack_ab.py r5).
+
+    Returns (corr_top, corr_bot, r_top, r_bot): add corr_top to output
+    rows [0, r_top) and corr_bot to rows [r_bot, n_out); either side is
+    None when its band is empty.
+    """
+    top, bot = bands
+    hc = top + h_img + bot
+    n_out = (hc - 2) // 2 + 1
+
+    def strip_conv(lo, hi, b0, b1):
+        rows = np.arange(lo, hi + 1)
+        vals = np.where((rows >= b0) & (rows < b1),
+                        np.float32(band_val), np.float32(0.0))
+        strip = jnp.broadcast_to(
+            jnp.asarray(vals, kp.dtype)[None, :, None, None],
+            (1, len(rows), w_img, kp.shape[2]),
+        )
+        return jax.lax.conv_general_dilated(
+            strip, kp, (2, 4), ((0, 0), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    corr_top = corr_bot = None
+    r_top, r_bot = 0, n_out
+    if top > 0:
+        r_top = min(n_out, (top + 3) // 2)  # rows with 2r-2 < top
+        corr_top = strip_conv(-2, 2 * r_top + 1, 0, top)
+    if bot > 0:
+        r_bot = max(0, (top + h_img - 2) // 2)  # 2r+3 >= top+h_img
+        corr_bot = strip_conv(2 * r_bot - 2, 2 * (n_out - 1) + 3,
+                              top + h_img, hc)
+    return corr_top, corr_bot, r_top, r_bot
 
 
 def concat_perm(part_channels: Sequence[int]) -> np.ndarray:

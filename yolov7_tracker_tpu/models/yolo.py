@@ -110,6 +110,8 @@ class YoloV7(nn.Module):
                 wplan = region["plan"]
                 wperm = {i: tuple(int(v) for v in p)
                          for i, p in region["perm"].items()}
+        self._wpack_stem = next(
+            (i for i, m in wplan.items() if m == "stem"), None)
 
         mods = {}
         for l in self.spec.layers:
@@ -287,14 +289,22 @@ class YoloV7(nn.Module):
                 ImplicitM(name=f"head_im_{i}") for i in range(nl)
             ]
 
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, stem_bands=None):
         """x: (B, H, W, 3) float in [0, 1].
+
+        stem_bands: optional (top, bottom) letterbox band row counts —
+          x is then the UNPADDED resize and the width-packed stem
+          absorbs the constant-114 band exactly (conv padding + strip
+          corrections, blocks._WPackConv bands). Requires the packed
+          stem (wpack_stem_active).
 
         Returns:
           training: list of nl (or 2*nl for IAuxDetect) raw head tensors
             (B, ny, nx, na, no);
           inference: (decoded (B, N, no), list of nl raw head tensors).
         """
+        if stem_bands is not None and self._wpack_stem is None:
+            raise ValueError("stem_bands require the width-packed stem")
         spec = self.spec
         saved: Dict[int, Any] = {}
         y = x
@@ -310,7 +320,12 @@ class YoloV7(nn.Module):
             if l.index == 0:
                 inp = x
             if str(l.index) in self._mods:
-                y = self._mods[str(l.index)](inp, training)
+                if (stem_bands is not None
+                        and l.index == self._wpack_stem):
+                    y = self._mods[str(l.index)](
+                        inp, training, bands=stem_bands)
+                else:
+                    y = self._mods[str(l.index)](inp, training)
             elif l.kind == "MP":
                 y = blocks.mp(inp, l.args[0])
             elif l.kind == "SP":

@@ -282,16 +282,27 @@ class TrackingPipeline:
         # spatial mode clones the model with wpack=False, so it keeps
         # the normalized preprocess
         normalize = not (self._wpack_raw and spatial_mesh is None)
+        # ...and, when the letterbox pad is row-bands only, the stem
+        # also absorbs the 114 band itself (conv padding + exact strip
+        # corrections, blocks._WPackConv bands): the preprocess emits
+        # the UNPADDED resize and the canvas pad write never happens
+        # (0.78 ms/iter of data formatting at w6@1088 b32, r5 trace)
+        stem_bands = None
+        if (not normalize and left == 0 and right == 0
+                and (top or bottom) and uh >= 8):
+            stem_bands = (top, bottom)
 
         @jax.jit
         def detect(variables, frames_u8):
             imgs, _ = letterbox.device_preprocess(
                 frames_u8, src_hw, (out_h, out_w), unpad_hw=(uh, uw),
                 dtype=compute_dtype, normalize=normalize,
+                pad_to_canvas=stem_bands is None,
             )
             if h_sharded is not None:
                 imgs = jax.lax.with_sharding_constraint(imgs, h_sharded)
-            pred, raw = model.apply(variables, imgs, training=False)
+            pred, raw = model.apply(variables, imgs, training=False,
+                                    stem_bands=stem_bands)
             if fused_nms:
                 dets, counts = nms_mod.nms_from_raw(
                     raw, jnp.asarray(self.spec.anchors_per_level()),
