@@ -211,10 +211,11 @@ def main():
                 v = detect_embed(pipe.variables, dev_frames)
             np.asarray(v)
             de_ms = (time.time() - t0) / n_frames * 1e3
+            rc = pipe.pcfg.reid_capacity
             result("reid_stage", reid=reid,
                    detect_plus_embed_ms=round(de_ms, 3),
                    embed_ms_per_frame=round(de_ms - det_ms, 3),
-                   crops_per_frame=d)
+                   crops_per_frame=(min(rc, d) if rc > 0 else d))
         del pipe
 
     # ---- GMC warp estimation -------------------------------------------
