@@ -39,9 +39,9 @@ def _resize_linear(x: jnp.ndarray, uh: int, uw: int) -> jnp.ndarray:
     C=3-minor tensor gives reductions/gathers no lane parallelism;
     only the MXU formulation has full tiles.
 
-    device_preprocess now uses jax.image.scale_and_translate (the same
-    dense lowering) to land the resize directly in the padded canvas;
-    this stays as the pinned reference formulation for that probe.
+    (A scale_and_translate variant that landed the resize directly in
+    the padded canvas was probed and reverted — its fused 114-band add
+    ran at 127 GB/s, slower end-to-end; see device_preprocess below.)
     """
     return jax.image.resize(
         x, (x.shape[0], uh, uw, x.shape[3]), method="linear",
