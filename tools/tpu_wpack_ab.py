@@ -54,15 +54,23 @@ def main():
     left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
     out_h, out_w = uh + top + bottom, uw + left + right
 
-    def make_fwd(m, normalize=True):
+    def make_fwd(m, normalize=True, stem_bands=None):
+        # stem_bands mirrors pipeline._detect_fn's seam: the preprocess
+        # emits the UNPADDED resize and the packed stem absorbs the 114
+        # band (conv padding + strip corrections) — the canvas pad
+        # write never happens. This is the graph bench.py serves with
+        # since the band fold; the canvas path (stem_bands=None) is
+        # kept for A/B against it.
         @jax.jit
         def stage_fwd(variables, frames):
             imgs, _ = LB.device_preprocess(frames, src_hw,
                                            (out_h, out_w),
                                            unpad_hw=(uh, uw),
                                            dtype=jnp.bfloat16,
-                                           normalize=normalize)
-            _, raw = m.apply(variables, imgs, training=False)
+                                           normalize=normalize,
+                                           pad_to_canvas=stem_bands is None)
+            _, raw = m.apply(variables, imgs, training=False,
+                             stem_bands=stem_bands)
             return sum(jnp.sum(x[..., 4].astype(jnp.float32))
                        for x in raw)
         return stage_fwd
@@ -81,11 +89,42 @@ def main():
         ms = (time.time() - t0) / (n * batch) * 1e3
         result(name, ms_per_frame=round(ms, 4), batch=batch)
 
+    # WPAB_BANDS=1: also measure/trace the band-fold forward (the graph
+    # bench.py actually serves — unpadded resize, stem absorbs the 114
+    # band). WPAB_ONLY=bands skips the canvas-path stages (warm-cache
+    # reruns after the numbers are already on record).
+    want_bands = os.environ.get("WPAB_BANDS", "0") == "1"
+    only = os.environ.get("WPAB_ONLY", "")
+    bands = (top, bottom)
+    can_bands = (pipe._wpack_raw and left == 0 and right == 0
+                 and (top or bottom))
+    if want_bands and not can_bands:
+        log("WPAB_BANDS requested but the band-fold path is inactive "
+            "(needs wpack raw stem + row-band-only pad); skipping")
+        want_bands = False
+
     fwd_on = make_fwd(pipe.model, normalize=not pipe._wpack_raw)
-    log("compiling packed fwd...")
-    time_stage("fwd_wpack_on", fwd_on)
-    log("compiling packed full detect...")
-    time_stage("full_wpack_on", stage_full)
+    fwd_bands = (make_fwd(pipe.model, normalize=False, stem_bands=bands)
+                 if want_bands else None)
+    if only != "bands":
+        log("compiling packed fwd (canvas path)...")
+        time_stage("fwd_wpack_on", fwd_on)
+        log("compiling packed full detect...")
+        time_stage("full_wpack_on", stage_full)
+    if fwd_bands is not None:
+        log("compiling packed fwd (band-fold path, as served)...")
+        time_stage("fwd_wpack_bands", fwd_bands)
+        tdir_b = "/tmp/jaxtrace_r5_wpack_bands"
+        shutil.rmtree(tdir_b, ignore_errors=True)
+        log(f"tracing band-fold fwd -> {tdir_b}")
+        with jax.profiler.trace(tdir_b):
+            for _ in range(12):
+                v = fwd_bands(pipe.variables, dev)
+            np.asarray(v)
+        result("trace_bands", dir=tdir_b)
+        if only == "bands":
+            log("done (bands only)")
+            return
 
     # numerics cross-check on chip: packed vs plain decode outputs
     from yolov7_tracker_tpu.models import yolo
