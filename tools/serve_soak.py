@@ -16,7 +16,9 @@ of ticks with everything the field throws at it:
 Asserts, per stream: every frame 1..N present in the MOT txt exactly
 once per (frame, id); ids never reset across the resume; the pre-kill
 rows are byte-identical after the relaunch; RSS growth from the 25% to
-the 95% mark of each phase stays under --rss_slack.
+the 95% mark of each phase's steady-state window (samples taken after
+the first output row appears — the JAX compile/warmup ramp is a fixed
+cost, not a leak) stays under --rss_slack.
 
     python tools/serve_soak.py              # 10k ticks (~minutes, CPU)
     python tools/serve_soak.py --ticks 600  # CI-scale
@@ -91,18 +93,38 @@ def rss_kb(pid):
         return None
 
 
-def run_phase(cmd, kill_after_frames=None, watch_txt=None, env=None):
+def _txt_sizes(save_dir):
+    try:
+        return {t: os.path.getsize(os.path.join(save_dir, t))
+                for t in os.listdir(save_dir) if t.endswith(".txt")}
+    except OSError:
+        return {}
+
+
+def run_phase(cmd, kill_after_frames=None, watch_txt=None, env=None,
+              save_dir=None):
     """Run serve; optionally SIGTERM once watch_txt reaches
-    kill_after_frames. Returns (returncode, rss_samples)."""
+    kill_after_frames. Returns (returncode, rss_samples, output,
+    sigterm_sent, steady_idx) where steady_idx is the first RSS-sample
+    index taken AFTER serving demonstrably started (a txt grew beyond
+    its size at phase start) — the compile/warmup ramp before that
+    point is fixed-cost, not steady-state, and must not count as
+    'memory creep' at short tick counts."""
+    sizes0 = _txt_sizes(save_dir) if save_dir else {}
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, env=env)
     rss = []
     sent = False
+    steady_idx = None
     while proc.poll() is None:
         time.sleep(0.5)
         r = rss_kb(proc.pid)
         if r:
             rss.append(r)
+        if steady_idx is None and save_dir:
+            now = _txt_sizes(save_dir)
+            if any(now[t] > sizes0.get(t, 0) for t in now):
+                steady_idx = len(rss)
         if (kill_after_frames and not sent and watch_txt
                 and os.path.isfile(watch_txt)):
             rows = read_txt(watch_txt)
@@ -111,7 +133,7 @@ def run_phase(cmd, kill_after_frames=None, watch_txt=None, env=None):
                 proc.send_signal(signal.SIGTERM)
                 sent = True
     out = proc.stdout.read()
-    return proc.returncode, rss, out, sent
+    return proc.returncode, rss, out, sent, steady_idx
 
 
 def main():
@@ -126,6 +148,9 @@ def main():
     ap.add_argument("--stall_every", type=int, default=0,
                     help="stall injection period on stream 0 "
                          "(default ticks//6)")
+    ap.add_argument("--dump_rss", default="",
+                    help="write per-phase RSS sample curves (KB, 0.5 s "
+                         "cadence) to this JSON path for leak triage")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
     n = args.ticks
@@ -163,8 +188,9 @@ def main():
     watch = os.path.join(save_dir, names[1] + ".txt")
 
     log(f"phase A: {args.streams} streams x {n} frames, SIGTERM at ~50%")
-    rc_a, rss_a, out_a, sent = run_phase(
-        cmd, kill_after_frames=n // 2, watch_txt=watch, env=env)
+    rc_a, rss_a, out_a, sent, steady_a = run_phase(
+        cmd, kill_after_frames=n // 2, watch_txt=watch, env=env,
+        save_dir=save_dir)
     if not sent:
         # first run finished before the watcher armed (tiny tick
         # counts) — treat as single-phase soak
@@ -174,7 +200,7 @@ def main():
 
     evidence = {"phases": 1, "rc_a": rc_a}
     pre_rows = {t: read_txt(os.path.join(save_dir, t)) for t in txts}
-    phases_rss = [rss_a]
+    phases_rss = [rss_a[steady_a or 0:]]
 
     if sent or rc_a == 75:
         assert rc_a == 75, (rc_a, out_a[-2000:])
@@ -182,7 +208,8 @@ def main():
                       for t, r in pre_rows.items()}
         log(f"phase B: relaunch to completion "
             f"(pre-kill rows: {[len(r) for r in pre_rows.values()]})")
-        rc_b, rss_b, out_b, _ = run_phase(cmd, env=env)
+        rc_b, rss_b, out_b, _, steady_b = run_phase(
+            cmd, env=env, save_dir=save_dir)
         assert rc_b == 0, (rc_b, out_b[-2000:])
         evidence.update(phases=2, rc_b=rc_b)
         for t in txts:
@@ -194,7 +221,7 @@ def main():
             if post_new:
                 assert min(post_new) > max_id_pre[t], \
                     f"{t}: id counter reset across resume"
-        phases_rss.append(rss_b)
+        phases_rss.append(rss_b[steady_b or 0:])
 
     # row integrity per stream: every frame 1..n exactly once per id,
     # and full frame coverage (stalled stream included — it rejoins and
@@ -211,21 +238,29 @@ def main():
         assert max(covered) == n, f"{t}: ran past source length?"
         assert len(set(rows)) == len(rows), f"{t}: duplicate (frame,id)"
 
-    # memory: within EACH phase, RSS growth between the 25% and 95%
-    # marks must be a plateau, not a creep (phases are separate
-    # processes; comparing across them is meaningless)
+    if args.dump_rss:
+        with open(args.dump_rss, "w") as f:
+            json.dump({"phases_rss_kb": phases_rss}, f)
+
+    # memory: within EACH phase's steady-state window, RSS growth
+    # between the 25% and 95% marks must be a plateau, not a creep
+    # (phases are separate processes; comparing across them is
+    # meaningless). Phases too short to judge (<8 steady samples)
+    # contribute nothing.
     q = lambda xs, f: xs[min(int(len(xs) * f), len(xs) - 1)]
     growth = max(
-        (q(r, 0.95) - q(r, 0.25)) / max(q(r, 0.25), 1)
-        for r in phases_rss if len(r) >= 8
+        ((q(r, 0.95) - q(r, 0.25)) / max(q(r, 0.25), 1)
+         for r in phases_rss if len(r) >= 8),
+        default=0.0,
     )
     assert growth < args.rss_slack, \
         f"RSS grew {growth * 100:.1f}% between 25% and 95% marks"
 
+    r0 = max(phases_rss, key=len)
     evidence.update(
         ticks=n, streams=args.streams, total_rows=total_rows,
-        rss_25_mb=round(q(phases_rss[0], 0.25) / 1024, 1),
-        rss_95_mb=round(q(phases_rss[0], 0.95) / 1024, 1),
+        rss_25_mb=round(q(r0, 0.25) / 1024, 1) if r0 else None,
+        rss_95_mb=round(q(r0, 0.95) / 1024, 1) if r0 else None,
         rss_growth_pct=round(growth * 100, 1),
         stalls_injected=len(stalls.split(",")) if stalls else 0,
     )
